@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced to full materialization with a count() over the
+result (cheap, no driver transfer) after a warm-up of the input scans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from master_airflow_spark import registry
+    from master_airflow_spark.session import get_spark
+
+    spark = get_spark(app_name="mas-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry._ensure_loaded()
+
+    headline = [n for n in HEADLINE if n in registry.REGISTRY]
+    timings: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+    for name in headline:
+        spec = registry.REGISTRY[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+    total = round(time.perf_counter() - t_total0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+# Names of headline queries (filtered to what's registered, so bench
+# never breaks while coverage widens).
+HEADLINE = [
+    "top1_price_today",
+    "top1_price_alltime",
+    "daily_high_low",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers_per_segment",
+    "asof_join_events_orders",
+    "dedup_exact",
+    "minhash_near_dup",
+    "cosine_topk",
+    "text_quality",
+    "sessionize_events",
+]
+
+if __name__ == "__main__":
+    main()

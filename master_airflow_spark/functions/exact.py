@@ -1,0 +1,66 @@
+"""Exact (order-independent) numeric aggregation helpers.
+
+Spark executes aggregates as parallel partial aggregations whose
+combine order is nondeterministic; IEEE-754 double addition is not
+associative, so ``SUM(double)`` can differ run-to-run and engine-to-
+engine in the last bits. The driver hash-compares values against a
+single-threaded DuckDB oracle, and at 100 TB the partial-agg tree is
+thousands deep — so judged aggregates must be order-independent.
+
+The fix: cast to DECIMAL before aggregating (decimal addition is exact
+and associative), cast the final result back to DOUBLE (one
+deterministic rounding). The oracle SQL applies the identical casts.
+Source doubles here carry ≤2 fractional decimal digits (prices,
+quantities), so DECIMAL(28,4) loses nothing and leaves ~24 integer
+digits of headroom — enough for a 100 TB sum of 1e6-scale values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Matching DuckDB cast targets, for use inside oracle SQL strings.
+DEC = "DECIMAL(28,4)"
+DEC_WIDE = "DECIMAL(38,8)"
+
+
+def dsum(col: Column | str, alias: str | None = None) -> Column:
+    """Order-independent SUM over a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast("decimal(28,4)")).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg(col: Column | str, alias: str | None = None) -> Column:
+    """Deterministic AVG: exact decimal sum, then one double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast("decimal(28,4)")).cast("double") / F.count(c)
+    return out.alias(alias) if alias else out
+
+
+def dmul(a: Column, b: Column) -> Column:
+    """Exact product of two ≤2-decimal doubles via decimal multiply.
+
+    decimal(28,4) × decimal(28,4) would overflow precision 38 under
+    Spark's result-type rule, so multiply at decimal(18,4): plenty for
+    per-row values (≤1e14), exact for the 2-decimal inputs.
+    """
+    return (a.cast("decimal(18,4)") * b.cast("decimal(18,4)")).cast("decimal(28,8)")
+
+
+# SQL fragments for oracle parity -------------------------------------------
+
+def sql_dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS DOUBLE) / COUNT({expr})"
+
+
+def sql_dmul(a: str, b: str) -> str:
+    return (
+        f"CAST(CAST({a} AS DECIMAL(18,4)) * CAST({b} AS DECIMAL(18,4))"
+        f" AS DECIMAL(28,8))"
+    )

@@ -1,0 +1,50 @@
+"""SparkSession factory.
+
+One session for the whole engine, configured for the execution posture
+described in SURVEY.md §4.2/§6: adaptive query execution on (runtime
+re-planning, skew-join handling, partition coalescing), Arrow for any
+pandas interchange, UTC session timezone so timestamp semantics match
+the DuckDB oracle, and a shuffle-partition count sized for the local
+test harness (overridable for real clusters via ``extra_conf``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "master-airflow-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Defaults target local mode; on a real cluster pass ``master=None``
+    with spark-submit owning the master and sizing, and raise
+    ``spark.sql.shuffle.partitions`` to ~2-3× total cores via
+    ``extra_conf`` (AQE coalesces the excess at runtime).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # parquet scans: vectorized reader + pushdown are on by default;
+        # keep files from over-splitting at small SF, still fine at 100 TB
+        # where maxPartitionBytes (128m default) governs split size.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    builder = builder.master(master if master is not None else f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
