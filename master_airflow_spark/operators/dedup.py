@@ -1,0 +1,208 @@
+"""Deduplication operators.
+
+Reference parity: W4's keyed last-write-wins upsert — the MinIO sink
+names each object ``date + station`` so re-runs overwrite
+(dags/get_prices_load_minio.py:80) — plus the LLM-data-pipeline dedup
+suite (SURVEY.md §2.7 X22-X24): exact content-hash dedup, MinHash-LSH
+near-dup, SimHash, and n-gram Jaccard verification.
+
+Scale posture: every dedup here is a keyed shuffle (groupBy / window
+over the dedup key) — the key is chosen so the shuffle is on a
+high-cardinality hash (uniform, no skew). MinHash banding turns the
+O(n²) all-pairs problem into an equi-join on band signatures, which
+Spark executes as a shuffled hash join; candidate verification runs
+only within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from master_airflow_spark.catalog import load_table
+from master_airflow_spark.registry import register
+
+
+@register(
+    "keyed_upsert_latest",
+    oracle="""
+SELECT user_id, event_type, ts, event_id, value
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type
+    ORDER BY ts DESC, event_id DESC) = 1
+""",
+    tags=("W4", "X8", "X22"),
+)
+def keyed_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: last-write-wins upsert on a composite natural key — batch
+    form of the MinIO object-key overwrite. One row per
+    (user_id, event_type): the latest by (ts, event_id)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "event_id", "value")
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT sha256(text) AS content_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    tags=("X23",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23: exact dedup by content hash — ``sha2(text, 256)`` group-by,
+    keeping the smallest doc_id per hash. At 100 TB the 32-byte hash
+    (not the document body) is the shuffle key and the map-side partial
+    aggregation collapses duplicates before the exchange."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection (X24) — deterministic, pure
+# DataFrame ops, no pyspark.ml dependency (ml's MinHashLSH seeds its
+# hash family via JVM RNG; re-implementing with explicit mixed hashes
+# keeps signatures reproducible across runs and engines).
+# --------------------------------------------------------------------------
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band; P(candidate) = 1-(1-s^4)^4
+
+
+def shingles(text_col: str, k: int = 5) -> Column:
+    """Word-k-gram shingle array from a whitespace-tokenized document."""
+    toks = F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def minhash_signature(shingle_col: Column) -> Column:
+    """N_HASHES-wide MinHash signature: min over shingles of
+    xxhash64(shingle, seed_i) for N deterministic seeds."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(N_HASHES)
+        ]
+    )
+
+
+def with_bands(df: DataFrame, sig: str = "sig") -> DataFrame:
+    """Explode the signature into (band_id, band_hash) rows — the LSH
+    bucket key. Equal band_hash within a band ⇒ candidate pair."""
+    rows_per_band = N_HASHES // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col(sig)[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return df.withColumn("band", F.explode(bands)).select(
+        *df.columns, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+    )
+
+
+@register("minhash_near_dup", oracle=None, tags=("X24",))
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: MinHash-LSH near-duplicate candidate pairs, verified by
+    exact signature-overlap estimate. Pipeline: shingle → 16-hash
+    MinHash signature → 4 LSH bands → self-join on (band_id,
+    band_hash) → estimated Jaccard = matching signature positions / 16,
+    thresholded at 0.5. Deterministic (xxhash64 seeds 0..15); no
+    oracle — DuckDB can't express the hash family (rows-only check).
+
+    Scale: the self-join key (band_id, band_hash) is uniform by
+    construction; no document body crosses the shuffle — only doc_id +
+    16×int64 signature."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", minhash_signature(shingles("text")).alias("sig")
+    )
+    banded = with_bands(docs)
+    left = banded.select(
+        F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"), "band_id", "band_hash"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"), "band_id", "band_hash"
+    )
+    pairs = (
+        left.join(right, ["band_id", "band_hash"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("a_sig", "b_sig", lambda a, b: a == b),
+                lambda x: x,
+            )
+        )
+        / F.lit(N_HASHES)
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= 0.5)
+        .select("a_id", "b_id", "est_jaccard")
+    )
+
+
+@register("simhash_fingerprint", oracle=None, tags=("X24",))
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: 64-bit SimHash per document — sign-sum of token-hash bits,
+    computed entirely with built-in array/bitwise expressions (no UDF):
+    explode tokens → xxhash64 → per-bit ±1 contributions → sign.
+    Near-dup = small Hamming distance between fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    # bit b of h as ±1: shiftright then &1 → {0,1} → 2x-1
+    contribs = toks.select(
+        "doc_id",
+        *[
+            (F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
+            for b in range(64)
+        ],
+    )
+    sums = contribs.groupBy("doc_id").agg(
+        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(64)]
+    )
+    fp = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+                for b in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return fp

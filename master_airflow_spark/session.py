@@ -42,6 +42,11 @@ def get_spark(
         # keep files from over-splitting at small SF, still fine at 100 TB
         # where maxPartitionBytes (128m default) governs split size.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Spark has no TIMESTAMP(NANOS) type: read such parquet columns
+        # as raw nanos-since-epoch longs; catalog.load_table converts
+        # them to TimestampType (micros, floor) — same truncation DuckDB
+        # applies, so oracle comparisons agree.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     builder = builder.master(master if master is not None else f"local[{cpus}]")

@@ -1,0 +1,57 @@
+"""Semantic tests for the near-dup operators (no SQL oracle exists for
+the hash family — these pin the behavior the rows-only check can't)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from master_airflow_spark.operators.dedup import (
+    N_HASHES,
+    minhash_signature,
+    shingles,
+    with_bands,
+)
+
+
+def _sig_df(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df.select("doc_id", minhash_signature(shingles("text")).alias("sig"))
+
+
+def test_identical_docs_identical_signatures(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    sigs = _sig_df(spark, [(1, text), (2, text)]).collect()
+    assert sigs[0].sig == sigs[1].sig
+    assert len(sigs[0].sig) == N_HASHES
+
+
+def test_identical_docs_become_candidates(spark):
+    text = "spark shuffles data between stages when keys repartition rows"
+    banded = with_bands(_sig_df(spark, [(1, text), (2, text)]))
+    left = banded.select(F.col("doc_id").alias("a"), "band_id", "band_hash")
+    right = banded.select(F.col("doc_id").alias("b"), "band_id", "band_hash")
+    pairs = (
+        left.join(right, ["band_id", "band_hash"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .collect()
+    )
+    assert (1, 2) in [(r.a, r.b) for r in pairs]
+
+
+def test_disjoint_docs_have_different_signatures(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "one two three four five six seven eight nine ten eleven"
+    sigs = {r.doc_id: r.sig for r in _sig_df(spark, [(1, a), (2, b)]).collect()}
+    # overlap should be far below the 0.5 candidate threshold
+    overlap = sum(x == y for x, y in zip(sigs[1], sigs[2])) / N_HASHES
+    assert overlap < 0.5
+
+
+def test_near_identical_docs_high_estimated_jaccard(spark):
+    base = "spark executes queries lazily building a logical plan first " * 3
+    variant = base + "with one extra trailing clause"
+    sigs = {r.doc_id: r.sig for r in _sig_df(spark, [(1, base), (2, variant)]).collect()}
+    overlap = sum(x == y for x, y in zip(sigs[1], sigs[2])) / N_HASHES
+    assert overlap >= 0.5
