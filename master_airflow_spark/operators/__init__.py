@@ -1,4 +1,13 @@
 """Operator modules. Importing this package registers every named query
 (and its DuckDB oracle) into master_airflow_spark.registry."""
 
-from master_airflow_spark.operators import dedup, scalar, topk  # noqa: F401
+from master_airflow_spark.operators import (  # noqa: F401
+    dedup,
+    relational,
+    scalar,
+    scalarfns,
+    similarity,
+    text,
+    topk,
+    window,
+)

@@ -1,0 +1,389 @@
+"""Relational closure — joins, aggregations, grouping sets, set ops,
+pivot (SURVEY.md §2.7 X1-X7, X12, X18).
+
+The reference has no joins or aggregations at all (§2.7: verified
+absence); this module is the capability closure the north star
+requires, written the way a 100 TB Spark deployment wants it:
+
+- Dimension joins broadcast explicitly (``F.broadcast``) — region /
+  nation / supplier stay KB-to-MB-sized at every SF, so no fact-side
+  shuffle ever happens for them.
+- Fact-fact joins (orders⋈lineitem) shuffle on the join key once; AQE
+  handles skew splitting at runtime.
+- Aggregates are hash aggregates with map-side partial combine; judged
+  sums go through DECIMAL (functions/exact.py) so parallel combine
+  order can't perturb the result vs the single-threaded oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from master_airflow_spark.catalog import load_table
+from master_airflow_spark.functions.exact import davg, dmul, dsum, sql_davg, sql_dmul, sql_dsum
+from master_airflow_spark.registry import register
+
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       CAST(SUM({sql_dmul('l_extendedprice', '(1 - l_discount)')}) AS DOUBLE) AS sum_disc_price,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("X5", "X15"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: single-pass hash aggregate over
+    the fact table with pushed date predicate. Two low-cardinality
+    group keys → tiny exchange after map-side combine."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        F.sum(dmul(F.col("l_extendedprice"), 1 - F.col("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle=f"""
+SELECT n.n_name,
+       CAST(SUM({sql_dmul('l.l_extendedprice', '(1 - l.l_discount)')}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM customer c
+JOIN orders o    ON o.o_custkey = c.c_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN nation n    ON n.n_nationkey = c.c_nationkey
+JOIN region r    ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+GROUP BY n.n_name
+""",
+    tags=("X1", "X5"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join across five tables (TPC-H Q5 shape): dims broadcast
+    (nation 25 rows, region 5 — the region filter prunes nations
+    *before* the fact join), customer⋈orders⋈lineitem shuffle on their
+    keys once. Catalyst pushes r_name IN (...) through the join chain."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        customer.join(dims, customer.c_nationkey == dims.n_nationkey)
+        .join(orders, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dmul(F.col("l_extendedprice"), 1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "customer_order_counts",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       count(o.o_orderkey) AS n_orders,
+       CAST(SUM(CAST(coalesce(o.o_totalprice, 0) AS DECIMAL(28,4))) AS DOUBLE) AS total_spend
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+""",
+    tags=("X1", "X5"),
+)
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count=0,
+    spend=0) — null-handling closure over X1."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "semi_anti_customers",
+    oracle="""
+SELECT c_custkey,
+       'has_orders' AS status
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS status
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    tags=("X2", "X12"),
+)
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi and left-anti joins, labeled and unioned: customers
+    partitioned into has-orders / no-orders. Semi/anti ship only the
+    probe side's key column through the shuffle."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_orders").alias("status")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("status")
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "range_join_price_bands",
+    oracle="""
+WITH bands(band, lo, hi) AS (
+    VALUES ('budget', 0.0, 50000.0),
+           ('mid', 50000.0, 150000.0),
+           ('premium', 150000.0, 1000000000.0)
+)
+SELECT b.band, count(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS band_total
+FROM orders o
+JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+""",
+    tags=("X3",),
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (range) join: fact rows against a tiny in-memory band
+    table on a non-equi condition — broadcast nested-loop, the right
+    physical plan when one side is rows-not-gigabytes."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = F.broadcast(
+        spark.createDataFrame(
+            [
+                ("budget", 0.0, 50_000.0),
+                ("mid", 50_000.0, 150_000.0),
+                ("premium", 150_000.0, 1_000_000_000.0),
+            ],
+            "band string, lo double, hi double",
+        )
+    )
+    return (
+        o.join(bands, (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("band_total"),
+        )
+    )
+
+
+@register(
+    "distinct_order_status",
+    oracle="""
+SELECT o_orderstatus,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("X6",),
+)
+def distinct_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct per group (Spark expands to a two-phase
+    aggregate under the hood)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register("approx_distinct_users", oracle=None, tags=("X6",))
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HyperLogLog++): the 100 TB answer to
+    COUNT(DISTINCT) — mergeable sketches, no exact-distinct shuffle.
+    rsd=0.01. Rows-only check (sketch estimates are engine-specific)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+    )
+
+
+@register(
+    "rollup_sales",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       {sql_dsum('l_extendedprice')} AS sales,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("X7",),
+)
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): detail + per-flag subtotal
+    + grand total in one pass, GROUPING() flags disambiguating real
+    NULLs from subtotal rows."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            dsum("l_extendedprice", "sales"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "cube_priority_status",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+       count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+    tags=("X7",),
+)
+def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all four grouping-set combinations."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+            F.grouping("o_orderstatus").cast("int").alias("g_st"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@register(
+    "set_ops_customers",
+    oracle="""
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+SELECT o_custkey, 'both_years' AS setop FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+UNION ALL
+SELECT o_custkey, 'only_1995' AS setop FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+UNION ALL
+SELECT o_custkey, 'either_year' AS setop FROM (SELECT * FROM y95 UNION SELECT * FROM y96)
+""",
+    tags=("X12",),
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION(distinct) over yearly customer sets,
+    labeled into one result."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_keys(y: int) -> DataFrame:
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = year_keys(1995), year_keys(1996)
+    return (
+        y95.intersect(y96)
+        .select("o_custkey", F.lit("both_years").alias("setop"))
+        .unionByName(
+            y95.exceptAll(y96).select("o_custkey", F.lit("only_1995").alias("setop"))
+        )
+        .unionByName(
+            y95.union(y96)
+            .distinct()
+            .select("o_custkey", F.lit("either_year").alias("setop"))
+        )
+    )
+
+
+PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "pivot_priority_by_status",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("X18",),
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: priorities → columns, one count per (status, priority).
+    The pivot value list is explicit — at scale an unlisted pivot
+    forces an extra distinct-values job; listing it keeps one pass."""
+    names = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "not_specified",
+        "5-LOW": "low",
+    }
+    piv = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PIVOT_PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for empty cells; the FILTERed oracle counts 0
+    return piv.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(names[p])
+            for p in PIVOT_PRIORITIES
+        ],
+    )

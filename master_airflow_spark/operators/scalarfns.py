@@ -1,0 +1,202 @@
+"""Scalar function-family closure (SURVEY.md §2.7 X13-X17): string,
+date, math/conditional, array, and JSON/map functions.
+
+All built-in ``pyspark.sql.functions`` — JVM-side, inside
+WholeStageCodegen, no Python in the row path. Each query exercises a
+family end-to-end against the DuckDB oracle, pinning the exact
+cross-engine semantics (regex dialect, rounding, null propagation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from master_airflow_spark.catalog import load_table
+from master_airflow_spark.registry import register
+
+
+@register(
+    "string_functions",
+    oracle=r"""
+SELECT p_partkey,
+       upper(p_name) AS upper_name,
+       substr(p_name, 1, 4) AS prefix4,
+       (p_name LIKE '%widget%') AS is_widget,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+       replace(p_type, ' ', '_') AS type_snake,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       length(p_name) AS name_len,
+       concat_ws('|', p_brand, p_type) AS brand_type
+FROM part
+""",
+    tags=("X13",),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: upper/substr/LIKE/regexp_extract/replace/lpad/length/concat_ws."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("upper_name"),
+        F.substring("p_name", 1, 4).alias("prefix4"),
+        F.col("p_name").like("%widget%").alias("is_widget"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+SELECT o_orderkey,
+       date_trunc('month', o_orderdate) AS order_month,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_mon,
+       CAST(quarter(o_orderdate) AS INT) AS order_qtr,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+       CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS due_date,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end
+FROM orders
+""",
+    tags=("X14",),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14: date_trunc/extract/datediff/date_add/last_day."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_mon"),
+        F.quarter("o_orderdate").alias("order_qtr"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy"),
+        F.date_add(d, 90).cast("timestamp").alias("due_date"),
+        F.last_day(d).alias("month_end"),
+    )
+
+
+@register(
+    "math_conditional",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(0.07 AS DECIMAL(4,2)), 2) AS tax7,
+       abs(l_discount - 0.05) AS disc_dev,
+       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(floor(l_quantity / 10) AS BIGINT) AS qty_decile,
+       CASE WHEN l_discount >= 0.08 THEN 'deep'
+            WHEN l_discount >= 0.03 THEN 'standard'
+            ELSE 'none' END AS discount_tier,
+       greatest(l_tax, l_discount) AS max_rate,
+       least(l_tax, l_discount) AS min_rate,
+       CAST(l_orderkey % 7 AS BIGINT) AS bucket7
+FROM lineitem
+""",
+    tags=("X15",),
+)
+def math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: round/abs/ceil/floor/CASE/greatest/least/mod. The rounded
+    tax is computed on DECIMAL (half-up on exact digits) — rounding
+    binary doubles at a .5 boundary is engine-dependent; decimals
+    aren't."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # pure decimal multiply: DuckDB's `/` on decimals returns DOUBLE,
+        # which would reintroduce binary rounding at the .5 boundary
+        F.round(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.lit(0.07).cast("decimal(4,2)"),
+            2,
+        ).alias("tax7"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 10).alias("qty_decile"),
+        F.when(F.col("l_discount") >= 0.08, "deep")
+        .when(F.col("l_discount") >= 0.03, "standard")
+        .otherwise("none")
+        .alias("discount_tier"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        (F.col("l_orderkey") % 7).alias("bucket7"),
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+SELECT p_partkey,
+       string_split(p_name, ' ') AS tokens,
+       len(string_split(p_name, ' ')) AS n_tokens,
+       list_sort(string_split(p_name, ' ')) AS sorted_tokens,
+       list_contains(string_split(p_name, ' '), 'widget') AS has_widget,
+       array_to_string(list_reverse(string_split(p_name, ' ')), ' ') AS reversed_name,
+       list_transform(string_split(p_name, ' '), t -> length(t)) AS token_lens
+FROM part
+""",
+    tags=("X16",),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16: split/size/sort_array/array_contains/reverse/transform over
+    token arrays (higher-order functions stay JVM-side)."""
+    p = load_table(spark, sf_dir, "part")
+    toks = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        toks.alias("tokens"),
+        F.size(toks).alias("n_tokens"),
+        F.sort_array(toks).alias("sorted_tokens"),
+        F.array_contains(toks, "widget").alias("has_widget"),
+        F.concat_ws(" ", F.reverse(toks)).alias("reversed_name"),
+        F.transform(toks, lambda t: F.length(t)).alias("token_lens"),
+    )
+
+
+@register(
+    "json_functions",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       (CAST(json_extract_string(props, '$.k') AS INT) >= 50) AS k_high
+FROM events
+""",
+    tags=("X17",),
+)
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: JSON path extraction from the events props column (the
+    reference's JSON-document round-trip, read side)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        (k.cast("int") >= 50).alias("k_high"),
+    )
+
+
+@register(
+    "map_from_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       json_structure(props) IS NOT NULL AS valid_json
+FROM events
+""",
+    tags=("X17",),
+)
+def map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: full JSON parse to a typed map (from_json → MapType),
+    projected back to scalars for the oracle comparison."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        m.getItem("k").alias("k"),
+        m.isNotNull().alias("valid_json"),
+    )

@@ -1,0 +1,207 @@
+"""Similarity search over embeddings (SURVEY.md §2.7 X25).
+
+Two plans for the same API:
+- ``cosine_topk`` — exact brute force: broadcast the query set against
+  the corpus, JVM-side dot products via zip_with/aggregate (no UDF, no
+  Arrow hop). Right answer at any SF where |queries| is modest; cost
+  is |Q|×|corpus|.
+- ``lsh_bucketed_ann`` — the 100 TB path: random-hyperplane LSH
+  (SimHash for vectors) buckets the corpus; candidates only join
+  within a bucket, turning O(|Q|·N) into O(|Q|·N/2^bits) expected.
+  Hyperplanes are deterministic (hash-derived pseudo-gaussians), so
+  results are reproducible without seeds.
+
+Float determinism: elements are cast float→double (exact) before
+multiply; both Spark's ``aggregate`` fold and DuckDB's ``list_sum``
+reduce left-to-right, verified bit-identical — so the oracle hash
+matches without any rounding fudge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from master_airflow_spark.catalog import load_table
+from master_airflow_spark.registry import register
+
+QUERY_STRIDE = 50  # vec_id % 50 == 0 → deterministic query subset
+TOP_K = 5
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Exact double-precision dot product of two float-array columns."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: str | Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+_SQL_NORM = (
+    "sqrt(list_sum(list_transform({e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_SQL_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+WITH e AS (
+    SELECT vec_id, embedding, {_SQL_NORM.format(e='embedding')} AS nrm
+    FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+pairs AS (
+    SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+           {_SQL_DOT.format(a='q.embedding', b='e.embedding')} / (q.nrm * e.nrm)
+               AS cosine
+    FROM q, e
+    WHERE e.vec_id <> q.vec_id
+)
+SELECT q_id, n_id, cosine, rn
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, n_id) AS rn
+      FROM pairs)
+WHERE rn <= {TOP_K}
+""",
+    tags=("X25",),
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: every query vector (vec_id % 50 == 0) against
+    the full corpus. The query side is broadcast — the corpus never
+    shuffles; per-partition top-k would bound the window input further
+    at extreme |Q| (here |Q| is small by construction)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm("embedding").alias("nrm")
+    )
+    q = e.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    cos = (dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))).alias("cosine")
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        pairs.select(F.col("q_id"), F.col("vec_id").alias("n_id"), cos)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+    )
+
+
+# -- LSH-bucketed ANN (scale path) ------------------------------------------
+
+N_PLANES = 8  # 256 buckets
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-gaussian hyperplane: component j of plane p
+    derives from a 64-bit integer mix (splitmix64) → uniform in [-1,1).
+    Python-side constants — shipped into the plan as literals, no RNG."""
+    comps = []
+    for j in range(dim):
+        z = (plane * 1_000_003 + j) & 0xFFFFFFFFFFFFFFFF
+        z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+        z = (z ^ (z >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+        z ^= z >> 31
+        comps.append(z / 2**63 - 1.0)
+    return comps
+
+
+def lsh_bucket(emb: str | Column, dim: int) -> Column:
+    """Sign pattern of N_PLANES hyperplane projections → int bucket."""
+    bits = []
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        proj = F.aggregate(
+            F.zip_with(emb, plane, lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+@register("lsh_bucketed_ann", oracle=None, tags=("X25",))
+def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: queries join candidates within
+    the same bucket only, then exact cosine re-rank inside the bucket.
+    Recall < 1 by design (rows-only check; the semantic test asserts
+    bucket-collision behavior on planted vectors). At 100 TB the
+    bucket id becomes the partition/cluster key so candidate
+    generation is a co-located join."""
+    dim = 64
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        norm("embedding").alias("nrm"),
+        lsh_bucket("embedding", dim).alias("bucket"),
+    )
+    q = e.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = e.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    cos = (dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))).alias("cosine")
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        pairs.select("q_id", F.col("vec_id").alias("n_id"), cos)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+    )
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+WITH e AS (
+    SELECT vec_id, embedding, {_SQL_NORM.format(e='embedding')} AS nrm
+    FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       {_SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+           AS cosine
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND {_SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.95
+""",
+    tags=("X24", "X25"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.95) — the
+    all-pairs form, exact. At scale the same threshold query runs over
+    LSH buckets (see lsh_bucketed_ann); this exact variant is the
+    oracle-checkable ground truth."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm("embedding").alias("nrm")
+    )
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos = dot("a_emb", "b_emb") / (F.col("a_nrm") * F.col("b_nrm"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= 0.95)
+        .select("a_id", "b_id", "cosine")
+    )

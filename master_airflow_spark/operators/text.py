@@ -1,0 +1,227 @@
+"""Text analysis over the documents table (SURVEY.md §2.7 X26 + the
+training-data-pipeline text suite): token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+Everything is built-in column expressions (split / higher-order array
+fns / hashes) — the whole suite runs inside WholeStageCodegen at scan
+speed, no Python in the row path. Ratios are double divisions of exact
+integers → bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from master_airflow_spark.catalog import load_table
+from master_airflow_spark.registry import register
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+_SQL_TOKS = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+SELECT doc_id, lang, source,
+       length(text) AS n_chars_obs,
+       len({_SQL_TOKS}) AS n_tokens,
+       len(list_distinct({_SQL_TOKS})) AS n_unique_tokens,
+       CAST(len(list_distinct({_SQL_TOKS})) AS DOUBLE)
+           / len({_SQL_TOKS}) AS type_token_ratio
+FROM documents
+""",
+    tags=("X26",),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics: counts, vocabulary size, type-token ratio."""
+    t = tokens()
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars_obs"),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+_SQL_STOP = "('" + "', '".join(STOPWORDS) + "')"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+SELECT doc_id,
+       len({_SQL_TOKS}) AS n_tokens,
+       CAST(len(list_filter({_SQL_TOKS}, t -> t IN {_SQL_STOP})) AS DOUBLE)
+           / len({_SQL_TOKS}) AS stopword_ratio,
+       CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio,
+       CAST(length(text) AS DOUBLE) / len({_SQL_TOKS}) AS chars_per_token,
+       (len({_SQL_TOKS}) BETWEEN 5 AND 1000
+        AND CAST(len(list_filter({_SQL_TOKS}, t -> t IN {_SQL_STOP})) AS DOUBLE)
+            / len({_SQL_TOKS}) >= 0.05) AS passes_quality
+FROM documents
+""",
+    tags=("X26",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, punctuation density, mean token
+    length, and a composite keep/drop gate — the C4-style filter shape
+    a pretraining pipeline applies per document."""
+    t = tokens()
+    n_tok = F.size(t)
+    stop_ratio = (
+        F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("double") / n_tok
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace("text", r"[^.!?,;]", "")).cast("double")
+        / F.length("text")
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (F.length("text").cast("double") / n_tok).alias("chars_per_token"),
+        (n_tok.between(5, 1000) & (stop_ratio >= 0.05)).alias("passes_quality"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+SELECT doc_id, lang AS labeled_lang,
+       CAST(len(list_filter({_SQL_TOKS}, t -> t IN {_SQL_STOP})) AS DOUBLE)
+           / len({_SQL_TOKS}) AS en_stopword_ratio,
+       CASE WHEN CAST(len(list_filter({_SQL_TOKS}, t -> t IN {_SQL_STOP})) AS DOUBLE)
+                 / len({_SQL_TOKS}) >= 0.08
+            THEN 'en' ELSE 'unk' END AS guessed_lang
+FROM documents
+""",
+    tags=("X26",),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-hit-rate (the classic cheap n-gram
+    heuristic, stopword-unigram form): English function words above a
+    threshold → 'en'. A production system extends the token→language
+    table; the plan shape (array filter + ratio + CASE) is identical."""
+    t = tokens()
+    ratio = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("double") / F.size(t)
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        ratio.alias("en_stopword_ratio"),
+        F.when(ratio >= 0.08, "en").otherwise("unk").alias("guessed_lang"),
+    )
+
+
+@register(
+    "token_count_bpe",
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_ish,
+       len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_ws
+FROM documents
+""",
+    tags=("X26",),
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    segmentation (letter runs / digit runs / punctuation singletons) —
+    the cheap pre-tokenizer count used for data budgeting."""
+    bpe_pat = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]"
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(bpe_pat), 0)).alias("n_bpe_ish"),
+        F.size(tokens()).alias("n_ws"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5,
+       substr(md5(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 8) AS fp_short
+FROM documents
+""",
+    tags=("X23", "X26"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint of the whitespace-normalized text (md5 —
+    stable across engines; the rolling-hash variant lives in
+    rolling_hash_fingerprint)."""
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.md5(norm).substr(1, 8).alias("fp_short"),
+    )
+
+
+@register("rolling_hash_fingerprint", oracle=None, tags=("X26",))
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over token hashes: acc = (acc*31 +
+    h_tok) mod (1e9+7), folded left-to-right with aggregate(). Exact
+    modular integer arithmetic (no overflow under ANSI mode: operands
+    stay < 2^63). Order-sensitive by design — permuted documents get
+    different fingerprints, unlike bag-of-words hashes."""
+    P = 1_000_000_007
+    t = tokens()
+    fp = F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, tok: F.pmod(acc * 31 + F.pmod(F.xxhash64(tok), F.lit(P)), F.lit(P)),
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", fp.alias("rolling_fp")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=None,
+    tags=("X24", "X26"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over MinHash-LSH candidate pairs: the
+    verify stage of the near-dup pipeline. Candidates come from the
+    banded signature join (cheap); exact Jaccard (array_intersect /
+    array_union over distinct shingles) runs only on candidates."""
+    from master_airflow_spark.operators.dedup import shingles, minhash_signature, with_bands
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(shingles("text")).alias("sh")
+    )
+    sigs = docs.select(
+        "doc_id", F.col("sh"), minhash_signature(F.col("sh")).alias("sig")
+    )
+    banded = with_bands(sigs)
+    left = banded.select(
+        F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"), "band_id", "band_hash"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"), "band_id", "band_hash"
+    )
+    pairs = (
+        left.join(right, ["band_id", "band_hash"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    return pairs.select(
+        "a_id",
+        "b_id",
+        (inter.cast("double") / union).alias("jaccard"),
+    ).where(F.col("jaccard") >= 0.3)

@@ -1,0 +1,256 @@
+"""Window operators — ranking, analytics, frames, top-k per group,
+as-of join (SURVEY.md §2.7 X4, X8-X11).
+
+Scale posture: every window here partitions by a real key (customer,
+status, user) so state is distributed; there are no global
+single-partition windows. The as-of join is the union-merge form — one
+shuffle on the user key, no per-row range probe — which is the plan
+that survives 100 TB (the naive range-join + filter explodes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from master_airflow_spark.catalog import load_table
+from master_airflow_spark.registry import register
+
+
+@register(
+    "rank_orders_window",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       row_number() OVER w AS rn,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    tags=("X8",),
+)
+def rank_orders_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over a keyed window, totally ordered by
+    (price desc, orderkey) so ranks are deterministic."""
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "running_totals",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("X9",),
+)
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / running sum per customer over order history. The
+    running sum is decimal-accumulated: frame order is total, so both
+    engines fold the identical sequence."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+        .over(wf)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "orders_in_trailing_30d",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       count(*) OVER (PARTITION BY o_custkey
+                      ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_last_30d
+FROM orders
+""",
+    tags=("X9",),
+)
+def orders_in_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per order, how many orders the same
+    customer placed in the trailing 30 days (inclusive). Ordered on
+    epoch-day ints so the integer RANGE frame is engine-portable."""
+    epoch_day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).alias("n_last_30d"),
+    )
+
+
+@register(
+    "top_customers_per_segment",
+    oracle="""
+WITH spend AS (
+    SELECT c.c_mktsegment, c.c_custkey, c.c_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_spend
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, c.c_custkey, c.c_name
+)
+SELECT c_mktsegment, c_custkey, c_name, total_spend, rn
+FROM (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY total_spend DESC, c_custkey) AS rn
+      FROM spend)
+WHERE rn <= 5
+""",
+    tags=("X1", "X5", "X8", "X10"),
+)
+def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: spend aggregate, then row_number ≤ 5 within
+    each market segment. Agg shrinks the data *before* the window —
+    the window input is one row per customer, not per order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("total_spend")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("total_spend").desc(), F.col("c_custkey")
+    )
+    return (
+        spend.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("c_mktsegment", "c_custkey", "c_name", "total_spend", "rn")
+    )
+
+
+@register(
+    "multikey_sort_nulls",
+    oracle="""
+SELECT c_custkey, c_acctbal,
+       CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END AS seg
+FROM customer
+ORDER BY seg ASC NULLS FIRST, c_acctbal DESC, c_custkey
+LIMIT 100
+""",
+    tags=("X11",),
+)
+def multikey_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit null ordering, materialized through
+    a LIMIT (TakeOrderedAndProject: per-partition top-k + k-row merge —
+    no global sort at any scale). NULLS FIRST puts the nulled segment
+    inside the observed window so the ordering semantics are judged."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.when(F.col("c_mktsegment") == "BUILDING", F.lit(None)).otherwise(
+        F.col("c_mktsegment")
+    )
+    return (
+        c.select("c_custkey", "c_acctbal", seg.alias("seg"))
+        .orderBy(
+            F.col("seg").asc_nulls_first(),
+            F.col("c_acctbal").desc(),
+            F.col("c_custkey"),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "asof_join_events_orders",
+    oracle="""
+SELECT event_id, user_id, ts, o_orderkey AS last_orderkey,
+       o_totalprice AS last_order_price
+FROM (
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+           row_number() OVER (PARTITION BY e.event_id
+                              ORDER BY o.o_orderdate DESC NULLS LAST,
+                                       o.o_orderkey DESC NULLS LAST) AS rn
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+WHERE rn = 1
+""",
+    tags=("X4",),
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the user's most recent order at or
+    before the event time (ties → highest orderkey); events with no
+    prior order keep NULLs.
+
+    Implemented as the union-merge plan, not a range join: tag orders
+    and events, union, sort within each user by time, and carry the
+    last-seen order forward with last(ignorenulls) over a running
+    frame. One shuffle on user_id, O(n log n) — the naive
+    range-join-then-rank plan (the oracle's formulation) multiplies
+    every event by every prior order of that user and dies at scale."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    orders_side = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_order"),
+        F.struct("o_orderkey", "o_totalprice").alias("ord"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("o_orderkey").alias("tiebreak"),
+    )
+    events_side = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        F.lit(None)
+        .cast("struct<o_orderkey:bigint,o_totalprice:double>")
+        .alias("ord"),
+        "event_id",
+        "ts",
+        F.col("event_id").alias("tiebreak"),
+    )
+    # order rows sort before events at the same t (is_order desc) so an
+    # order dated exactly at ts is visible; among same-t orders the
+    # highest orderkey sorts last and wins last().
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_order").desc(), F.col("tiebreak").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = orders_side.unionByName(events_side).withColumn(
+        "last_ord", F.last("ord", ignorenulls=True).over(w)
+    )
+    return merged.where(F.col("is_order") == 0).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("last_ord.o_orderkey").alias("last_orderkey"),
+        F.col("last_ord.o_totalprice").alias("last_order_price"),
+    )
