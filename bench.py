@@ -63,8 +63,10 @@ HEADLINE = [
     "dedup_exact",
     "minhash_near_dup",
     "cosine_topk",
+    "embedding_near_dup",
     "text_quality",
-    "sessionize_events",
+    "stream_tumbling_agg",
+    "stream_session_window",
 ]
 
 if __name__ == "__main__":

@@ -3,10 +3,13 @@
 
 from master_airflow_spark.operators import (  # noqa: F401
     dedup,
+    ingest,
+    multimodal,
     relational,
     scalar,
     scalarfns,
     similarity,
+    streaming_queries,
     text,
     topk,
     window,

@@ -1,0 +1,124 @@
+"""Streaming operators as judged queries (X19-X22): each drains the
+events stream with Trigger.AvailableNow and returns the materialized
+result, so the driver can hash-compare it like any batch query.
+
+With a static input the streaming result must equal the batch window
+aggregate over the same data — that equivalence is exactly what the
+DuckDB oracles state (time_bucket grids / gap-island sessions), and
+tests/test_streaming.py additionally replays multi-batch scenarios
+(late data, watermark drops) that the single-snapshot oracle can't
+express.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from master_airflow_spark.functions.exact import sql_dsum
+from master_airflow_spark.registry import register
+from master_airflow_spark.streaming.events import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_to_memory,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from master_airflow_spark.streaming.events import landing_dir_for
+
+    return read_events_stream(
+        spark, landing_dir_for(os.path.join(sf_dir, "events.parquet"))
+    )
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+    tags=("X19", "X21"),
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows, drained via AvailableNow.
+    Complete output mode: every window materializes at the final
+    trigger, so the static-replay result equals the batch aggregate."""
+    return run_to_memory(tumbling_agg(_events_stream(spark, sf_dir)), "complete")
+
+
+@register(
+    "stream_sliding_agg",
+    oracle=f"""
+WITH g AS (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, value FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS ws,
+           event_type, value FROM events
+)
+SELECT ws AS window_start, ws + INTERVAL '1 hour' AS window_end, event_type,
+       count(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM g
+GROUP BY 1, 2, 3
+""",
+    tags=("X19", "X21"),
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m windows: each event lands in two windows — the
+    oracle expresses the same thing as two offset tumbling grids."""
+    return run_to_memory(sliding_agg(_events_stream(spark, sf_dir)), "complete")
+
+
+@register(
+    "stream_session_window",
+    oracle=f"""
+WITH marked AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+    SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL '5 minutes' AS session_end,
+       user_id,
+       count(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM numbered
+GROUP BY user_id, sid
+""",
+    tags=("X20", "X21"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) per user. The oracle is the
+    gap-island formulation: a new session starts when the inter-event
+    gap is ≥ the session gap — the same closure rule session_window
+    applies (window end = last event + gap)."""
+    return run_to_memory(session_agg(_events_stream(spark, sf_dir)), "complete")
+
+
+@register("stream_dedup_watermark", oracle=None, tags=("X22",))
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful stream dedup within the watermark horizon: one row per
+    (user_id, event_type). Which row survives depends on arrival
+    order → rows-only check (count == distinct key count is pinned in
+    tests/test_streaming.py)."""
+    return run_to_memory(
+        dedup_within_watermark(_events_stream(spark, sf_dir)), "append"
+    )

@@ -1,0 +1,93 @@
+"""Writer layer — the three write semantics the reference's four sinks
+imply (SURVEY.md §1.4), as engine-level operations:
+
+- append          (Mongo insert_one / Postgres INSERT / ES index:
+                   duplicates on re-run)
+- keyed upsert    (MinIO object key = date+station: last-write-wins
+                   per key, idempotent re-runs)
+- idempotent DDL  (CREATE TABLE IF NOT EXISTS)
+
+plus the O5 fan-out fix: the reference scrapes the same page once per
+sink (4×); here one cached DataFrame feeds N writers.
+
+All writes are partition-parallel ``df.write`` — the reference's
+row-at-a-time round-trips (1 insert/row) become batched parquet/JDBC
+partitions. Parquet stands in for the external sinks (the engine's
+internal format); the semantics, not the wire protocol, are the
+contract. Keyed upsert partitions output by a date-derived column so
+re-runs replace only touched partitions (dynamic partition overwrite),
+which is also what makes the downstream date-range filters
+partition-prunable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def write_append(df: DataFrame, path: str) -> None:
+    """Append semantics: re-runs duplicate (the Mongo/Postgres/ES
+    behavior, reference dags/get_prices_load_mongodb.py:66)."""
+    df.write.mode("append").parquet(path)
+
+
+def latest_per_key(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
+    """Last-write-wins per key: highest `order` tuple survives."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def write_keyed_upsert(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    order: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """Keyed last-write-wins upsert (the MinIO object-key overwrite,
+    reference dags/get_prices_load_minio.py:80): merge incoming rows
+    with existing data, keep one row per key. Idempotent: writing the
+    same batch twice equals writing it once.
+
+    Batch-merge implementation: read-merge-overwrite. On a real
+    deployment this is a Delta/Iceberg MERGE INTO keyed on the same
+    columns; the dedup window (shuffle on the key) is identical.
+    """
+    spark = df.sparkSession
+    try:
+        existing = spark.read.parquet(path)
+        merged = existing.unionByName(df)
+    except Exception:  # first write — nothing to merge
+        merged = df
+    result = latest_per_key(merged, keys, order).localCheckpoint(eager=True)
+    writer = result.write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(path)
+
+
+def create_table_if_not_exists(
+    spark: SparkSession, name: str, ddl_schema: str, using: str = "parquet"
+) -> None:
+    """Idempotent DDL (reference dags/get_prices_load_postgres.py:15)."""
+    spark.sql(f"CREATE TABLE IF NOT EXISTS {name} ({ddl_schema}) USING {using}")
+
+
+def fan_out(df: DataFrame, writers: list[Callable[[DataFrame], None]]) -> None:
+    """O5: one materialized batch, N sinks — fixes the reference's
+    4× re-extract (four DAGs each re-scraping the same page). persist()
+    computes the lineage once; each writer reuses the cached
+    partitions."""
+    df.persist()
+    try:
+        for w in writers:
+            w(df)
+    finally:
+        df.unpersist()

@@ -1,0 +1,162 @@
+"""Structured Streaming pipelines over the events table (SURVEY.md
+§2.7 X19-X22, §7 M4).
+
+The reference's only temporal behavior is a daily batch trigger
+(schedule_interval='@daily', dags/get_prices_load_mongodb.py:78); its
+streaming-native recast is ``Trigger.AvailableNow`` micro-batches over
+a landing directory — plus the full event-time toolkit the closure
+requires: tumbling / sliding / session windows, watermarks with
+late-data drop, stateful stream dedup, and foreachBatch multi-sink
+fan-out (the streaming form of O5).
+
+Every transformation here is also valid on a batch DataFrame (the
+functions take either) — that's what the batch-replay equivalence
+tests exploit, and it's the unified-API posture that makes the same
+pipeline code run against Kafka in production.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from master_airflow_spark.functions.exact import dsum
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def landing_dir_for(parquet_file: str) -> str:
+    """The file-stream source requires a *directory* (a landing zone —
+    in production this is the bucket prefix ingest appends to). For a
+    single static file, stage a symlink in a content-addressed tmp dir."""
+    key = hashlib.sha256(parquet_file.encode()).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), "mas_stream_landing", key)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(parquet_file))
+    if not os.path.lexists(link):
+        os.symlink(parquet_file, link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+    ts arrives as raw nanos (nanosAsLong, see catalog.py) → converted
+    to TimestampType here, one rule for batch and stream."""
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(events_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+    """X19: tumbling event-time windows per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """X19: sliding windows — each event lands in width/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """X20: session windows per user — events within `gap` of each
+    other merge; a session closes when the next event is ≥ gap away."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """X22: stateful stream dedup — one row per (user_id, event_type)
+    within the watermark horizon; state self-expires with the
+    watermark (bounded, unlike plain dropDuplicates on a stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, output_mode: str = "append", name: str | None = None
+) -> DataFrame:
+    """Drain a stream with Trigger.AvailableNow into a memory sink and
+    return the materialized result table."""
+    qname = name or f"q_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(qname)
+
+
+def fan_out_stream(
+    stream_df: DataFrame, writers: list[Callable[[DataFrame, int], None]]
+) -> None:
+    """O5 streaming form: one micro-batch, N sinks via foreachBatch.
+    The batch DataFrame is persisted once per trigger; each writer
+    reuses it — no re-read of the source, mirroring sinks.fan_out."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for w in writers:
+                w(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    q = stream_df.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()

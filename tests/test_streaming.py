@@ -1,0 +1,143 @@
+"""Multi-batch streaming semantics: watermark late-data drop, stateful
+dedup expiry, batch-replay equivalence, foreachBatch fan-out.
+
+Files are staged into a tmp landing dir with increasing mtimes and
+maxFilesPerTrigger=1, so AvailableNow replays them as ordered
+micro-batches — the scenario shape the single-snapshot DuckDB oracle
+cannot express (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from master_airflow_spark.streaming.events import (
+    dedup_within_watermark,
+    fan_out_stream,
+    read_events_stream,
+    run_to_memory,
+    tumbling_agg,
+)
+
+
+def _stage(tmp_path, batches: list[list[tuple]]) -> str:
+    """Write each batch as one parquet file with strictly increasing
+    mtime (file-source ordering key)."""
+    d = str(tmp_path / "landing")
+    os.makedirs(d, exist_ok=True)
+    t0 = time.time() - 1000
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
+        p = os.path.join(d, f"batch{i}.parquet")
+        pdf.to_parquet(p)
+        os.utime(p, (t0 + i * 10, t0 + i * 10))
+    return d
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    d = _stage(
+        tmp_path,
+        [
+            # batch 0: window [10:00,11:00) gets one event; max ts 11:59
+            # → watermark after this batch: 11:49
+            [
+                (1, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+                (2, "2024-01-01 11:59:00", 1, "click", 1.0, "{}"),
+            ],
+            # batch 1: filler only — [10:00,11:00) (end 11:00 ≤ wm
+            # 11:49) finalizes and is emitted with n=1; wm → 12:20
+            [(3, "2024-01-01 12:30:00", 1, "click", 1.0, "{}")],
+            # batch 2: event for the already-finalized window → too
+            # late (end 11:00 ≤ wm 12:20), dropped by the watermark
+            [(4, "2024-01-01 10:30:00", 1, "click", 100.0, "{}")],
+        ],
+    )
+    out = run_to_memory(tumbling_agg(read_events_stream(spark, d)), "append")
+    rows = {(str(r.window_start), r.n_events, r.sum_value) for r in out.collect()}
+    # [10:00,11:00) finalized WITHOUT the late 100.0 event; [11:00,12:00)
+    # finalized in batch 2 (end 12:00 ≤ wm 12:20); [12:00,13:00) still open
+    assert rows == {
+        ("2024-01-01 10:00:00", 1, 1.0),
+        ("2024-01-01 11:00:00", 1, 1.0),
+    }
+
+
+def test_dedup_within_watermark_expires_state(spark, tmp_path):
+    d = _stage(
+        tmp_path,
+        [
+            [
+                (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+                (2, "2024-01-01 10:01:00", 9, "view", 1.0, "{}"),
+            ],
+            # duplicate within the 10-min horizon → dropped; filler
+            # advances the watermark to 10:20
+            [
+                (3, "2024-01-01 10:02:00", 1, "click", 2.0, "{}"),
+                (4, "2024-01-01 10:30:00", 9, "view", 1.0, "{}"),
+            ],
+            # filler batch: state for (1, click) (expiry 10:10 < wm
+            # 10:20) is evicted at the end of this batch
+            [(6, "2024-01-01 10:40:00", 9, "view", 1.0, "{}")],
+            # key (1, click) reappears after expiry → re-emitted
+            [(5, "2024-01-01 13:00:00", 1, "click", 3.0, "{}")],
+        ],
+    )
+    out = run_to_memory(
+        dedup_within_watermark(read_events_stream(spark, d)), "append"
+    )
+    clicks = sorted(
+        r.event_id for r in out.where("user_id = 1 AND event_type = 'click'").collect()
+    )
+    assert clicks == [1, 5]  # 3 deduped; 5 survives after state expiry
+
+
+def test_batch_replay_equivalence(spark, sf_dir):
+    """Streaming result over static input == the same transformation
+    applied as a plain batch query (unified API law)."""
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.streaming.events import landing_dir_for
+
+    stream_out = run_to_memory(
+        tumbling_agg(
+            read_events_stream(
+                spark, landing_dir_for(os.path.join(sf_dir, "events.parquet"))
+            )
+        ),
+        "complete",
+    )
+    batch_out = tumbling_agg(load_table(spark, sf_dir, "events"))
+    a = sorted(map(str, stream_out.collect()))
+    b = sorted(map(str, batch_out.collect()))
+    assert a == b
+
+
+def test_fan_out_stream_multi_sink(spark, sf_dir, tmp_path):
+    from master_airflow_spark.streaming.events import landing_dir_for
+
+    stream = read_events_stream(
+        spark, landing_dir_for(os.path.join(sf_dir, "events.parquet"))
+    )
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    fan_out_stream(
+        stream,
+        [
+            lambda df, bid: df.write.mode("append").parquet(p1),
+            lambda df, bid: df.groupBy("event_type")
+            .count()
+            .write.mode("append")
+            .parquet(p2),
+        ],
+    )
+    n_src = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    assert spark.read.parquet(p1).count() == n_src
+    assert {r.event_type for r in spark.read.parquet(p2).collect()} == {
+        "click", "view", "signup", "purchase", "error",
+    }
