@@ -24,6 +24,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry._ensure_loaded()
 
+    # Warm-up: touch every table once (JVM/codegen/file-listing warm-up)
+    # so per-query timings measure the queries, not session startup.
+    from master_airflow_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
     headline = [n for n in HEADLINE if n in registry.REGISTRY]
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()

@@ -87,7 +87,8 @@ N_BANDS = 4  # 4 rows per band; P(candidate) = 1-(1-s^4)^4
 
 
 def shingles(text_col: str, k: int = 5) -> Column:
-    """Word-k-gram shingle array from a whitespace-tokenized document."""
+    """Word-k-gram shingle array (string form — used where the actual
+    shingle sets are needed, e.g. exact Jaccard verification)."""
     toks = F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -96,14 +97,33 @@ def shingles(text_col: str, k: int = 5) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column) -> Column:
-    """N_HASHES-wide MinHash signature: min over shingles of
-    xxhash64(shingle, seed_i) for N deterministic seeds."""
+def shingle_hashes(text_col: str, k: int = 5) -> Column:
+    """64-bit hash per word-k-gram, built without materializing shingle
+    strings: hash each token once, then combine k consecutive token
+    hashes with one multi-arg integer hash. Identical token sequences
+    → identical hash sequences (what MinHash needs); cost is one
+    string hash per TOKEN plus integer ops — not one ~30-char string
+    build + hash per SHINGLE."""
+    toks = F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    combine = lambda i: F.xxhash64(  # noqa: E731
+        *[F.element_at(th, i + j + 1) for j in range(k)]
+    )
+    return F.when(n >= k, F.transform(idx, combine)).otherwise(
+        F.array(F.xxhash64(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signature(hash_col: Column) -> Column:
+    """N_HASHES-wide MinHash signature over pre-hashed shingles: lane i
+    re-mixes each 8-byte shingle hash with the lane id (integer hash)
+    and takes the min. Deterministic, seedless; identical documents →
+    identical signatures (pinned by the semantic tests)."""
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
+            F.array_min(F.transform(hash_col, lambda h, i=i: F.xxhash64(h, F.lit(i))))
             for i in range(N_HASHES)
         ]
     )
@@ -129,22 +149,53 @@ def with_bands(df: DataFrame, sig: str = "sig") -> DataFrame:
     )
 
 
+def minhash_signatures_exploded(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, sig) via the shuffle-based shingling pipeline — the
+    shape that scales: posexplode tokens → ONE string hash per token →
+    k-gram shingle hash from k consecutive token hashes (lead() over a
+    per-doc window; trailing partials padded with sentinels) → per-lane
+    MIN as a hash aggregate with map-side partial combine. One shuffle
+    keyed on doc_id (window + groupBy share it); only 8-byte hashes
+    cross the wire, never text. Avoids the array-lambda trap where an
+    outer array expression referenced inside transform() re-evaluates
+    per element (quadratic in document length)."""
+    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    tok_rows = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    h = tok_rows.select("doc_id", "pos", F.xxhash64("tok").alias("h0"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    for j in range(1, k):
+        h = h.withColumn(f"h{j}", F.coalesce(F.lead("h0", j).over(w), F.lit(-j)))
+    sh = h.select(
+        "doc_id", F.xxhash64(*[f"h{j}" for j in range(k)]).alias("sh")
+    )
+    lanes = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("sh", F.lit(i))).alias(f"m{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    return lanes.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(N_HASHES)]).alias("sig")
+    )
+
+
 @register("minhash_near_dup", oracle=None, tags=("X24",))
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X24: MinHash-LSH near-duplicate candidate pairs, verified by
     exact signature-overlap estimate. Pipeline: shingle → 16-hash
     MinHash signature → 4 LSH bands → self-join on (band_id,
     band_hash) → estimated Jaccard = matching signature positions / 16,
-    thresholded at 0.5. Deterministic (xxhash64 seeds 0..15); no
+    thresholded at 0.5. Deterministic (xxhash64 lane mixing); no
     oracle — DuckDB can't express the hash family (rows-only check).
 
     Scale: the self-join key (band_id, band_hash) is uniform by
     construction; no document body crosses the shuffle — only doc_id +
     16×int64 signature."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", minhash_signature(shingles("text")).alias("sig")
-    )
-    banded = with_bands(docs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signatures_exploded(docs)
+    # persist: the banded signatures feed BOTH sides of the self-join —
+    # without it the signature pipeline runs twice.
+    banded = with_bands(sigs).persist()
     left = banded.select(
         F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"), "band_id", "band_hash"
     )

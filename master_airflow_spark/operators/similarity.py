@@ -29,8 +29,15 @@ QUERY_STRIDE = 50  # vec_id % 50 == 0 → deterministic query subset
 TOP_K = 5
 
 
+DIM = 64  # embedding dimensionality of the driver tables
+
+
 def dot(a: str | Column, b: str | Column) -> Column:
-    """Exact double-precision dot product of two float-array columns."""
+    """Exact double-precision dot product of two float-array columns:
+    sequential left-to-right fold, bit-identical to DuckDB's
+    list_sum(list_transform(...)). Column-expression form — used where
+    the pair count is already pruned (LSH candidates); the brute-force
+    all-pairs queries use the numpy kernel below instead."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -46,6 +53,96 @@ _SQL_DOT = (
     "list_sum(list_transform(list_zip({a}, {b}), "
     "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 )
+
+
+# -- numpy block kernel ------------------------------------------------------
+#
+# Brute-force similarity is dot-product bound: 2M pairs × 64 dims at
+# sf0.1. Spark's higher-order fold is interpreted per element (~12 µs/
+# pair); the kernel below streams corpus partitions through an Arrow
+# batch and accumulates the dot products dimension-by-dimension with
+# numpy:   acc += C[:, i] * q[i]   for i = 0..dim-1
+# Each per-pair value is produced by the IDENTICAL left-to-right
+# IEEE-754 reduction as the sequential fold (numpy mul/add ufuncs are
+# elementwise, unfused), so results remain bit-identical to the DuckDB
+# oracle while running at C speed, vectorized across pairs.
+
+
+def _to_matrix(series) -> "np.ndarray":
+    import numpy as np
+
+    return np.stack([np.asarray(v, dtype=np.float32) for v in series]).astype(
+        np.float64  # float32→float64 widening is exact
+    )
+
+
+def _seq_norms(M: "np.ndarray") -> "np.ndarray":
+    """sqrt of the dim-ordered self-dot — same fold order as _SQL_NORM."""
+    import numpy as np
+
+    acc = np.zeros(M.shape[0])
+    for i in range(M.shape[1]):
+        acc = acc + M[:, i] * M[:, i]
+    return np.sqrt(acc)
+
+
+def _pairs_kernel(
+    corpus: DataFrame,
+    q_ids: "np.ndarray",
+    Q: "np.ndarray",
+    *,
+    top_k: int | None,
+    threshold: float | None,
+    upper_triangle: bool,
+) -> DataFrame:
+    """Stream corpus batches × broadcast query matrix → (q_id, n_id,
+    cosine) pairs. Per-batch pruning keeps only the top_k best
+    neighbors per query (a superset of the global top-k) and/or rows
+    above the threshold, so the shuffle after the kernel carries
+    O(k·|Q|·partitions) rows, not |corpus|·|Q|."""
+    import numpy as np
+    import pandas as pd
+
+    qn = _seq_norms(Q)
+    dim = Q.shape[1]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = _to_matrix(pdf["embedding"])
+            ids = pdf["vec_id"].to_numpy()
+            acc = np.zeros((C.shape[0], Q.shape[0]))
+            for i in range(dim):
+                acc = acc + C[:, i : i + 1] * Q[:, i][None, :]
+            cos = acc / (_seq_norms(C)[:, None] * qn[None, :])
+            n_idx, q_idx = np.nonzero(np.ones_like(cos, dtype=bool))
+            out = pd.DataFrame(
+                {
+                    "q_id": q_ids[q_idx],
+                    "n_id": ids[n_idx],
+                    "cosine": cos[n_idx, q_idx],
+                }
+            )
+            out = out[out.q_id != out.n_id]
+            if upper_triangle:
+                out = out[out.q_id < out.n_id]
+            if threshold is not None:
+                out = out[out.cosine >= threshold]
+            if top_k is not None and len(out):
+                out = (
+                    out.sort_values(
+                        ["q_id", "cosine", "n_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("q_id", sort=False)
+                    .head(top_k)
+                )
+            yield out
+
+    return corpus.select("vec_id", "embedding").mapInPandas(
+        run, "q_id long, n_id long, cosine double"
+    )
 
 
 @register(
@@ -72,26 +169,28 @@ WHERE rn <= {TOP_K}
     tags=("X25",),
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: every query vector (vec_id % 50 == 0) against
-    the full corpus. The query side is broadcast — the corpus never
-    shuffles; per-partition top-k would bound the window input further
-    at extreme |Q| (here |Q| is small by construction)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm("embedding").alias("nrm")
+    """Exact cosine top-k: every query vector (vec_id % 50 == 0)
+    against the full corpus. The query matrix ships to executors in
+    the kernel closure (the broadcast side); the corpus streams
+    through in Arrow batches with per-batch top-k pruning, so the
+    post-kernel shuffle carries only k·|Q| rows per partition; a
+    window then takes the global top-k. The corpus itself never
+    shuffles."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        e.where(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    q = e.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
+    q_ids = np.array([r.vec_id for r in qrows])
+    Q = np.stack([np.asarray(r.embedding, dtype=np.float32) for r in qrows]).astype(
+        np.float64
     )
-    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-    cos = (dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))).alias("cosine")
+    pairs = _pairs_kernel(e, q_ids, Q, top_k=TOP_K, threshold=None, upper_triangle=False)
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
-    return (
-        pairs.select(F.col("q_id"), F.col("vec_id").alias("n_id"), cos)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= TOP_K)
-    )
+    return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
 
 
 # -- LSH-bucketed ANN (scale path) ------------------------------------------
@@ -182,26 +281,21 @@ WHERE a.vec_id < b.vec_id
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.95) — the
-    all-pairs form, exact. At scale the same threshold query runs over
-    LSH buckets (see lsh_bucketed_ann); this exact variant is the
-    oracle-checkable ground truth."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm("embedding").alias("nrm")
+    all-pairs form, exact: the full corpus matrix rides the kernel
+    closure as the query side (fine while the corpus fits a broadcast;
+    at 100 TB the same threshold query runs over LSH buckets — see
+    lsh_bucketed_ann — with this exact variant as the per-bucket
+    kernel). Threshold filtering happens inside the kernel, so almost
+    nothing crosses the post-kernel boundary."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.stack([np.asarray(r.embedding, dtype=np.float32) for r in rows]).astype(
+        np.float64
     )
-    a = e.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    cos = dot("a_emb", "b_emb") / (F.col("a_nrm") * F.col("b_nrm"))
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("cosine", cos)
-        .where(F.col("cosine") >= 0.95)
-        .select("a_id", "b_id", "cosine")
+    pairs = _pairs_kernel(e, ids, M, top_k=None, threshold=0.95, upper_triangle=True)
+    return pairs.select(
+        F.col("q_id").alias("a_id"), F.col("n_id").alias("b_id"), "cosine"
     )

@@ -198,15 +198,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify stage of the near-dup pipeline. Candidates come from the
     banded signature join (cheap); exact Jaccard (array_intersect /
     array_union over distinct shingles) runs only on candidates."""
-    from master_airflow_spark.operators.dedup import shingles, minhash_signature, with_bands
+    from master_airflow_spark.operators.dedup import (
+        minhash_signature,
+        shingle_hashes,
+        shingles,
+        with_bands,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(shingles("text")).alias("sh")
+        "doc_id",
+        F.array_distinct(shingles("text")).alias("sh"),
+        minhash_signature(shingle_hashes("text")).alias("sig"),
     )
-    sigs = docs.select(
-        "doc_id", F.col("sh"), minhash_signature(F.col("sh")).alias("sig")
-    )
-    banded = with_bands(sigs)
+    banded = with_bands(docs).persist()
     left = banded.select(
         F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"), "band_id", "band_hash"
     )

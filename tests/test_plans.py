@@ -1,0 +1,93 @@
+"""Physical-plan property tests: pin the plan shapes that matter at
+100 TB (SURVEY.md §4.2 / the engine's perf posture). A failure here
+means a query silently lost pushdown/broadcast/pruning — correct
+results, catastrophic at scale."""
+
+from __future__ import annotations
+
+from master_airflow_spark.plans.explain import (
+    has_operator,
+    has_pushed_filter,
+    join_kinds,
+    read_schemas,
+)
+from master_airflow_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def _q(spark, sf_dir, name):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_date_range_filter_pushed_to_scan(spark, sf_dir):
+    df = _q(spark, sf_dir, "date_range_filter")
+    assert has_pushed_filter(df, "l_shipdate"), "range predicate must reach parquet"
+
+
+def test_date_range_filter_prunes_columns(spark, sf_dir):
+    (schema,) = read_schemas(_q(spark, sf_dir, "date_range_filter"))
+    assert "l_comment" not in schema
+    assert set("l_orderkey l_linenumber l_shipdate l_extendedprice".split()) <= {
+        c.split(":")[0] for c in schema.strip("struct<>").split(",")
+    }
+    assert "l_quantity" not in schema, "unprojected columns must be pruned"
+
+
+def test_membership_filter_pushed(spark, sf_dir):
+    assert has_pushed_filter(
+        _q(spark, sf_dir, "membership_filter"), "o_orderpriority"
+    ), "IN-set predicate must reach parquet"
+
+
+def test_revenue_by_nation_broadcasts_dims(spark, sf_dir):
+    kinds = join_kinds(_q(spark, sf_dir, "revenue_by_nation"))
+    assert "BroadcastHashJoin" in kinds, "dim joins must broadcast"
+    assert "CartesianProduct" not in kinds
+
+
+def test_top_customers_join_no_cartesian(spark, sf_dir):
+    kinds = join_kinds(_q(spark, sf_dir, "top_customers_per_segment"))
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
+
+
+def test_range_join_is_broadcast_nlj(spark, sf_dir):
+    # theta join against a 3-row band table: BNLJ with the tiny side
+    # broadcast is the RIGHT plan (hash join can't express the range)
+    kinds = join_kinds(_q(spark, sf_dir, "range_join_price_bands"))
+    assert "BroadcastNestedLoopJoin" in kinds
+
+
+def test_top1_uses_take_ordered(spark, sf_dir):
+    df = _q(spark, sf_dir, "top1_price_alltime")
+    assert has_operator(df, "TakeOrderedAndProject"), (
+        "ORDER BY + LIMIT must compile to per-partition top-k, not a global sort"
+    )
+
+
+def test_multikey_sort_uses_take_ordered(spark, sf_dir):
+    assert has_operator(_q(spark, sf_dir, "multikey_sort_nulls"), "TakeOrderedAndProject")
+
+
+def test_pricing_summary_partial_agg(spark, sf_dir):
+    # two HashAggregates (partial + final) around one exchange =
+    # map-side combine is on
+    from master_airflow_spark.plans.explain import formatted
+
+    plan = formatted(_q(spark, sf_dir, "pricing_summary"))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_normalize_whitespace_prunes_to_two_columns(spark, sf_dir):
+    (schema,) = read_schemas(_q(spark, sf_dir, "normalize_whitespace"))
+    cols = {c.split(":")[0] for c in schema.strip("struct<>").split(",")}
+    assert cols == {"doc_id", "text"}
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    from master_airflow_spark.plans.explain import formatted
+
+    plan = formatted(_q(spark, sf_dir, "semi_anti_customers"))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
