@@ -5,6 +5,7 @@ from master_airflow_spark.operators import (  # noqa: F401
     dedup,
     ingest,
     multimodal,
+    outer_joins,
     relational,
     scalar,
     scalarfns,
@@ -12,5 +13,6 @@ from master_airflow_spark.operators import (  # noqa: F401
     streaming_queries,
     text,
     topk,
+    udfs,
     window,
 )

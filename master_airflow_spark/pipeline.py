@@ -1,0 +1,181 @@
+"""Workflow layer — the reference's Airflow surface (SURVEY.md §2.6),
+Spark-native.
+
+The reference orchestrates with Airflow: PythonOperator tasks (O1),
+PostgresOperator DDL tasks (O2), `>>` dependency edges (O3), an
+@daily schedule with a logical date (O4), four duplicated DAGs
+fanning the same extract to four sinks (O5), and Celery for task
+distribution (O6). The Spark-native mapping collapses most of it:
+
+- a *stage* is a named function over a context (O1/O2);
+- dependencies are data dependencies — a stage reads the outputs of
+  the stages it names (O3); explicit edges exist only for
+  side-effecting stages;
+- a run is parameterized by a logical ``run_date`` (O4) — never
+  ``current_date()``, so backfills and reruns are deterministic
+  (the reference stamps wall-clock dates, making reruns lossy);
+- fan-out is one cached DataFrame feeding N writers (O5) instead of
+  four DAGs re-scraping the same page;
+- task distribution is Spark's own scheduler (O6) — the pipeline
+  driver only sequences stages, it never moves data (the reference
+  ships every batch through the metadata DB via XCom).
+
+Retries with exponential state are deliberately absent: stages are
+idempotent by construction (parameterized dates + keyed upserts), so
+the rerun policy is "run it again".
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class RunContext:
+    """What a stage sees: the session, the logical date, and every
+    upstream stage's output (the XCom replacement — in-process object
+    handoff; DataFrames stay lazy, so handing one to a downstream
+    stage composes plans instead of materializing batches)."""
+
+    spark: SparkSession
+    run_date: str
+    params: dict[str, Any] = field(default_factory=dict)
+    outputs: dict[str, Any] = field(default_factory=dict)
+
+    def __getitem__(self, stage_name: str) -> Any:
+        return self.outputs[stage_name]
+
+
+@dataclass(frozen=True)
+class Stage:
+    name: str
+    fn: Callable[[RunContext], Any]
+    depends_on: tuple[str, ...] = ()
+    doc: str = ""
+
+
+class Pipeline:
+    """A named DAG of stages. ``>>`` ordering comes from depends_on
+    edges; stages with no path between them run in declaration order
+    (single-driver sequencing — parallelism lives inside Spark jobs,
+    not across driver stages)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self._stages: list[Stage] = []
+
+    def stage(
+        self, name: str, depends_on: tuple[str, ...] = ()
+    ) -> Callable[[Callable[[RunContext], Any]], Callable[[RunContext], Any]]:
+        def deco(fn: Callable[[RunContext], Any]) -> Callable[[RunContext], Any]:
+            self.add(Stage(name, fn, depends_on, (fn.__doc__ or "").strip()))
+            return fn
+
+        return deco
+
+    def add(self, stage: Stage) -> None:
+        if any(s.name == stage.name for s in self._stages):
+            raise ValueError(f"duplicate stage {stage.name!r} in {self.name!r}")
+        self._stages.append(stage)
+
+    def _topo_order(self) -> list[Stage]:
+        by_name = {s.name: s for s in self._stages}
+        for s in self._stages:
+            for d in s.depends_on:
+                if d not in by_name:
+                    raise ValueError(f"stage {s.name!r} depends on unknown {d!r}")
+        done: list[Stage] = []
+        done_names: set[str] = set()
+        pending = list(self._stages)
+        while pending:
+            progressed = False
+            for s in list(pending):
+                if set(s.depends_on) <= done_names:
+                    done.append(s)
+                    done_names.add(s.name)
+                    pending.remove(s)
+                    progressed = True
+            if not progressed:
+                cyc = [s.name for s in pending]
+                raise ValueError(f"dependency cycle among {cyc}")
+        return done
+
+    def run(
+        self,
+        spark: SparkSession,
+        run_date: str,
+        params: dict[str, Any] | None = None,
+    ) -> RunContext:
+        """Execute one logical-date run; returns the context with every
+        stage's output (a backfill is a loop over run_dates)."""
+        ctx = RunContext(spark=spark, run_date=run_date, params=params or {})
+        for s in self._topo_order():
+            t0 = time.perf_counter()
+            ctx.outputs[s.name] = s.fn(ctx)
+            elapsed = time.perf_counter() - t0
+            ctx.outputs.setdefault("__timings__", {})[s.name] = elapsed  # type: ignore[index]
+        return ctx
+
+    def backfill(
+        self,
+        spark: SparkSession,
+        run_dates: list[str],
+        params: dict[str, Any] | None = None,
+    ) -> list[RunContext]:
+        """O4 rerun/backfill semantics: one deterministic run per
+        logical date. Idempotent stages (keyed upserts, IF NOT EXISTS
+        DDL) make re-running a date a no-op."""
+        return [self.run(spark, d, params) for d in run_dates]
+
+
+def gas_prices_pipeline(pages_provider: Callable[[RunContext], DataFrame]) -> Pipeline:
+    """The reference's four DAGs as ONE pipeline: DDL → extract →
+    derive → fan-out to N sinks (append + keyed-upsert semantics),
+    with the page fetch injected (HTTP in production, canned pages in
+    tests — the driver-side fetch is the S1 boundary)."""
+    from pyspark.sql import functions as F
+
+    from master_airflow_spark.sinks.writers import fan_out, write_keyed_upsert
+    from master_airflow_spark.sources.html_extract import scrape_pipeline
+
+    p = Pipeline("gas_prices")
+
+    @p.stage("create_tables")
+    def create_tables(ctx: RunContext) -> None:
+        """O2/idempotent DDL (reference get_prices_load_postgres.py:14-23)."""
+        ctx.spark.sql(
+            "CREATE TABLE IF NOT EXISTS gas_prices ("
+            "price DOUBLE, station STRING, city STRING, time STRING, "
+            "user STRING, date DATE) USING parquet"
+        )
+
+    @p.stage("extract")
+    def extract(ctx: RunContext) -> DataFrame:
+        """S2/P1-P9: pages → typed rows (one extract, not four)."""
+        return scrape_pipeline(pages_provider(ctx), ctx.run_date)
+
+    @p.stage("load", depends_on=("create_tables", "extract"))
+    def load(ctx: RunContext) -> None:
+        """O5 fan-out: one cached batch → append sink + keyed-upsert
+        sink (the reference's Mongo/Postgres/ES vs MinIO semantics)."""
+        df = ctx["extract"]
+        base = ctx.params.get("sink_dir", "/tmp/mas_gas_prices")
+        fan_out(
+            df,
+            [
+                lambda d: d.write.mode("append").parquet(f"{base}/append"),
+                lambda d: write_keyed_upsert(
+                    d.withColumn("_run_date", F.lit(ctx.run_date)),
+                    f"{base}/upsert",
+                    keys=["date", "station"],
+                    order=["_run_date", "page_id"],
+                ),
+            ],
+        )
+
+    return p
