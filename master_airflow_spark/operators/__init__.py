@@ -10,6 +10,7 @@ from master_airflow_spark.operators import (  # noqa: F401
     scalar,
     scalarfns,
     similarity,
+    sql_api,
     streaming_queries,
     text,
     topk,

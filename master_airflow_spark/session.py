@@ -48,6 +48,12 @@ def get_spark(
         # applies, so oracle comparisons agree.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # saveAsTable target for bucketed tables (sinks/bucketed.py);
+        # kept out of the repo tree.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/mas_warehouse"),
+        )
     )
     builder = builder.master(master if master is not None else f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
