@@ -1,0 +1,163 @@
+"""Subquery closure — scalar subqueries, IN / EXISTS (correlated and
+not), plus exact percentiles and surrogate-key assignment.
+
+The reference has no subqueries (SURVEY.md §4.1: "subquery
+decorrelation — n/a"); these pin Catalyst's decorrelation rewrites
+(correlated EXISTS → left-semi join, scalar subquery → broadcast of a
+1-row aggregate) against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from master_airflow_spark.catalog import register_views
+from master_airflow_spark.registry import register
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                             / COUNT(*) FROM orders)
+""",
+    tags=("X5", "subquery"),
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average price — the scalar subquery
+    becomes a 1-row broadcast, not a per-row re-aggregation. The
+    average is the deterministic decimal-sum/count form."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                   / COUNT(*) FROM orders)
+        """
+    )
+
+
+@register(
+    "correlated_exists_urgent",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+""",
+    tags=("X2", "subquery"),
+)
+def correlated_exists_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — Catalyst decorrelates to a left-semi join
+    with the predicate pushed below it."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+@register(
+    "in_subquery_parts",
+    oracle="""
+SELECT p_partkey, p_name
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+""",
+    tags=("X2", "subquery"),
+)
+def in_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (uncorrelated) → left-semi join on the distinct
+    probe set."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+        """
+    )
+
+
+@register(
+    "percentiles_exact",
+    oracle="""
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.50) AS p50,
+       quantile_cont(o_totalprice, 0.75) AS p75
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("X5",),
+)
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — Spark's percentile()
+    and DuckDB's quantile_cont use the same lo + frac·(hi-lo) linear
+    interpolation, so values match bitwise."""
+    o_ = F.col("o_totalprice")
+    from master_airflow_spark.catalog import load_table
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile(o_, F.lit(0.25)).alias("p25"),
+            F.percentile(o_, F.lit(0.50)).alias("p50"),
+            F.percentile(o_, F.lit(0.75)).alias("p75"),
+        )
+    )
+
+
+@register("approx_percentiles", oracle=None, tags=("X6",))
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (KLL-style sketch): mergeable, one pass,
+    the 100 TB form of percentiles_exact. Rows-only (sketch estimates
+    are engine-specific)."""
+    from master_airflow_spark.catalog import load_table
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias(
+                "approx_pcts"
+            )
+        )
+    )
+
+
+@register(
+    "surrogate_keys",
+    oracle="""
+SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS surrogate_id,
+       o_orderkey, o_orderdate
+FROM orders
+""",
+    tags=("X8",),
+)
+def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERIAL-pk parity (reference test_dag_postgres.py:18): surrogate
+    ids via row_number over a TOTAL order — deterministic, unlike
+    monotonically_increasing_id whose values depend on partitioning
+    (mid is the right tool when ids only need uniqueness; this is the
+    reproducible-build form)."""
+    from pyspark.sql import Window
+
+    from master_airflow_spark.catalog import load_table
+
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        F.row_number().over(w).alias("surrogate_id"), "o_orderkey", "o_orderdate"
+    )
