@@ -5,6 +5,10 @@
 
 Each query is forced to full materialization with a count() over the
 result (cheap, no driver transfer) after a warm-up of the input scans.
+
+`--oracle` additionally times DuckDB executing each query's oracle SQL
+on the same parquet files (single-node reference point); the JSON line
+gains "oracle_queries" and per-query speedup ratios.
 """
 
 from __future__ import annotations
@@ -17,6 +21,7 @@ import time
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    with_oracle = "--oracle" in sys.argv
     from master_airflow_spark import registry
     from master_airflow_spark.session import get_spark
 
@@ -44,17 +49,34 @@ def main() -> None:
     total = round(time.perf_counter() - t_total0, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+
+    if with_oracle:
+        from master_airflow_spark.testing import duckdb_connection
+
+        con = duckdb_connection(sf_dir)
+        oracle_timings: dict[str, float] = {}
+        for name in headline:
+            spec = registry.REGISTRY[name]
+            if spec.oracle is None:
+                continue
+            t0 = time.perf_counter()
+            con.execute(spec.oracle).fetchall()
+            oracle_timings[name] = round(time.perf_counter() - t0, 4)
+        out["oracle_queries"] = oracle_timings
+        out["speedup_vs_oracle"] = {
+            n: round(oracle_timings[n] / timings[n], 2)
+            for n in oracle_timings
+            if timings.get(n)
+        }
+
+    print(json.dumps(out))
 
 
 # Names of headline queries (filtered to what's registered, so bench

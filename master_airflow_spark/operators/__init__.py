@@ -2,6 +2,7 @@
 (and its DuckDB oracle) into master_airflow_spark.registry."""
 
 from master_airflow_spark.operators import (  # noqa: F401
+    clusters,
     dedup,
     ingest,
     multimodal,

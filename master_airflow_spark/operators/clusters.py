@@ -1,0 +1,97 @@
+"""Near-duplicate clustering — connected components over the MinHash
+candidate graph, and canonical-document selection.
+
+The dedup endgame for a training-data pipeline: near-dup PAIRS aren't
+actionable until they're grouped into clusters with one kept document
+per cluster. Components are computed with iterative label propagation
+(hash-min): every doc starts labeled with its own id; each round every
+doc takes the min label among itself and its neighbors; converged when
+no label changes. Purely DataFrame joins + aggregations — the shape
+that scales (each round is one join + one agg on the edge list) — with
+``localCheckpoint`` each round to cut the growing lineage (the classic
+iterative-algorithm failure mode on Spark).
+
+Iteration count is O(graph diameter); near-dup graphs are
+overwhelmingly tiny cliques, so 3-5 rounds converge. The loop is
+driver-side CONTROL only — data never leaves executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from master_airflow_spark.registry import register
+
+MAX_ITERATIONS = 20
+
+
+def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """(src, dst) undirected edges + (id) vertices → (id, component)
+    where component = min vertex id reachable."""
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = vertices.select(F.col("id"), F.col("id").alias("component"))
+    for _ in range(MAX_ITERATIONS):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register("dedup_clusters", oracle=None, tags=("X24", "iterative"))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from the MinHash candidate pairs: connected
+    components + canonical doc per cluster (min doc_id — the same
+    keep-rule as dedup_exact). Output: one row per clustered document
+    with its cluster id, canonical flag, and cluster size. Singleton
+    documents (no near-dup) are excluded. Iterative → no SQL oracle;
+    semantics pinned in tests/test_clusters.py."""
+    from master_airflow_spark.operators.dedup import minhash_near_dup
+
+    pairs = minhash_near_dup(spark, sf_dir).select("a_id", "b_id")
+    vertices = (
+        pairs.select(F.col("a_id").alias("id"))
+        .unionByName(pairs.select(F.col("b_id").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")), vertices
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            (F.col("id") == F.col("component")).alias("is_canonical"),
+            "cluster_size",
+        )
+    )
