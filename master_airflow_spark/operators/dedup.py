@@ -224,6 +224,50 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("simhash_near_dup", oracle=None, tags=("X24",))
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: SimHash near-dup candidate pairs via the banding trick on
+    the 64-bit fingerprint: split into 4×16-bit bands; two docs within
+    Hamming distance 3 must share at least one full band (pigeonhole),
+    so the self-join on (band_id, band_value) finds every such pair;
+    exact Hamming distance then filters candidates. Same scale shape
+    as MinHash banding — only (doc_id, fingerprint) crosses the
+    shuffle."""
+    fp = simhash_fingerprint(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_value"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = fp.withColumn("band", F.explode(bands)).select(
+        "doc_id",
+        "simhash",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_value").alias("band_value"),
+    ).persist()
+    left = banded.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_fp"), "band_id", "band_value"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_fp"), "band_id", "band_value"
+    )
+    pairs = (
+        left.join(right, ["band_id", "band_value"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    hamming = F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= 3)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
 @register("simhash_fingerprint", oracle=None, tags=("X24",))
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X24: 64-bit SimHash per document — sign-sum of token-hash bits,

@@ -195,16 +195,18 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- LSH-bucketed ANN (scale path) ------------------------------------------
 
-N_PLANES = 8  # 256 buckets
+N_PLANES = 4  # bits per table (16 buckets/table)
+N_TABLES = 8  # candidate = same bucket in ANY table
 
 
-def _hyperplane(dim: int, plane: int) -> list[float]:
-    """Deterministic pseudo-gaussian hyperplane: component j of plane p
-    derives from a 64-bit integer mix (splitmix64) → uniform in [-1,1).
-    Python-side constants — shipped into the plan as literals, no RNG."""
+def _hyperplane(dim: int, table: int, plane: int) -> list[float]:
+    """Deterministic pseudo-gaussian hyperplane: component j derives
+    from a 64-bit integer mix (splitmix64) of (table, plane, j) →
+    uniform in [-1,1). Python-side constants — shipped into the plan
+    as literals, no RNG."""
     comps = []
     for j in range(dim):
-        z = (plane * 1_000_003 + j) & 0xFFFFFFFFFFFFFFFF
+        z = ((table * 7_368_787 + plane) * 1_000_003 + j) & 0xFFFFFFFFFFFFFFFF
         z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
         z = (z ^ (z >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
         z ^= z >> 31
@@ -212,11 +214,11 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return comps
 
 
-def lsh_bucket(emb: str | Column, dim: int) -> Column:
+def lsh_bucket(emb: str | Column, dim: int, table: int) -> Column:
     """Sign pattern of N_PLANES hyperplane projections → int bucket."""
     bits = []
     for p in range(N_PLANES):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, table, p)])
         proj = F.aggregate(
             F.zip_with(emb, plane, lambda x, h: x.cast("double") * h),
             F.lit(0.0),
@@ -229,35 +231,174 @@ def lsh_bucket(emb: str | Column, dim: int) -> Column:
     return out
 
 
+def _with_lsh_tables(e: DataFrame, dim: int = DIM) -> DataFrame:
+    """Explode each vector into (table_id, bucket) rows — the standard
+    multi-table LSH trade: N_TABLES independent low-bit tables, a pair
+    is a candidate if it collides in ANY table. One table of many bits
+    is too selective (empty buckets, recall collapses); many small
+    tables recover recall at N_TABLES× index size."""
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                lsh_bucket("embedding", dim, t).alias("bucket"),
+            )
+            for t in range(N_TABLES)
+        ]
+    )
+    return e.withColumn("tb", F.explode(tables)).select(
+        *e.columns, F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket")
+    )
+
+
 @register("lsh_bucketed_ann", oracle=None, tags=("X25",))
 def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH: queries join candidates within
-    the same bucket only, then exact cosine re-rank inside the bucket.
-    Recall < 1 by design (rows-only check; the semantic test asserts
-    bucket-collision behavior on planted vectors). At 100 TB the
-    bucket id becomes the partition/cluster key so candidate
-    generation is a co-located join."""
-    dim = 64
+    """ANN via multi-table random-hyperplane LSH: queries join
+    candidates sharing a (table_id, bucket) in any of N_TABLES tables,
+    candidates dedup, then exact cosine re-rank. Recall < 1 by design
+    (rows-only; tests/test_similarity.py pins recall vs cosine_topk).
+    At 100 TB (table_id, bucket) becomes the partition key so
+    candidate generation is a co-located join."""
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "embedding",
-        norm("embedding").alias("nrm"),
-        lsh_bucket("embedding", dim).alias("bucket"),
+        "vec_id", "embedding", norm("embedding").alias("nrm")
     )
-    q = e.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+    banded = _with_lsh_tables(e)
+    q = banded.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
-        F.col("bucket").alias("q_bucket"),
+        "table_id",
+        "bucket",
     )
-    pairs = e.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    cand = (
+        banded.join(F.broadcast(q), ["table_id", "bucket"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "vec_id"])
     )
     cos = (dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))).alias("cosine")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (
-        pairs.select("q_id", F.col("vec_id").alias("n_id"), cos)
+        cand.select("q_id", F.col("vec_id").alias("n_id"), cos)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+    )
+
+
+# -- IVF (inverted-file) ANN -------------------------------------------------
+
+N_CELLS = 16
+KMEANS_ITERS = 3
+N_PROBE = 2
+
+
+def _ivf_centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: Lloyd's k-means with fixed
+    seeding (every (n/k)-th vector by vec_id rank) and a fixed
+    iteration count — no RNG, same centroids every run. Centroid count
+    is small (N_CELLS), so assignment is a broadcast crossJoin; the
+    per-cell mean is one hash aggregate per iteration."""
+    import numpy as np
+
+    rows = e.select("vec_id", "embedding").collect()
+    ids = sorted(r.vec_id for r in rows)
+    stride = max(1, len(ids) // N_CELLS)
+    seed_ids = set(ids[::stride][:N_CELLS])
+    M = {r.vec_id: np.asarray(r.embedding, dtype=np.float32).astype(np.float64) for r in rows}
+    cents = [M[i] for i in sorted(seed_ids)]
+    X = np.stack(list(M.values()))
+    for _ in range(KMEANS_ITERS):
+        C = np.stack(cents)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        cents = [
+            X[assign == c].mean(axis=0) if (assign == c).any() else C[c]
+            for c in range(len(cents))
+        ]
+    return [(i, c.tolist()) for i, c in enumerate(cents)]
+
+
+@register("ivf_ann_topk", oracle=None, tags=("X25",))
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: a deterministic k-means
+    coarse quantizer partitions the corpus into cells; each query
+    probes its N_PROBE nearest cells and re-ranks exactly inside them.
+    The corpus-side cell id is the partition/cluster key at 100 TB —
+    candidate generation is a co-located equi-join on cell id, ~
+    N_PROBE/N_CELLS of the corpus per query. Rows-only (recall < 1 by
+    design); the exact ground truth is cosine_topk."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(e)
+    C = np.stack([np.asarray(c, dtype=np.float64) for _, c in cents])
+
+    # corpus → cell assignment (broadcast centroids, JVM-side argmin
+    # via the flat fold per centroid would re-enter the lambda trap;
+    # the centroid count is tiny so a kernel pass is cheapest)
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _to_matrix(pdf["embedding"])
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": d2.argmin(axis=1)}
+            )
+
+    cells = e.select("vec_id", "embedding").mapInPandas(assign, "vec_id long, cell int")
+    corpus = e.join(cells, "vec_id")
+
+    # queries → N_PROBE nearest cells
+    qrows = (
+        e.where(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in qrows])
+    Q = np.stack([np.asarray(r.embedding, dtype=np.float32) for r in qrows]).astype(
+        np.float64
+    )
+    qd2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probe_rows = [
+        (int(q_ids[qi]), int(c))
+        for qi in range(len(q_ids))
+        for c in np.argsort(qd2[qi], kind="stable")[:N_PROBE]
+    ]
+    probes = F.broadcast(
+        spark.createDataFrame(probe_rows, "q_id long, cell int")
+    )
+
+    # exact re-rank inside probed cells only
+    qmat = F.broadcast(
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in Q[n]]) for n, i in enumerate(q_ids)],
+            "q_id long, q_emb array<double>",
+        )
+    )
+    cand = (
+        corpus.join(probes, "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .join(qmat, "q_id")
+    )
+    prods = F.zip_with(
+        "q_emb", "embedding", lambda x, y: x * y.cast("double")
+    )
+    dotc = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    qn = F.sqrt(
+        F.aggregate(
+            F.transform("q_emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    cn = norm("embedding")
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        cand.select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            (dotc / (qn * cn)).alias("cosine"),
+        )
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= TOP_K)
     )
