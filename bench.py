@@ -21,7 +21,10 @@ import time
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    with_oracle = "--oracle" in sys.argv
+    # DuckDB single-node reference timings ship in the output by
+    # default (they ARE the effective baseline, SURVEY.md §6);
+    # --no-oracle skips them for quick iteration.
+    with_oracle = "--no-oracle" not in sys.argv
     from master_airflow_spark import registry
     from master_airflow_spark.session import get_spark
 
