@@ -94,6 +94,10 @@ HEADLINE = [
     "daily_high_low",
     "pricing_summary",
     "revenue_by_nation",
+    "q3_shipping_priority",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q19_disjunctive_filter",
     "top_customers_per_segment",
     "asof_join_events_orders",
     "dedup_exact",

@@ -16,6 +16,7 @@ from master_airflow_spark.operators import (  # noqa: F401
     subqueries,
     text,
     topk,
+    tpch_like,
     udfs,
     window,
 )
