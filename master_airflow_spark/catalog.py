@@ -39,6 +39,20 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Set the runtime-settable confs the engine's semantics depend on.
+
+    Queries may run under a SparkSession the caller built (the driver
+    constructs its own) — session.get_spark's build-time configuration
+    can't be assumed. Without nanosAsLong every events-table read dies
+    on PARQUET_TYPE_ILLEGAL; without a UTC session timezone,
+    timestamp-derived values shift against the oracle. Both are
+    runtime-settable; setting them per load is an idempotent no-op
+    when already configured."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Column names stored as parquet TIMESTAMP(NANOS) — a type Spark
     lacks (read as long via spark.sql.legacy.parquet.nanosAsLong)."""
@@ -53,6 +67,7 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_defaults(spark)
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):

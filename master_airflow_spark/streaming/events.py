@@ -51,6 +51,9 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files.
     ts arrives as raw nanos (nanosAsLong, see catalog.py) → converted
     to TimestampType here, one rule for batch and stream."""
+    from master_airflow_spark.catalog import ensure_session_defaults
+
+    ensure_session_defaults(spark)  # ts-as-bigint needs nanosAsLong
     raw = (
         spark.readStream.format("parquet")
         .schema(EVENTS_SCHEMA)
