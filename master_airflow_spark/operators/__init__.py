@@ -7,6 +7,8 @@ from master_airflow_spark.operators import (  # noqa: F401
     ingest,
     multimodal,
     outer_joins,
+    quality,
+    sampling,
     relational,
     scalar,
     scalarfns,

@@ -1,0 +1,115 @@
+"""Deterministic sampling & dataset splitting — training-data-pipeline
+staples (reproducible subsets at 100 TB, no RNG, no state).
+
+The sampling key is a content hash (md5 hex → int), so membership is a
+pure function of the row's keys: stable across runs, engines,
+partitionings, and cluster sizes — the property `df.sample()` (seeded
+per-partition RNG) does NOT have when partitioning changes. Judged
+exactly against DuckDB via the same md5 arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from master_airflow_spark.catalog import load_table
+from master_airflow_spark.registry import register
+
+
+def hash_bucket(*cols: str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): first 8 md5 hex digits of
+    the '|'-joined key, mod buckets. Engine-portable (DuckDB:
+    CAST('0x'||substr(md5(...),1,8) AS BIGINT))."""
+    h = F.conv(F.substring(F.md5(F.concat_ws("|", *cols)), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def _sql_bucket(expr: str, buckets: int = 100) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT) % {buckets}"
+    )
+
+
+@register(
+    "hash_sample_10pct",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE {_sql_bucket("concat_ws('|', l_orderkey, l_linenumber)")} < 10
+""",
+    tags=("sampling",),
+)
+def hash_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample keyed on (orderkey, linenumber): the
+    same rows every run on any cluster; the predicate is a pure row
+    function so it pipelines inside the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        hash_bucket("l_orderkey", "l_linenumber") < 10
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@register(
+    "train_test_split",
+    oracle=f"""
+SELECT CASE WHEN {_sql_bucket("CAST(doc_id AS VARCHAR)")} < 80 THEN 'train'
+            WHEN {_sql_bucket("CAST(doc_id AS VARCHAR)")} < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc_id
+FROM documents
+GROUP BY 1
+""",
+    tags=("sampling",),
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/valid/test split by document-id hash —
+    reproducible assignment, no leakage across reshuffles (a doc's
+    split never changes when the corpus grows elsewhere)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    b = F.pmod(h, F.lit(100))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+SELECT lang, doc_id
+FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY lang
+    ORDER BY {_sql_bucket("CAST(doc_id AS VARCHAR)", 1000000)}, doc_id) <= 5
+""",
+    tags=("sampling", "X10"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: exactly 5 documents per language, chosen by
+    hash order (deterministic, unbiased w.r.t. document content) —
+    top-k-per-group over the hash ranking."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "doc_id")
+    )
