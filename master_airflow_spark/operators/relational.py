@@ -345,6 +345,31 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_collect_arrays",
+    oracle="""
+SELECT o_orderstatus,
+       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+       len(list(DISTINCT o_orderpriority)) AS n_priorities
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("X5", "X16"),
+)
+def agg_collect_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-building aggregates: collect_set per group, sorted for
+    determinism (collect order is partition-dependent; the sort makes
+    the result a pure function of the group's value set)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.size(F.collect_set("o_orderpriority")).alias("n_priorities"),
+        )
+    )
+
+
 PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
