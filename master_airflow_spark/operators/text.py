@@ -196,36 +196,77 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over MinHash-LSH candidate pairs: the
     verify stage of the near-dup pipeline. Candidates come from the
-    banded signature join (cheap); exact Jaccard (array_intersect /
-    array_union over distinct shingles) runs only on candidates."""
+    exploded signature pipeline (dedup.minhash_signatures_exploded —
+    the scale shape, no lambda-re-evaluation trap); exact Jaccard
+    (array_intersect / array_union over distinct string shingles,
+    joined back by doc_id) runs only on candidates."""
     from master_airflow_spark.operators.dedup import (
-        minhash_signature,
-        shingle_hashes,
+        minhash_signatures_exploded,
         shingles,
         with_bands,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.array_distinct(shingles("text")).alias("sh"),
-        minhash_signature(shingle_hashes("text")).alias("sig"),
-    )
-    banded = with_bands(docs).persist()
-    left = banded.select(
-        F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"), "band_id", "band_hash"
-    )
-    right = banded.select(
-        F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"), "band_id", "band_hash"
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signatures_exploded(docs)
+    banded = with_bands(sigs).persist()
+    left = banded.select(F.col("doc_id").alias("a_id"), "band_id", "band_hash")
+    right = banded.select(F.col("doc_id").alias("b_id"), "band_id", "band_hash")
     pairs = (
         left.join(right, ["band_id", "band_hash"])
         .where(F.col("a_id") < F.col("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+    # compute the (expensive) string-shingle arrays ONLY for documents
+    # that appear in some candidate pair — a semi join first, then the
+    # array build over the tiny candidate set
+    cand_ids = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", F.array_distinct(shingles("text")).alias("sh"))
+        .persist()
+    )
+    joined = (
+        pairs.join(sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh")), "a_id")
+        .join(sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")), "b_id")
+    )
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size(F.array_union("a_sh", "b_sh"))
-    return pairs.select(
+    return joined.select(
         "a_id",
         "b_id",
         (inter.cast("double") / union).alias("jaccard"),
     ).where(F.col("jaccard") >= 0.3)
+
+
+@register(
+    "term_frequencies",
+    oracle=r"""
+SELECT tok, count(*) AS n
+FROM (SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+""",
+    tags=("X26", "X5"),
+)
+def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters: top-20 tokens by frequency —
+    explode → count → TakeOrderedAndProject. Map-side partial counts
+    collapse the token stream before the exchange; at 100 TB the same
+    query with a count-min/approx variant bounds memory, but exact
+    heavy hitters stay feasible because token cardinality, not corpus
+    size, drives state."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens()).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
