@@ -12,6 +12,7 @@ from master_airflow_spark.operators import (  # noqa: F401
     relational,
     scalar,
     scalarfns,
+    scrub,
     similarity,
     sql_api,
     streaming_queries,
