@@ -64,3 +64,28 @@ def sql_dmul(a: str, b: str) -> str:
         f"CAST(CAST({a} AS DECIMAL(18,4)) * CAST({b} AS DECIMAL(18,4))"
         f" AS DECIMAL(28,8))"
     )
+
+
+def sql_dmul_wide(a: str, b: str) -> str:
+    """DuckDB-side exact product for sum-of-squares-scale values.
+
+    DuckDB executes DECIMAL(18,4)×DECIMAL(18,4) on int64 and overflows
+    near 1e9×1e9; width 19 forces the hugeint path (result width 38).
+    The value is the same exact decimal either way, so the Spark side
+    can keep its narrower ``dmul`` representation.
+    """
+    return f"CAST({a} AS DECIMAL(19,4)) * CAST({b} AS DECIMAL(19,4))"
+
+
+def sql_dsum_prod(a: str, b: str) -> str:
+    """Order-independent SUM of exact products, as a correctly-rounded
+    DOUBLE.
+
+    Sum-of-squares-scale decimals exceed 2^53 in scaled-integer form;
+    DuckDB's direct decimal→double cast converts the integer first and
+    divides by 10^scale (two roundings), which can land 1 ulp away from
+    Spark's correctly-rounded BigDecimal conversion. The VARCHAR
+    round-trip forces strtod — correctly rounded, so both engines agree
+    bit-for-bit.
+    """
+    return f"CAST(CAST(SUM({sql_dmul_wide(a, b)}) AS VARCHAR) AS DOUBLE)"

@@ -15,6 +15,7 @@ from master_airflow_spark.operators import (  # noqa: F401
     scrub,
     similarity,
     sql_api,
+    stats,
     streaming_queries,
     subqueries,
     text,

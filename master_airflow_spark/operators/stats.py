@@ -1,0 +1,292 @@
+"""Statistical & reshaping operators — exact moments, grouped
+correlation, conditional aggregates, ordered string aggregation,
+gaps-and-islands sessionization, distribution windows, unpivot/melt.
+
+Extends the reference's aggregate surface (SURVEY.md §2 X5/X8/X9/X18)
+with the descriptive-statistics layer a pretraining-data pipeline logs
+per batch. Scale posture: every aggregate here is a map-side-combinable
+hash aggregate on decimal sufficient statistics (sum, sum-of-squares,
+cross-products) — order-independent and exact, so the same query
+hash-matches a single-threaded oracle today and a 1000-executor
+partial-agg tree at 100 TB. Variance/correlation are derived from those
+sums in one deterministic double expression, never via engine-native
+``stddev``/``corr`` whose fold order is nondeterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from master_airflow_spark.catalog import load_table
+from master_airflow_spark.functions.exact import dmul, dsum, sql_dsum, sql_dsum_prod
+from master_airflow_spark.registry import register
+
+
+@register(
+    "stats_moments",
+    oracle=f"""
+SELECT o_orderpriority,
+       count(*) AS n,
+       {sql_dsum("o_totalprice")} / count(*) AS mean_price,
+       ({sql_dsum_prod("o_totalprice", "o_totalprice")}
+        - {sql_dsum("o_totalprice")} * {sql_dsum("o_totalprice")} / count(*))
+       / (count(*) - 1) AS var_price,
+       sqrt(({sql_dsum_prod("o_totalprice", "o_totalprice")}
+             - {sql_dsum("o_totalprice")} * {sql_dsum("o_totalprice")} / count(*))
+            / (count(*) - 1)) AS std_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("X5",),
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority mean / sample variance / stddev of order totals,
+    computed from exact decimal sufficient statistics (Σx, Σx², n) and
+    one deterministic double expression — the drift metrics a pipeline
+    snapshots per batch. One hash aggregate, fully map-side combinable."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x, "sx"),
+        F.sum(dmul(x, x)).cast("double").alias("sx2"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        mean.alias("mean_price"),
+        var.alias("var_price"),
+        F.sqrt(var).alias("std_price"),
+    )
+
+
+@register(
+    "corr_qty_price",
+    oracle=f"""
+SELECT l_returnflag,
+       count(*) AS n,
+       (count(*) * {sql_dsum_prod("l_quantity", "l_extendedprice")}
+        - {sql_dsum("l_quantity")} * {sql_dsum("l_extendedprice")})
+       / (sqrt(count(*) * {sql_dsum_prod("l_quantity", "l_quantity")}
+               - {sql_dsum("l_quantity")} * {sql_dsum("l_quantity")})
+          * sqrt(count(*) * {sql_dsum_prod("l_extendedprice", "l_extendedprice")}
+                 - {sql_dsum("l_extendedprice")} * {sql_dsum("l_extendedprice")}))
+           AS corr_qp
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("X5",),
+)
+def corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return
+    flag, from exact decimal cross-product sums (Σx, Σy, Σxy, Σx², Σy²)
+    — order-independent where engine-native ``corr`` is not. Single
+    shuffle on the group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x, "sx"),
+        dsum(y, "sy"),
+        F.sum(dmul(x, y)).cast("double").alias("sxy"),
+        F.sum(dmul(x, x)).cast("double").alias("sx2"),
+        F.sum(dmul(y, y)).cast("double").alias("sy2"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sx2") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("sy2") - F.col("sy") * F.col("sy")
+    )
+    return agg.select("l_returnflag", "n", (num / den).alias("corr_qp"))
+
+
+@register(
+    "conditional_aggregates",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_large,
+       CAST(count_if(o_totalprice > 150000) AS DOUBLE) / count(*) AS frac_large,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       arg_max(o_orderdate, o_orderkey) AS latest_key_date,
+       arg_min(o_orderdate, o_orderkey) AS earliest_key_date
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("X5", "X15"),
+)
+def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-conditioned aggregates per status: count_if /
+    bool_and / bool_or plus arg-max/arg-min rows (max_by keyed on the
+    unique o_orderkey so the winner is total-ordered, not
+    tie-nondeterministic). All map-side combinable."""
+    o = load_table(spark, sf_dir, "orders")
+    large = F.col("o_totalprice") > 150000
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(large).alias("n_large"),
+        (F.count_if(large).cast("double") / F.count(F.lit(1))).alias("frac_large"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.max_by("o_orderdate", "o_orderkey").alias("latest_key_date"),
+        F.min_by("o_orderdate", "o_orderkey").alias("earliest_key_date"),
+    )
+
+
+@register(
+    "listagg_nation_customers",
+    oracle="""
+SELECT n.n_name,
+       count(*) AS n_customers,
+       string_agg(c.c_name, ',' ORDER BY c.c_name) AS customer_csv
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > 9000
+GROUP BY n.n_name
+""",
+    tags=("X5", "X13"),
+)
+def listagg_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG) of high-balance
+    customer names per nation. collect_list is partition-order-dependent
+    → array_sort before joining makes it deterministic. Nation side is
+    broadcast; one shuffle on the group key."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias(
+                "customer_csv"
+            ),
+        )
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > 1800000000
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), numbered AS (
+    SELECT *, CAST(sum(new_session)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS BIGINT) AS session_no
+    FROM flagged
+)
+SELECT user_id, session_no,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS session_value
+FROM numbered
+GROUP BY user_id, session_no
+""",
+    tags=("X9", "X20"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks after
+    a 30-minute silence per user. lag + running sum over a user-keyed
+    window — state is distributed by user_id, one shuffle, then the
+    per-session rollup reuses the same partitioning (no second
+    exchange). The batch twin of the streaming session window (X20);
+    gap math on unix microseconds so both engines compare integers."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_sess = (
+        F.when(
+            (us - F.lag(us).over(w) > 1_800_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session")
+    )
+    numbered = e.select(
+        "user_id", "event_id", "ts", "value", new_sess
+    ).withColumn("session_no", F.sum("new_session").over(w))
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "session_value"),
+    )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(o_orderkey) OVER w AS cheapest_key,
+       last_value(o_orderkey)
+           OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS priciest_key,
+       nth_value(o_orderkey, 2)
+           OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS runner_up_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+    tags=("X8", "X9"),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank / cume_dist /
+    first, last, nth value — over a status-keyed, totally-ordered
+    window (price then unique key, so every rank is deterministic).
+    Partitioned by a real key: no global single-partition window."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(wfull).alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("runner_up_key"),
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+FROM lineitem WHERE l_shipdate BETWEEN DATE '1995-06-01' AND DATE '1995-06-30'
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+FROM lineitem WHERE l_shipdate BETWEEN DATE '1995-06-01' AND DATE '1995-06-30'
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount
+FROM lineitem WHERE l_shipdate BETWEEN DATE '1995-06-01' AND DATE '1995-06-30'
+""",
+    tags=("X18",),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — wide measures to long (row, measure, value) form,
+    the inverse of pivot (X18). Narrow-time slice first so the date
+    filter is pushed to the parquet scan; unpivot itself is a
+    zero-shuffle projection."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1995-06-01", "1995-06-30")
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    ).withColumn("measure", F.regexp_replace("measure", "^l_", ""))

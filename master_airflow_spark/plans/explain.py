@@ -61,3 +61,11 @@ def codegen_stage_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (wider = fewer interpreter
     boundaries in the hot path)."""
     return formatted(df).count("WholeStageCodegen")
+
+
+def op_count(df: DataFrame, op: str) -> int:
+    """Number of physical nodes named `op`, counted once per node via
+    the formatted plan's numbered detail headers ("(3) Exchange")."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {op}\b", formatted(df), flags=re.M))

@@ -91,3 +91,46 @@ def test_semi_join_stays_semi(spark, sf_dir):
 
     plan = formatted(_q(spark, sf_dir, "semi_anti_customers"))
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_stats_moments_partial_agg(spark, sf_dir):
+    # decimal sufficient statistics must map-side combine: partial +
+    # final HashAggregate around a single exchange
+    from master_airflow_spark.plans.explain import op_count
+
+    df = _q(spark, sf_dir, "stats_moments")
+    assert op_count(df, "HashAggregate") == 2
+    assert op_count(df, "Exchange") == 1
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    # the session rollup groups by (user_id, session_no); the window's
+    # hashpartitioning(user_id) already clusters that, so Spark must
+    # NOT add a second exchange — at 100 TB a redundant shuffle of the
+    # full events table would dominate the query
+    from master_airflow_spark.plans.explain import op_count
+
+    assert op_count(_q(spark, sf_dir, "sessionize_events"), "Exchange") == 1
+
+
+def test_unpivot_pushes_date_filter(spark, sf_dir):
+    df = _q(spark, sf_dir, "unpivot_lineitem_measures")
+    assert has_pushed_filter(df, "l_shipdate"), "slice must reach parquet scan"
+    for schema in read_schemas(df):
+        assert "l_comment" not in schema, "unprojected columns must be pruned"
+
+
+def test_listagg_broadcasts_nation(spark, sf_dir):
+    kinds = join_kinds(_q(spark, sf_dir, "listagg_nation_customers"))
+    assert "BroadcastHashJoin" in kinds
+    assert "SortMergeJoin" not in kinds
+
+
+def test_window_distribution_single_shuffle(spark, sf_dir):
+    # both window frames share partitioning+ordering: one exchange,
+    # one sort — not one per window function
+    from master_airflow_spark.plans.explain import op_count
+
+    df = _q(spark, sf_dir, "window_distribution")
+    assert op_count(df, "Exchange") == 1
+    assert op_count(df, "Window") == 1
