@@ -268,34 +268,60 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_fingerprint", oracle=None, tags=("X24",))
+_SIMHASH_BITS = 60
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+    FROM (SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents)
+), sums AS (
+    SELECT doc_id,
+           {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(_SIMHASH_BITS))}
+    FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       {" + ".join(f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(_SIMHASH_BITS))}
+           AS simhash
+FROM sums
+"""
+
+
+@register("simhash_fingerprint", oracle=_SIMHASH_ORACLE, tags=("X24",))
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X24: 64-bit SimHash per document — sign-sum of token-hash bits,
+    """X24: 60-bit SimHash per document — sign-sum of token-hash bits,
     computed entirely with built-in array/bitwise expressions (no UDF):
-    explode tokens → xxhash64 → per-bit ±1 contributions → sign.
-    Near-dup = small Hamming distance between fingerprints."""
+    explode tokens → portable md5-derived hash → per-bit ±1
+    contributions → sign. 60 bits (one md5 15-hex-char parse) keeps the
+    hash engine-portable, so the fingerprint values themselves are
+    oracle-checked; near-dup = small Hamming distance between
+    fingerprints. The per-bit sums are map-side combinable longs — one
+    shuffle on doc_id at any scale."""
+    from master_airflow_spark.functions.hashing import portable_hash60
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", portable_hash60("tok"))
     # bit b of h as ±1: shiftright then &1 → {0,1} → 2x-1
     contribs = toks.select(
         "doc_id",
         *[
             (F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
-            for b in range(64)
+            for b in range(_SIMHASH_BITS)
         ],
     )
     sums = contribs.groupBy("doc_id").agg(
-        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(64)]
+        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(_SIMHASH_BITS)]
     )
     fp = sums.select(
         "doc_id",
         sum(
             [
-                F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
-                for b in range(64)
+                F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+                for b in range(_SIMHASH_BITS)
             ],
             F.lit(0).cast("long"),
         ).alias("simhash"),

@@ -10,10 +10,11 @@ integers → bit-identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from master_airflow_spark.catalog import load_table
+from master_airflow_spark.functions.hashing import portable_hash60, sql_portable_hash60
 from master_airflow_spark.registry import register
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
@@ -169,19 +170,33 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("rolling_hash_fingerprint", oracle=None, tags=("X26",))
+@register(
+    "rolling_hash_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform({_SQL_TOKS},
+                   t -> {sql_portable_hash60("t")} % 1000000007)),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
+FROM documents
+""",
+    tags=("X26",),
+)
 def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling hash over token hashes: acc = (acc*31 +
     h_tok) mod (1e9+7), folded left-to-right with aggregate(). Exact
     modular integer arithmetic (no overflow under ANSI mode: operands
-    stay < 2^63). Order-sensitive by design — permuted documents get
-    different fingerprints, unlike bag-of-words hashes."""
+    stay < 2^63); the portable 60-bit md5 token hash makes the value
+    engine-checkable (xxhash64 is Spark-private). Order-sensitive by
+    design — permuted documents get different fingerprints, unlike
+    bag-of-words hashes."""
     P = 1_000_000_007
     t = tokens()
     fp = F.aggregate(
         t,
         F.lit(0).cast("long"),
-        lambda acc, tok: F.pmod(acc * 31 + F.pmod(F.xxhash64(tok), F.lit(P)), F.lit(P)),
+        lambda acc, tok: (acc * 31 + portable_hash60(tok) % F.lit(P)) % F.lit(P),
     )
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", fp.alias("rolling_fp")
@@ -269,4 +284,105 @@ def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "tok")
         .limit(20)
+    )
+
+
+@register(
+    "jaccard_block_pairs",
+    oracle=r"""
+WITH sh AS (
+    SELECT doc_id, source,
+           list_distinct(list_transform(range(1, greatest(length(text) - 1, 1)),
+                                        i -> substr(text, i, 3))) AS s
+    FROM documents
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       len(list_intersect(a.s, b.s)) AS n_common,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+""",
+    tags=("X24", "X26"),
+)
+def jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-3-gram Jaccard ≥ 0.6 over pairs sharing a
+    blocking key (source), via LOSSLESS prefix filtering (Bayardo et
+    al., WWW'07 "Scaling Up All Pairs Similarity Search"): order every
+    document's gram set by global rarity, explode only the first
+    ``len − ⌈t·len⌉ + 1`` grams, and generate candidates from pairs
+    sharing a prefix gram — any pair with J ≥ t provably shares one, so
+    the exact verify over candidates returns the identical result to
+    the quadratic all-pairs join (the oracle's formulation) at a
+    fraction of the comparisons. Grams are replaced by their dense
+    rarity ranks (ints) before the verify, so the intersect compares
+    ints, not strings. The rank table is gram-cardinality-bounded
+    (≤ charset³), independent of corpus size → broadcastable at 100 TB;
+    the unblocked approximate variant is ngram_jaccard_pairs over LSH
+    candidates."""
+    t = 0.6
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        # sequence(1, 0) would generate a DESCENDING range, so clamp to 1
+        # and drop short tail grams: docs under 3 chars yield an empty set
+        F.array_distinct(
+            F.expr(
+                "filter(transform(sequence(1, greatest(length(text) - 2, 1)),"
+                " i -> substring(text, i, 3)), g -> length(g) = 3)"
+            )
+        ).alias("s"),
+    )
+    # global rarity rank per gram: cardinality-bounded dim, broadcast back
+    grams = sh.select(F.explode("s").alias("g"))
+    ranks = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "g",
+            F.row_number()
+            .over(Window.orderBy(F.col("df").asc(), F.col("g").asc()))
+            .alias("r"),
+        )
+    )
+    ranked = (
+        sh.select("doc_id", "source", F.explode("s").alias("g"))
+        .join(F.broadcast(ranks), "g")
+        .groupBy("doc_id", "source")
+        .agg(F.sort_array(F.collect_list("r")).alias("rs"))
+        .withColumn("n", F.size("rs"))
+        .persist()
+    )
+    # prefix filter: pairs at J >= t must share a gram in the first
+    # n - ceil(t*n) + 1 rarest grams of BOTH sets
+    prefix = ranked.select(
+        "doc_id",
+        "source",
+        F.explode(F.slice("rs", 1, (F.col("n") - F.ceil(t * F.col("n")) + 1).cast("int"))).alias("r"),
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.source") == F.col("pb.source"))
+            & (F.col("pa.r") == F.col("pb.r"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("a_id"), F.col("pb.doc_id").alias("b_id")
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    a = ranked.select(F.col("doc_id").alias("a_id"), F.col("rs").alias("sa"))
+    b = ranked.select(F.col("doc_id").alias("b_id"), F.col("rs").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select("a_id", "b_id", inter.alias("n_common"), jac.alias("jaccard"))
+        .where(F.col("jaccard") >= t)
     )
