@@ -66,14 +66,40 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     return labels
 
 
-@register("dedup_clusters", oracle=None, tags=("X24", "iterative"))
+def _clusters_oracle() -> str:
+    from master_airflow_spark.operators.dedup import (
+        SQL_MINHASH_CTES,
+        SQL_MINHASH_PAIRS,
+    )
+
+    return f"""
+WITH RECURSIVE {SQL_MINHASH_CTES},
+pairs AS (SELECT a_id, b_id FROM ({SQL_MINHASH_PAIRS})),
+sym AS (SELECT a_id AS a, b_id AS b FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+verts AS (SELECT DISTINCT a AS id FROM sym),
+reach AS (SELECT id AS a, id AS b FROM verts
+          UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT comp.doc_id, comp.cluster_id,
+       comp.doc_id = comp.cluster_id AS is_canonical,
+       sizes.cluster_size
+FROM comp JOIN sizes USING (cluster_id)
+"""
+
+
+@register("dedup_clusters", oracle=_clusters_oracle(), tags=("X24", "iterative"))
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters from the MinHash candidate pairs: connected
     components + canonical doc per cluster (min doc_id — the same
     keep-rule as dedup_exact). Output: one row per clustered document
     with its cluster id, canonical flag, and cluster size. Singleton
-    documents (no near-dup) are excluded. Iterative → no SQL oracle;
-    semantics pinned in tests/test_clusters.py."""
+    documents (no near-dup) are excluded. The Spark side iterates
+    hash-min label propagation to a fixpoint; the oracle replays the
+    same semantics as a recursive-CTE transitive closure (feasible at
+    oracle scale, where cluster diameters are tiny) — so even the
+    iterative algorithm is exactly diff-checked, not just row-counted."""
     from master_airflow_spark.operators.dedup import minhash_near_dup
 
     pairs = minhash_near_dup(spark, sf_dir).select("a_id", "b_id")

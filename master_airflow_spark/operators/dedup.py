@@ -80,10 +80,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DataFrame ops, no pyspark.ml dependency (ml's MinHashLSH seeds its
 # hash family via JVM RNG; re-implementing with explicit mixed hashes
 # keeps signatures reproducible across runs and engines).
+#
+# The hash family is ENGINE-PORTABLE (see functions/hashing.py): token
+# base hash = md5-derived 60-bit int reduced mod P_MIN (prime < 2^30),
+# shingle hash = base-31 polynomial fold of k consecutive token hashes
+# mod P_MIN, lane i = (Aᵢ·sh + Bᵢ) mod P_MIN with fixed md5-derived
+# constants, band hash = base-31 fold of the band's lanes. Every value
+# stays < 2^30 so all intermediates fit comfortably in int64 under ANSI
+# mode — and DuckDB can compute the identical signature with list
+# functions, which upgrades the whole LSH pipeline from rows-only to an
+# exact differential oracle.
 # --------------------------------------------------------------------------
 
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band; P(candidate) = 1-(1-s^4)^4
+SHINGLE_K = 5
+P_MIN = 1073741789  # largest prime below 2^30
+
+
+def _const(tag: str, i: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{tag}-{i}".encode()).hexdigest()[:8], 16) % P_MIN
+
+
+LANE_A = tuple(_const("minhash-a", i) | 1 for i in range(N_HASHES))
+LANE_B = tuple(_const("minhash-b", i) for i in range(N_HASHES))
 
 
 def shingles(text_col: str, k: int = 5) -> Column:
@@ -97,35 +119,51 @@ def shingles(text_col: str, k: int = 5) -> Column:
     )
 
 
-def shingle_hashes(text_col: str, k: int = 5) -> Column:
-    """64-bit hash per word-k-gram, built without materializing shingle
-    strings: hash each token once, then combine k consecutive token
-    hashes with one multi-arg integer hash. Identical token sequences
-    → identical hash sequences (what MinHash needs); cost is one
-    string hash per TOKEN plus integer ops — not one ~30-char string
-    build + hash per SHINGLE."""
+def _tok_hash(c: Column) -> Column:
+    from master_airflow_spark.functions.hashing import portable_hash60
+
+    return F.pmod(portable_hash60(c), F.lit(P_MIN))
+
+
+def _fold(parts: list[Column]) -> Column:
+    """Base-31 polynomial fold mod P_MIN — operands < 2^30, so every
+    intermediate < 2^35: exact long arithmetic in any engine."""
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = F.pmod(acc * 31 + p, F.lit(P_MIN))
+    return acc
+
+
+def shingle_hashes(text_col: str, k: int = SHINGLE_K) -> Column:
+    """Portable hash per word-k-gram, built without materializing
+    shingle strings: hash each token once (md5-derived, mod P_MIN),
+    then combine k consecutive token hashes with a polynomial fold.
+    Every position gets a shingle; the trailing k-1 partials pad with
+    the sentinel j (same rule as the exploded pipeline, so both forms
+    produce identical hash streams)."""
     toks = F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    th = F.transform(toks, _tok_hash)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    combine = lambda i: F.xxhash64(  # noqa: E731
-        *[F.element_at(th, i + j + 1) for j in range(k)]
+    idx = F.sequence(F.lit(1), n)
+    combine = lambda i: _fold(  # noqa: E731
+        [F.coalesce(F.try_element_at(th, i + j), F.lit(j)) for j in range(k)]
     )
-    return F.when(n >= k, F.transform(idx, combine)).otherwise(
-        F.array(F.xxhash64(F.concat_ws(" ", toks)))
-    )
+    return F.transform(idx, combine)
 
 
 def minhash_signature(hash_col: Column) -> Column:
     """N_HASHES-wide MinHash signature over pre-hashed shingles: lane i
-    re-mixes each 8-byte shingle hash with the lane id (integer hash)
-    and takes the min. Deterministic, seedless; identical documents →
-    identical signatures (pinned by the semantic tests)."""
+    re-mixes each shingle hash with the fixed affine map (Aᵢ·h + Bᵢ)
+    mod P_MIN and takes the min. Deterministic, seedless; identical
+    documents → identical signatures (pinned by the semantic tests and
+    the differential oracle)."""
+    def lane(i: int):
+        # NB: a `lambda h, i=i:` default would be misread by transform()
+        # as a two-arg (element, index) lambda
+        return lambda h: F.pmod(F.lit(LANE_A[i]) * h + F.lit(LANE_B[i]), F.lit(P_MIN))
+
     return F.array(
-        *[
-            F.array_min(F.transform(hash_col, lambda h, i=i: F.xxhash64(h, F.lit(i))))
-            for i in range(N_HASHES)
-        ]
+        *[F.array_min(F.transform(hash_col, lane(i))) for i in range(N_HASHES)]
     )
 
 
@@ -137,8 +175,8 @@ def with_bands(df: DataFrame, sig: str = "sig") -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    *[F.col(sig)[b * rows_per_band + r] for r in range(rows_per_band)]
+                _fold(
+                    [F.col(sig)[b * rows_per_band + r] for r in range(rows_per_band)]
                 ).alias("band_hash"),
             )
             for b in range(N_BANDS)
@@ -161,16 +199,16 @@ def minhash_signatures_exploded(docs: DataFrame, k: int = 5) -> DataFrame:
     per element (quadratic in document length)."""
     toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
     tok_rows = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
-    h = tok_rows.select("doc_id", "pos", F.xxhash64("tok").alias("h0"))
+    h = tok_rows.select("doc_id", "pos", _tok_hash(F.col("tok")).alias("h0"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     for j in range(1, k):
-        h = h.withColumn(f"h{j}", F.coalesce(F.lead("h0", j).over(w), F.lit(-j)))
+        h = h.withColumn(f"h{j}", F.coalesce(F.lead("h0", j).over(w), F.lit(j)))
     sh = h.select(
-        "doc_id", F.xxhash64(*[f"h{j}" for j in range(k)]).alias("sh")
+        "doc_id", _fold([F.col(f"h{j}") for j in range(k)]).alias("sh")
     )
     lanes = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64("sh", F.lit(i))).alias(f"m{i}")
+            F.min(F.pmod(F.lit(LANE_A[i]) * F.col("sh") + F.lit(LANE_B[i]), F.lit(P_MIN))).alias(f"m{i}")
             for i in range(N_HASHES)
         ]
     )
@@ -179,14 +217,71 @@ def minhash_signatures_exploded(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
-@register("minhash_near_dup", oracle=None, tags=("X24",))
+def _sql_fold(parts: list[str]) -> str:
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = f"(({acc}) * 31 + {p}) % {P_MIN}"
+    return acc
+
+
+_SQL_TH = (
+    "list_transform(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '), "
+    f"t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {P_MIN})"
+)
+
+_SQL_SHINGLE = _sql_fold(
+    ["th[p]"] + [f"coalesce(th[p+{j}], {j})" for j in range(1, SHINGLE_K)]
+)
+
+_ROWS_PER_BAND = N_HASHES // N_BANDS
+
+# shared CTE chain: documents → token hashes → shingle hashes →
+# 16-lane signature → 4 LSH bands → distinct candidate pairs.
+# Mirrors minhash_signatures_exploded + with_bands value-for-value.
+SQL_MINHASH_CTES = f"""
+d AS (SELECT doc_id, {_SQL_TH} AS th FROM documents),
+shs AS (SELECT doc_id,
+               list_transform(range(1, len(th) + 1), p -> {_SQL_SHINGLE}) AS s
+        FROM d),
+sig AS (SELECT doc_id,
+               {", ".join(f"list_min(list_transform(s, x -> ({LANE_A[i]} * x + {LANE_B[i]}) % {P_MIN})) AS m{i}" for i in range(N_HASHES))}
+        FROM shs),
+bands AS ({" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, {_sql_fold([f'm{b * _ROWS_PER_BAND + r}' for r in range(_ROWS_PER_BAND)])} AS band_hash FROM sig" for b in range(N_BANDS))}),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM bands a
+         JOIN bands b
+           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id)
+"""
+
+_SQL_EST = (
+    "CAST(("
+    + " + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))
+    + f") AS DOUBLE) / {N_HASHES}"
+)
+
+SQL_MINHASH_PAIRS = f"""
+SELECT * FROM (
+    SELECT c.a_id, c.b_id, {_SQL_EST} AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.a_id
+    JOIN sig sb ON sb.doc_id = c.b_id
+) WHERE est_jaccard >= 0.5
+"""
+
+_MINHASH_NEAR_DUP_ORACLE = f"WITH {SQL_MINHASH_CTES} {SQL_MINHASH_PAIRS}"
+
+
+@register("minhash_near_dup", oracle=_MINHASH_NEAR_DUP_ORACLE, tags=("X24",))
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X24: MinHash-LSH near-duplicate candidate pairs, verified by
     exact signature-overlap estimate. Pipeline: shingle → 16-hash
     MinHash signature → 4 LSH bands → self-join on (band_id,
     band_hash) → estimated Jaccard = matching signature positions / 16,
-    thresholded at 0.5. Deterministic (xxhash64 lane mixing); no
-    oracle — DuckDB can't express the hash family (rows-only check).
+    thresholded at 0.5. The portable hash family (md5 token base +
+    affine lane maps mod P_MIN) means the ENTIRE pipeline — signatures,
+    banding, candidate generation, estimate — is replayed by the DuckDB
+    oracle and diff-checked exactly.
 
     Scale: the self-join key (band_id, band_hash) is uniform by
     construction; no document body crosses the shuffle — only doc_id +
@@ -224,15 +319,53 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_near_dup", oracle=None, tags=("X24",))
+_SIMHASH_BITS = 60
+
+_SIMHASH_CTES = f"""
+stoks AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+    FROM (SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents)
+), ssums AS (
+    SELECT doc_id,
+           {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(_SIMHASH_BITS))}
+    FROM stoks GROUP BY doc_id
+), sfp AS (
+    SELECT doc_id,
+           {" + ".join(f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(_SIMHASH_BITS))}
+               AS simhash
+    FROM ssums
+)"""
+
+_SIMHASH_ORACLE = f"WITH {_SIMHASH_CTES} SELECT doc_id, simhash FROM sfp"
+
+
+_SIMHASH_NEAR_DUP_ORACLE = f"""
+WITH {_SIMHASH_CTES},
+sbands AS ({" UNION ALL ".join(f"SELECT doc_id, simhash, {b} AS band_id, (simhash >> {16 * b}) & 65535 AS band_value FROM sfp" for b in range(4))})
+SELECT a_id, b_id, hamming FROM (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sbands a
+    JOIN sbands b
+      ON a.band_id = b.band_id AND a.band_value = b.band_value
+     AND a.doc_id < b.doc_id
+) WHERE hamming <= 3
+"""
+
+
+@register("simhash_near_dup", oracle=_SIMHASH_NEAR_DUP_ORACLE, tags=("X24",))
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X24: SimHash near-dup candidate pairs via the banding trick on
-    the 64-bit fingerprint: split into 4×16-bit bands; two docs within
-    Hamming distance 3 must share at least one full band (pigeonhole),
-    so the self-join on (band_id, band_value) finds every such pair;
-    exact Hamming distance then filters candidates. Same scale shape
-    as MinHash banding — only (doc_id, fingerprint) crosses the
-    shuffle."""
+    the fingerprint: split into 4×16-bit bands (the top band covers the
+    60-bit fingerprint's high 12 live bits); two docs within Hamming
+    distance 3 must share at least one full band (pigeonhole), so the
+    self-join on (band_id, band_value) finds every such pair; exact
+    Hamming distance then filters candidates. Same scale shape as
+    MinHash banding — only (doc_id, fingerprint) crosses the shuffle;
+    the portable fingerprint makes the pair set exactly
+    oracle-checkable."""
     fp = simhash_fingerprint(spark, sf_dir)
     bands = F.array(
         *[
@@ -266,26 +399,6 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 3)
         .select("a_id", "b_id", "hamming")
     )
-
-
-_SIMHASH_BITS = 60
-
-_SIMHASH_ORACLE = f"""
-WITH toks AS (
-    SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
-    FROM (SELECT doc_id,
-                 unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
-          FROM documents)
-), sums AS (
-    SELECT doc_id,
-           {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(_SIMHASH_BITS))}
-    FROM toks GROUP BY doc_id
-)
-SELECT doc_id,
-       {" + ".join(f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(_SIMHASH_BITS))}
-           AS simhash
-FROM sums
-"""
 
 
 @register("simhash_fingerprint", oracle=_SIMHASH_ORACLE, tags=("X24",))

@@ -203,9 +203,32 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_jaccard_oracle(k: int = 5) -> str:
+    from master_airflow_spark.operators.dedup import SQL_MINHASH_CTES
+
+    return f"""
+WITH {SQL_MINHASH_CTES},
+tk AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+shg AS (SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= {k}
+                   THEN list_transform(range(1, len(toks) - {k - 2}),
+                                       i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' '))
+                   ELSE [array_to_string(toks, ' ')] END) AS sh
+        FROM tk)
+SELECT * FROM (
+    SELECT c.a_id, c.b_id,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(list_cat(a.sh, b.sh))) AS jaccard
+    FROM cand c
+    JOIN shg a ON a.doc_id = c.a_id
+    JOIN shg b ON b.doc_id = c.b_id
+) WHERE jaccard >= 0.3
+"""
+
+
 @register(
     "ngram_jaccard_pairs",
-    oracle=None,
+    oracle=_ngram_jaccard_oracle(),
     tags=("X24", "X26"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
