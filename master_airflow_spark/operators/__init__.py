@@ -4,6 +4,7 @@
 from master_airflow_spark.operators import (  # noqa: F401
     clusters,
     dedup,
+    embeddings,
     ingest,
     multimodal,
     outer_joins,

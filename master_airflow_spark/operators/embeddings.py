@@ -1,0 +1,183 @@
+"""Embedding-pipeline operators — centroids, normalization, scalar
+quantization, and token-budget sharding (sequence packing).
+
+The vector utilities a training-data pipeline runs over an
+`array<float>` column at corpus scale. Exactness strategy: cross-row
+accumulation happens on FIXED-POINT longs (value × 10⁹, rounded) —
+integer addition is associative, so Spark's parallel partial aggregates
+match a single-threaded oracle bit-for-bit, the same trick as the
+decimal sums in functions/exact.py but cheap enough for 64 dims × N
+rows. Per-row folds (norms, dot products) follow the proven
+left-to-right double fold == DuckDB list_sum equivalence.
+
+Scale posture: per-dimension sums are map-side-combinable hash
+aggregates keyed by (group, dim) — 64 longs of state per group per
+task, no vector ever collected to the driver; the fixed-point longs
+hold ~9.2e18/1e9 ≈ 9e9 summed units of headroom, enough for ~10⁹ rows
+per group before widening to decimal is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from master_airflow_spark.catalog import load_table
+from master_airflow_spark.registry import register
+
+_FP = 1_000_000_000  # fixed-point scale: 9 decimal digits
+
+
+def _l2_norm(vec: Column) -> Column:
+    """Left-to-right double fold of Σx² — matches DuckDB list_sum."""
+    sq = F.transform(vec, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+_SQL_L2 = "sqrt(list_sum(list_transform({e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+@register(
+    "embedding_centroids",
+    oracle=f"""
+WITH sums AS (
+    SELECT label, d,
+           sum(CAST(round(CAST(v AS DOUBLE) * {_FP}) AS BIGINT)) AS s,
+           count(*) AS n
+    FROM (SELECT label, unnest(embedding) AS v,
+                 unnest(range(1, len(embedding) + 1)) AS d
+          FROM embeddings)
+    GROUP BY label, d
+)
+SELECT label,
+       max(n) AS n_vectors,
+       list(CAST(s AS DOUBLE) / {_FP} / n ORDER BY d) AS centroid
+FROM sums GROUP BY label
+""",
+    tags=("X25", "X5"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column: posexplode to
+    (label, dim, value), accumulate fixed-point longs (exact,
+    order-independent), rebuild the ordered centroid array. Two hash
+    aggregates — (label, dim) then label — both map-side combinable;
+    this is the k-means/update step shape at corpus scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("d0", "v")
+    ).select("label", (F.col("d0") + 1).alias("d"), "v")
+    sums = dims.groupBy("label", "d").agg(
+        F.sum(F.round(F.col("v").cast("double") * _FP).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("s").cast("double") / _FP / F.col("n")
+    return (
+        sums.select("label", "d", "n", mean.alias("m"))
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))), lambda x: x["m"]
+            ).alias("centroid"),
+        )
+    )
+
+
+@register(
+    "embedding_normalize",
+    oracle=f"""
+SELECT vec_id, label,
+       {_SQL_L2.format(e="embedding")} AS l2_norm,
+       list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) / {_SQL_L2.format(e="embedding")})
+           AS unit_vec
+FROM embeddings
+""",
+    tags=("X25", "X16"),
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-L2 normalization per vector — the preprocessing step before
+    cosine retrieval. Pure per-row array expressions (zero shuffle,
+    scan speed); the norm fold is left-to-right so any engine agrees
+    bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = _l2_norm(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        "label",
+        norm.alias("l2_norm"),
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias("unit_vec"),
+    )
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+SELECT vec_id,
+       list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
+       list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 127
+                           / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))
+                AS INT)) AS q8
+FROM embeddings
+""",
+    tags=("X25", "X16"),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization per vector: scale by
+    127/max|x|, round to the nearest integer — an 8× storage cut for
+    ANN indexes. Per-row array expressions only; the max-abs reduction
+    and the rounding rule (half away from zero) agree across engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    return e.select(
+        "vec_id",
+        max_abs.alias("max_abs"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 127 / max_abs).cast("int"),
+        ).alias("q8"),
+    )
+
+
+@register(
+    "sequence_packing",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id, source,
+           len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tokens
+    FROM documents
+), packed AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                AS BIGINT) - n_tokens AS tokens_before
+    FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       tokens_before // 4096 AS shard_id,
+       tokens_before % 4096 AS shard_offset
+FROM packed
+""",
+    tags=("X9", "sampling"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding (greedy sequence packing): within each
+    source, documents in doc_id order are packed into ~4096-token
+    shards by running token count — the step that turns a filtered
+    corpus into fixed-budget training chunks. One window per source
+    key (distributed state, no global sort); emits each document's
+    shard and offset within it."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " "))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    toks = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    packed = toks.withColumn(
+        "tokens_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.col("tokens_before") / F.lit(4096)).cast("long").alias("shard_id"),
+        (F.col("tokens_before") % 4096).alias("shard_offset"),
+    )

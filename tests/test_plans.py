@@ -134,3 +134,29 @@ def test_window_distribution_single_shuffle(spark, sf_dir):
     df = _q(spark, sf_dir, "window_distribution")
     assert op_count(df, "Exchange") == 1
     assert op_count(df, "Window") == 1
+
+
+def test_embedding_normalize_no_shuffle(spark, sf_dir):
+    # per-row vector math must stay a scan-side projection
+    from master_airflow_spark.plans.explain import op_count
+
+    df = _q(spark, sf_dir, "embedding_normalize")
+    assert op_count(df, "Exchange") == 0
+    assert op_count(df, "Scan parquet") == 1
+
+
+def test_embedding_centroids_partial_agg(spark, sf_dir):
+    from master_airflow_spark.plans.explain import op_count
+
+    df = _q(spark, sf_dir, "embedding_centroids")
+    # (label, dim) sums: codegen hash agg; array rebuild: object hash
+    # agg (collect_list) — each pair partial+final around one exchange
+    assert op_count(df, "HashAggregate") == 2
+    assert op_count(df, "ObjectHashAggregate") == 2
+    assert op_count(df, "Exchange") == 2
+
+
+def test_sequence_packing_single_shuffle(spark, sf_dir):
+    from master_airflow_spark.plans.explain import op_count
+
+    assert op_count(_q(spark, sf_dir, "sequence_packing"), "Exchange") == 1
