@@ -122,3 +122,27 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         dedup_within_watermark(_events_stream(spark, sf_dir)), "append"
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.user_id,
+       c.ts AS click_ts, p.ts AS purchase_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+    tags=("X19", "X21", "X3"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution within
+    30 minutes per user), drained via AvailableNow. Watermarks on both
+    sides plus the two-sided time bound let Spark expire join state —
+    the unbounded-stream-safe formulation; on a static replay the
+    result equals the batch interval join the oracle states."""
+    from master_airflow_spark.streaming.events import attribution_join
+
+    return run_to_memory(attribution_join(_events_stream(spark, sf_dir)), "append")

@@ -163,3 +163,51 @@ def fan_out_stream(
 
     q = stream_df.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+def attribution_join(
+    events: DataFrame, max_lag: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joins every click by
+    the same user in the preceding `max_lag`. Both sides carry
+    watermarks and the join condition bounds event time in both
+    directions, so the state store can purge clicks older than
+    watermark + max_lag — the invariant that keeps state finite on an
+    unbounded stream."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return (
+        purchases.join(
+            clicks,
+            (purchases.user_id == clicks.click_user)
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {max_lag}")
+            ),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            "click_ts",
+            "purchase_ts",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+        )
+    )

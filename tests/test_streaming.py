@@ -141,3 +141,29 @@ def test_fan_out_stream_multi_sink(spark, sf_dir, tmp_path):
     assert {r.event_type for r in spark.read.parquet(p2).collect()} == {
         "click", "view", "signup", "purchase", "error",
     }
+
+def test_interval_join_across_batches(spark, tmp_path):
+    # click arrives in batch 0, its purchase in batch 1: the join's
+    # click-side state must survive the trigger boundary and match
+    # once the purchase lands; a purchase outside the 30-minute lag
+    # window must not join
+    from master_airflow_spark.streaming.events import attribution_join
+
+    d = _stage(
+        tmp_path,
+        [
+            [(1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}")],
+            [
+                (2, "2024-01-01 10:20:00", 7, "purchase", 5.0, "{}"),
+                # 40 min after the click → outside max_lag
+                (3, "2024-01-01 10:40:00", 7, "purchase", 9.0, "{}"),
+            ],
+        ],
+    )
+    out = run_to_memory(
+        attribution_join(read_events_stream(spark, d)), "append"
+    ).collect()
+    pairs = {(r.click_id, r.purchase_id) for r in out}
+    assert pairs == {(1, 2)}
+    (row,) = [r for r in out if r.purchase_id == 2]
+    assert row.lag_us == 20 * 60 * 1_000_000
