@@ -146,3 +146,32 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from master_airflow_spark.streaming.events import attribution_join
 
     return run_to_memory(attribution_join(_events_stream(spark, sf_dir)), "append")
+
+
+@register(
+    "stream_static_enrich",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', e.ts) + INTERVAL '1 hour' AS window_end,
+       c.c_mktsegment,
+       count(*) AS n_events,
+       {sql_dsum('e.value')} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2, 3
+""",
+    tags=("X19", "X21", "X1"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join (events × customer) feeding a
+    tumbling-window revenue-per-segment aggregate, drained via
+    AvailableNow; on a static replay equals the batch join+agg the
+    oracle states."""
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.streaming.events import enriched_segment_agg
+
+    return run_to_memory(
+        enriched_segment_agg(
+            _events_stream(spark, sf_dir), load_table(spark, sf_dir, "customer")
+        ),
+        "complete",
+    )

@@ -409,3 +409,160 @@ def jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", inter.alias("n_common"), jac.alias("jaccard"))
         .where(F.col("jaccard") >= t)
     )
+
+
+# --- n-gram pipelines (exploded form: linear at any document length) --------
+
+
+def exploded_ngrams(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, gram): one row per *full* word-k-gram.
+
+    Built as posexplode → lead() windows rather than array lambdas:
+    outer-scope arrays referenced inside transform() lambdas are
+    re-evaluated per element (quadratic in document length), while this
+    form is one linear pass plus a single doc_id-partitioned sort —
+    the same shape that scales the MinHash pipeline. Partial trailing
+    grams (where lead(k-1) runs off the end) are dropped.
+    """
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tok = docs.select("doc_id", F.posexplode(tokens()).alias("pos", "tok"))
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    return (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("tok", k - 1).over(w).isNotNull().alias("_full"),
+        )
+        .where("_full")
+        .drop("_full")
+    )
+
+
+def _sql_ngram_cte(k: int) -> str:
+    """DuckDB CTE body producing the same (doc_id, gram) stream."""
+    return (
+        f"t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents), "
+        f"g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - {k} + 2), "
+        f"i -> array_to_string(toks[i:i + {k} - 1], ' '))) AS gram "
+        f"FROM t WHERE len(toks) >= {k})"
+    )
+
+
+@register(
+    "top_bigram_repetition",
+    oracle=f"""
+WITH {_sql_ngram_cte(2)},
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+r AS (SELECT doc_id, gram, cnt,
+             row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn,
+             sum(cnt) OVER (PARTITION BY doc_id) AS total
+      FROM c)
+SELECT doc_id, gram AS top_bigram, cnt AS top_bigram_count,
+       CAST(cnt AS DOUBLE) / total AS top_bigram_frac
+FROM r WHERE rn = 1
+""",
+    tags=("X26", "quality"),
+)
+def top_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (Gopher-style): the most frequent
+    word bigram per document and the fraction of all bigrams it
+    covers. Deterministic tie-break (count desc, then bigram asc).
+    Scale: groupBy(doc_id, gram) partial-aggregates map-side; the
+    window pass shuffles once on doc_id."""
+    c = exploded_ngrams(load_table(spark, sf_dir, "documents"), 2).groupBy(
+        "doc_id", "gram"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    byid = Window.partitionBy("doc_id")
+    r = c.select(
+        "doc_id",
+        "gram",
+        "cnt",
+        F.row_number()
+        .over(byid.orderBy(F.desc("cnt"), F.asc("gram")))
+        .alias("rn"),
+        F.sum("cnt").over(byid).alias("total"),
+    )
+    return r.where(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("gram").alias("top_bigram"),
+        F.col("cnt").alias("top_bigram_count"),
+        (F.col("cnt").cast("double") / F.col("total")).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "ngram_contamination",
+    oracle=f"""
+WITH {_sql_ngram_cte(8)},
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0)
+SELECT g.doc_id, count(DISTINCT g.gram) AS n_hit_grams
+FROM g JOIN bench ON g.gram = bench.gram
+WHERE g.doc_id % 7 <> 0
+GROUP BY g.doc_id
+""",
+    tags=("X26", "quality"),
+)
+def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: corpus documents sharing any
+    word-8-gram with a held-out benchmark set (here the deterministic
+    pseudo-benchmark doc_id % 7 == 0), with the count of distinct
+    shared 8-grams. The benchmark gram set is tiny relative to the
+    corpus → broadcast semi-structure: the 100 TB side streams past it
+    with no shuffle before the final doc_id aggregate."""
+    g = exploded_ngrams(load_table(spark, sf_dir, "documents"), 8)
+    bench = (
+        g.where(F.col("doc_id") % 7 == 0).select("gram").distinct()
+    )
+    return (
+        g.where(F.col("doc_id") % 7 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hit_grams"))
+    )
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+c AS (SELECT doc_id, toks, len(toks) AS n,
+             unnest(range(0, len(toks), 24)) AS s
+      FROM t)
+SELECT doc_id,
+       CAST(s // 24 AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS chunk_start,
+       CAST(least(32, n - s) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[s + 1:s + 32], ' ') AS chunk_text
+FROM c
+""",
+    tags=("X26", "sampling"),
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence chunking: split each document into 32-token
+    windows on a 24-token stride (8-token overlap), the standard
+    prep step before tokenize-and-pack. One narrow pass — sequence +
+    posexplode + slice, all codegen'd, no shuffle, linear at 100 TB."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens().alias("toks")
+    )
+    n = F.size("toks")
+    exploded = d.select(
+        "doc_id",
+        "toks",
+        n.alias("n"),
+        F.posexplode(F.sequence(F.lit(0), n - 1, F.lit(24))).alias(
+            "chunk_idx", "chunk_start"
+        ),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.least(F.lit(32), F.col("n") - F.col("chunk_start"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice("toks", F.col("chunk_start") + 1, F.lit(32)), " "
+        ).alias("chunk_text"),
+    )

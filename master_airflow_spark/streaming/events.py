@@ -211,3 +211,33 @@ def attribution_join(
             (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
         )
     )
+
+
+def enriched_segment_agg(
+    events: DataFrame,
+    customers: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-static join + windowed aggregate: enrich each event with
+    the customer dimension (user_id = c_custkey), then revenue per
+    market segment per event-time window. The static side joins as a
+    broadcast hash join inside every micro-batch — no stream-side
+    shuffle for the join, and the dimension can be swapped between
+    batches (slowly-changing dim) without restarting the query."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", width).alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
