@@ -167,3 +167,29 @@ def test_interval_join_across_batches(spark, tmp_path):
     assert pairs == {(1, 2)}
     (row,) = [r for r in out if r.purchase_id == 2]
     assert row.lag_us == 20 * 60 * 1_000_000
+
+def test_stream_static_enrich_across_batches(spark, tmp_path):
+    # the static dimension is joined inside EVERY micro-batch: events
+    # for the same segment arriving in different batches must land in
+    # the same (window, segment) group with an aggregated sum
+    from master_airflow_spark.streaming.events import enriched_segment_agg
+
+    d = _stage(
+        tmp_path,
+        [
+            [(1, "2024-01-01 10:05:00", 1, "click", 2.0, "{}"),
+             (2, "2024-01-01 10:10:00", 2, "view", 3.0, "{}")],
+            [(3, "2024-01-01 10:20:00", 1, "click", 5.0, "{}"),
+             # user 99 has no dimension row → inner join drops it
+             (4, "2024-01-01 10:25:00", 99, "click", 7.0, "{}")],
+        ],
+    )
+    dim = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY")], ["c_custkey", "c_mktsegment"]
+    )
+    out = run_to_memory(
+        enriched_segment_agg(read_events_stream(spark, d), dim), "complete"
+    ).collect()
+    got = {(r.c_mktsegment, r.n_events, r.sum_value) for r in out}
+    assert got == {("BUILDING", 2, 7.0), ("MACHINERY", 1, 3.0)}
+    assert all(r.window_start.minute == 0 for r in out)
