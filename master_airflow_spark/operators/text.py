@@ -566,3 +566,77 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("toks", F.col("chunk_start") + 1, F.lit(32)), " "
         ).alias("chunk_text"),
     )
+
+
+@register(
+    "training_corpus_pipeline",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, source, {_SQL_TOKS} AS toks,
+           md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+),
+q AS (
+    SELECT * FROM t
+    WHERE len(toks) BETWEEN 20 AND 1000
+      AND CAST(len(list_filter(toks, x -> x IN {_SQL_STOP})) AS DOUBLE)
+          / len(toks) >= 0.05
+),
+d AS (
+    SELECT * FROM q
+    QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+),
+c AS (
+    SELECT doc_id, source, len(toks) AS n,
+           unnest(range(0, len(toks), 24)) AS s
+    FROM d
+)
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_chunks,
+       CAST(sum(least(32, n - s)) AS BIGINT) AS n_tokens_packed
+FROM c GROUP BY source
+""",
+    tags=("quality", "X23", "X26", "sampling"),
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data funnel in one declarative plan:
+    quality gate (20≤tokens≤1000, stopword ratio ≥0.05) → exact dedup
+    on the normalized-content fingerprint (keep lowest doc_id) →
+    32/24-stride chunking → per-source packing stats. Each stage is
+    the single-purpose operator elsewhere in the registry
+    (text_quality, dedup_exact, doc_chunks); this shows they compose
+    into one Catalyst plan: the gate's filter runs at the scan, the
+    only shuffles are the fp-dedup window and the final source
+    aggregate — the same two a 100 TB run needs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        tokens().alias("toks"),
+        F.md5(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("fp"),
+    )
+    n = F.size("toks")
+    stop_ratio = (
+        F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS))).cast("double") / n
+    )
+    gated = docs.where(n.between(20, 1000) & (stop_ratio >= 0.05))
+    deduped = (
+        gated.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    chunks = deduped.select(
+        "doc_id",
+        "source",
+        n.alias("n"),
+        F.posexplode(F.sequence(F.lit(0), n - 1, F.lit(24))).alias("ci", "s"),
+    )
+    return chunks.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.least(F.lit(32), F.col("n") - F.col("s"))).cast("long").alias(
+            "n_tokens_packed"
+        ),
+    )
