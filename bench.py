@@ -105,6 +105,7 @@ HEADLINE = [
     "cosine_topk",
     "embedding_near_dup",
     "text_quality",
+    "training_corpus_pipeline",
     "stream_tumbling_agg",
     "stream_session_window",
 ]
