@@ -40,47 +40,35 @@ _SQL_L2 = "sqrt(list_sum(list_transform({e}, x -> CAST(x AS DOUBLE) * CAST(x AS 
 @register(
     "embedding_centroids",
     oracle=f"""
-WITH sums AS (
-    SELECT label, d,
-           sum(CAST(round(CAST(v AS DOUBLE) * {_FP}) AS BIGINT)) AS s,
-           count(*) AS n
-    FROM (SELECT label, unnest(embedding) AS v,
-                 unnest(range(1, len(embedding) + 1)) AS d
-          FROM embeddings)
-    GROUP BY label, d
-)
-SELECT label,
-       max(n) AS n_vectors,
-       list(CAST(s AS DOUBLE) / {_FP} / n ORDER BY d) AS centroid
-FROM sums GROUP BY label
+SELECT label, d,
+       count(*) AS n_vectors,
+       CAST(sum(CAST(round(CAST(v AS DOUBLE) * {_FP}) AS BIGINT)) AS DOUBLE)
+           / {_FP} / count(*) AS centroid_val
+FROM (SELECT label, unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS d
+      FROM embeddings)
+GROUP BY label, d
 """,
     tags=("X25", "X5"),
 )
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column: posexplode to
     (label, dim, value), accumulate fixed-point longs (exact,
-    order-independent), rebuild the ordered centroid array. Two hash
-    aggregates — (label, dim) then label — both map-side combinable;
-    this is the k-means/update step shape at corpus scale."""
+    order-independent). One hash aggregate keyed (label, dim) — map-side
+    combinable; this is the k-means/update step shape at corpus scale.
+    Judged output is one row per (label, dim) — exploded rather than an
+    array column, which the driver's canonicalizer cannot hash; double
+    values stay doubles so cross-engine equality is bitwise."""
     e = load_table(spark, sf_dir, "embeddings")
     dims = e.select(
         "label", F.posexplode("embedding").alias("d0", "v")
     ).select("label", (F.col("d0") + 1).alias("d"), "v")
     sums = dims.groupBy("label", "d").agg(
         F.sum(F.round(F.col("v").cast("double") * _FP).cast("long")).alias("s"),
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).alias("n_vectors"),
     )
-    mean = F.col("s").cast("double") / _FP / F.col("n")
-    return (
-        sums.select("label", "d", "n", mean.alias("m"))
-        .groupBy("label")
-        .agg(
-            F.max("n").alias("n_vectors"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "m"))), lambda x: x["m"]
-            ).alias("centroid"),
-        )
-    )
+    mean = F.col("s").cast("double") / _FP / F.col("n_vectors")
+    return sums.select("label", "d", "n_vectors", mean.alias("centroid_val"))
 
 
 @register(
@@ -88,10 +76,12 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT vec_id, label,
        {_SQL_L2.format(e="embedding")} AS l2_norm,
-       list_transform(embedding,
-                      x -> CAST(x AS DOUBLE) / {_SQL_L2.format(e="embedding")})
-           AS unit_vec
-FROM embeddings
+       d,
+       CAST(v AS DOUBLE) / {_SQL_L2.format(e="embedding")} AS unit_val
+FROM (SELECT vec_id, label, embedding,
+             unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS d
+      FROM embeddings)
 """,
     tags=("X25", "X16"),
 )
@@ -99,14 +89,22 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-L2 normalization per vector — the preprocessing step before
     cosine retrieval. Pure per-row array expressions (zero shuffle,
     scan speed); the norm fold is left-to-right so any engine agrees
-    bit-for-bit."""
+    bit-for-bit. Judged output is one row per (vec_id, dim) — the
+    driver's canonicalizer cannot hash array cells, and exploding keeps
+    the doubles bit-exact (string formatting of doubles would not be)."""
     e = load_table(spark, sf_dir, "embeddings")
     norm = _l2_norm(F.col("embedding"))
     return e.select(
         "vec_id",
         "label",
         norm.alias("l2_norm"),
-        F.transform("embedding", lambda x: x.cast("double") / norm).alias("unit_vec"),
+        F.posexplode("embedding").alias("d0", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "l2_norm",
+        (F.col("d0") + 1).alias("d"),
+        (F.col("v").cast("double") / F.col("l2_norm")).alias("unit_val"),
     )
 
 
@@ -115,11 +113,14 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT vec_id,
        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
-       list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * 127
-                           / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))
-                AS INT)) AS q8
-FROM embeddings
+       d,
+       CAST(round(CAST(v AS DOUBLE) * 127
+                  / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))
+            AS INT) AS q8_val
+FROM (SELECT vec_id, embedding,
+             unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS d
+      FROM embeddings)
 """,
     tags=("X25", "X16"),
 )
@@ -127,16 +128,22 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization per vector: scale by
     127/max|x|, round to the nearest integer — an 8× storage cut for
     ANN indexes. Per-row array expressions only; the max-abs reduction
-    and the rounding rule (half away from zero) agree across engines."""
+    and the rounding rule (half away from zero) agree across engines.
+    Judged output is one row per (vec_id, dim) — exploded so the
+    driver's canonicalizer never sees an array cell."""
     e = load_table(spark, sf_dir, "embeddings")
     max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
     return e.select(
         "vec_id",
         max_abs.alias("max_abs"),
-        F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * 127 / max_abs).cast("int"),
-        ).alias("q8"),
+        F.posexplode("embedding").alias("d0", "v"),
+    ).select(
+        "vec_id",
+        "max_abs",
+        (F.col("d0") + 1).alias("d"),
+        F.round(F.col("v").cast("double") * 127 / F.col("max_abs"))
+        .cast("int")
+        .alias("q8_val"),
     )
 
 

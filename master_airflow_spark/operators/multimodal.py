@@ -144,5 +144,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads
     (mapInPandas). Deterministic byte-histogram features stand in for
     the stubbed decoder; rows-only check (binary + UDF not
-    SQL-oracle-able)."""
-    return byte_features(with_payload(load_table(spark, sf_dir, "documents")))
+    SQL-oracle-able). The feature vector is serialized to a
+    comma-joined string in the judged output — the driver canonicalizes
+    even rows-only results and cannot hash array cells."""
+    feats = byte_features(with_payload(load_table(spark, sf_dir, "documents")))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.concat_ws(
+            ",", F.transform("features", lambda v: v.cast("string"))
+        ).alias("features"),
+    )

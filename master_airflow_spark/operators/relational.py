@@ -349,7 +349,7 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_arrays",
     oracle="""
 SELECT o_orderstatus,
-       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
        len(list(DISTINCT o_orderpriority)) AS n_priorities
 FROM orders
 GROUP BY o_orderstatus
@@ -359,12 +359,16 @@ GROUP BY o_orderstatus
 def agg_collect_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-building aggregates: collect_set per group, sorted for
     determinism (collect order is partition-dependent; the sort makes
-    the result a pure function of the group's value set)."""
+    the result a pure function of the group's value set). The judged
+    output joins the array to a '|'-delimited string — the driver's
+    canonicalizer cannot hash list cells."""
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.concat_ws("|", F.sort_array(F.collect_set("o_orderpriority"))).alias(
+                "priorities"
+            ),
             F.size(F.collect_set("o_orderpriority")).alias("n_priorities"),
         )
     )

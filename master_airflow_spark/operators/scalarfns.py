@@ -83,7 +83,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "math_conditional",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(0.07 AS DECIMAL(4,2)), 2) AS tax7,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(0.07 AS DECIMAL(4,2)), 2) AS DOUBLE) AS tax7,
        abs(l_discount - 0.05) AS disc_dev,
        CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
        CAST(floor(l_quantity / 10) AS BIGINT) AS qty_decile,
@@ -101,7 +101,9 @@ def math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X15: round/abs/ceil/floor/CASE/greatest/least/mod. The rounded
     tax is computed on DECIMAL (half-up on exact digits) — rounding
     binary doubles at a .5 boundary is engine-dependent; decimals
-    aren't."""
+    aren't — then cast back to DOUBLE so both engines emit the same
+    representation (a DECIMAL cell vs a float cell hash-mismatches in
+    the driver even when numerically equal)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -112,7 +114,9 @@ def math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(18,2)")
             * F.lit(0.07).cast("decimal(4,2)"),
             2,
-        ).alias("tax7"),
+        )
+        .cast("double")
+        .alias("tax7"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor(F.col("l_quantity") / 10).alias("qty_decile"),
@@ -130,29 +134,36 @@ def math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_functions",
     oracle="""
 SELECT p_partkey,
-       string_split(p_name, ' ') AS tokens,
+       array_to_string(string_split(p_name, ' '), '|') AS tokens,
        len(string_split(p_name, ' ')) AS n_tokens,
-       list_sort(string_split(p_name, ' ')) AS sorted_tokens,
+       array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_tokens,
        list_contains(string_split(p_name, ' '), 'widget') AS has_widget,
        array_to_string(list_reverse(string_split(p_name, ' ')), ' ') AS reversed_name,
-       list_transform(string_split(p_name, ' '), t -> length(t)) AS token_lens
+       array_to_string(list_transform(string_split(p_name, ' '), t -> length(t)), '|')
+           AS token_lens
 FROM part
 """,
     tags=("X16",),
 )
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X16: split/size/sort_array/array_contains/reverse/transform over
-    token arrays (higher-order functions stay JVM-side)."""
+    token arrays (higher-order functions stay JVM-side). Array columns
+    are joined to '|'-delimited strings in the judged output — the
+    driver's canonicalizer cannot hash list cells — via concat_ws /
+    array_to_string, which format strings and ints identically on both
+    engines. The array ops themselves still run on real arrays."""
     p = load_table(spark, sf_dir, "part")
     toks = F.split("p_name", " ")
     return p.select(
         "p_partkey",
-        toks.alias("tokens"),
+        F.concat_ws("|", toks).alias("tokens"),
         F.size(toks).alias("n_tokens"),
-        F.sort_array(toks).alias("sorted_tokens"),
+        F.concat_ws("|", F.sort_array(toks)).alias("sorted_tokens"),
         F.array_contains(toks, "widget").alias("has_widget"),
         F.concat_ws(" ", F.reverse(toks)).alias("reversed_name"),
-        F.transform(toks, lambda t: F.length(t)).alias("token_lens"),
+        F.concat_ws(
+            "|", F.transform(toks, lambda t: F.length(t).cast("string"))
+        ).alias("token_lens"),
     )
 
 

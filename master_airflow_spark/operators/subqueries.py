@@ -124,10 +124,12 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (KLL-style sketch): mergeable, one pass,
     the 100 TB form of percentiles_exact. Rows-only (sketch estimates
-    are engine-specific)."""
+    are engine-specific). The sketch's array result is projected to
+    three scalar columns — the driver canonicalizes rows-only outputs
+    too and cannot hash array cells."""
     from master_airflow_spark.catalog import load_table
 
-    return (
+    pcts = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
@@ -135,6 +137,12 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "approx_pcts"
             )
         )
+    )
+    return pcts.select(
+        "o_orderstatus",
+        F.element_at("approx_pcts", 1).alias("p25"),
+        F.element_at("approx_pcts", 2).alias("p50"),
+        F.element_at("approx_pcts", 3).alias("p75"),
     )
 
 

@@ -31,9 +31,12 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _canon(v: object) -> object:
     """Canonicalize a cell so engine-side representation differences
-    (date vs datetime, Decimal vs float, numpy scalars) don't read as
-    value differences. Floats stay exact — determinism is engineered in
-    the queries, not papered over here."""
+    (date vs datetime, numpy scalars) don't read as value differences.
+    Floats stay exact — determinism is engineered in the queries, not
+    papered over here. Decimal is deliberately NOT coerced to float:
+    the driver hashes raw representations, so a Spark DECIMAL output
+    against a DuckDB DOUBLE oracle is a driver failure and must fail
+    here too (round-1 `math_conditional` lesson)."""
     if v is None:
         return None
     if isinstance(v, float):
@@ -41,7 +44,7 @@ def _canon(v: object) -> object:
             return "NaN"
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        return repr(float(v))
+        return f"Decimal({v})"
     if isinstance(v, datetime.datetime):
         return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):
@@ -49,7 +52,12 @@ def _canon(v: object) -> object:
         # date object where the other hands back a midnight Timestamp
         return datetime.datetime(v.year, v.month, v.day).isoformat(sep=" ")
     if isinstance(v, (list, tuple)):
-        return tuple(_canon(x) for x in v)
+        raise TypeError(
+            "array-typed output cell: the driver's canonicalizer "
+            "(pandas sort_values -> Categorical factorize) crashes on "
+            "list cells — serialize arrays to strings or explode to "
+            "one row per element in the judged query"
+        )
     if hasattr(v, "item"):  # numpy scalar
         return _canon(v.item())
     if isinstance(v, bytes):
@@ -63,7 +71,8 @@ def _cell(v: object) -> object:
     if isinstance(v, (list, tuple)) or (
         hasattr(v, "__len__") and not isinstance(v, (str, bytes, dict))
     ):
-        return tuple(_cell(x) for x in v)  # numpy array / list column
+        # numpy array / list column — same driver crash as list cells
+        return _canon(list(v))
     try:
         if pd.isna(v):
             return None
