@@ -26,7 +26,9 @@ from master_airflow_spark.catalog import load_table
 from master_airflow_spark.registry import register
 
 QUERY_STRIDE = 50  # vec_id % 50 == 0 → deterministic query subset
+MAX_QUERIES = 1024  # hard cap on the broadcast query side (bounds driver memory)
 TOP_K = 5
+NEAR_DUP_BLOCKS = 8  # block count for the all-pairs self-join
 
 
 DIM = 64  # embedding dimensionality of the driver tables
@@ -88,25 +90,28 @@ def _seq_norms(M: "np.ndarray") -> "np.ndarray":
 
 def _pairs_kernel(
     corpus: DataFrame,
-    q_ids: "np.ndarray",
-    Q: "np.ndarray",
+    bc_queries,  # SparkContext.broadcast of (q_ids ndarray, Q ndarray)
     *,
     top_k: int | None,
     threshold: float | None,
     upper_triangle: bool,
 ) -> DataFrame:
     """Stream corpus batches × broadcast query matrix → (q_id, n_id,
-    cosine) pairs. Per-batch pruning keeps only the top_k best
-    neighbors per query (a superset of the global top-k) and/or rows
-    above the threshold, so the shuffle after the kernel carries
-    O(k·|Q|·partitions) rows, not |corpus|·|Q|."""
+    cosine) pairs. The query matrix ships as a SparkContext broadcast
+    (one torrent transfer per executor, NOT per-task closure
+    serialization) and is hard-capped at MAX_QUERIES rows, so driver
+    and executor memory stay bounded no matter the corpus size.
+    Per-batch pruning keeps only the top_k best neighbors per query (a
+    superset of the global top-k) and/or rows above the threshold, so
+    the shuffle after the kernel carries O(k·|Q|·partitions) rows, not
+    |corpus|·|Q|."""
     import numpy as np
     import pandas as pd
 
-    qn = _seq_norms(Q)
-    dim = Q.shape[1]
-
     def run(batches):
+        q_ids, Q = bc_queries.value
+        qn = _seq_norms(Q)
+        dim = Q.shape[1]
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -152,7 +157,8 @@ WITH e AS (
     SELECT vec_id, embedding, {_SQL_NORM.format(e='embedding')} AS nrm
     FROM embeddings
 ),
-q AS (SELECT * FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+q AS (SELECT * FROM e WHERE vec_id % {QUERY_STRIDE} = 0
+      ORDER BY vec_id LIMIT {MAX_QUERIES}),
 pairs AS (
     SELECT q.vec_id AS q_id, e.vec_id AS n_id,
            {_SQL_DOT.format(a='q.embedding', b='e.embedding')} / (q.nrm * e.nrm)
@@ -169,28 +175,38 @@ WHERE rn <= {TOP_K}
     tags=("X25",),
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: every query vector (vec_id % 50 == 0)
-    against the full corpus. The query matrix ships to executors in
-    the kernel closure (the broadcast side); the corpus streams
+    """Exact cosine top-k: the query set (vec_id % 50 == 0, first
+    MAX_QUERIES by vec_id — a hard bound, so the driver never holds
+    data that scales with the corpus) against the full corpus. The
+    query matrix ships as an executor broadcast; the corpus streams
     through in Arrow batches with per-batch top-k pruning, so the
     post-kernel shuffle carries only k·|Q| rows per partition; a
     window then takes the global top-k. The corpus itself never
     shuffles."""
-    import numpy as np
-
     e = load_table(spark, sf_dir, "embeddings")
-    qrows = (
+    bc = _broadcast_queries(
+        spark,
         e.where(F.col("vec_id") % QUERY_STRIDE == 0)
         .select("vec_id", "embedding")
-        .collect()
+        .orderBy("vec_id")
+        .limit(MAX_QUERIES),
     )
-    q_ids = np.array([r.vec_id for r in qrows])
-    Q = np.stack([np.asarray(r.embedding, dtype=np.float32) for r in qrows]).astype(
-        np.float64
-    )
-    pairs = _pairs_kernel(e, q_ids, Q, top_k=TOP_K, threshold=None, upper_triangle=False)
+    pairs = _pairs_kernel(e, bc, top_k=TOP_K, threshold=None, upper_triangle=False)
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
+
+
+def _broadcast_queries(spark: SparkSession, q_df: DataFrame):
+    """Materialize a BOUNDED query DataFrame (caller must cap it, e.g.
+    ``.limit(MAX_QUERIES)``) into a SparkContext broadcast of
+    (q_ids, Q-matrix). The only driver-side materialization in this
+    module — O(MAX_QUERIES·dim), independent of corpus size."""
+    import numpy as np
+
+    rows = q_df.collect()
+    q_ids = np.array([r[0] for r in rows])
+    Q = np.stack([np.asarray(r[1], dtype=np.float32) for r in rows]).astype(np.float64)
+    return spark.sparkContext.broadcast((q_ids, Q))
 
 
 # -- LSH-bucketed ANN (scale path) ------------------------------------------
@@ -263,7 +279,13 @@ def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", norm("embedding").alias("nrm")
     )
     banded = _with_lsh_tables(e)
-    q = banded.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+    q_ids = (
+        e.where(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(MAX_QUERIES)  # bounded query side — broadcastable at any SF
+    )
+    q = banded.join(F.broadcast(q_ids), "vec_id").select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -289,23 +311,28 @@ def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CELLS = 16
 KMEANS_ITERS = 3
 N_PROBE = 2
+IVF_SAMPLE = 4096  # k-means training sample cap — bounds driver memory
 
 
 def _ivf_centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
-    """Deterministic coarse quantizer: Lloyd's k-means with fixed
-    seeding (every (n/k)-th vector by vec_id rank) and a fixed
-    iteration count — no RNG, same centroids every run. Centroid count
-    is small (N_CELLS), so assignment is a broadcast crossJoin; the
-    per-cell mean is one hash aggregate per iteration."""
+    """Deterministic coarse quantizer: Lloyd's k-means over a BOUNDED
+    sample (first IVF_SAMPLE vectors by vec_id — deterministic, and at
+    most O(IVF_SAMPLE·dim) on the driver no matter the corpus size)
+    with fixed seeding (every (n/k)-th sample vector) and a fixed
+    iteration count — no RNG, same centroids every run. A coarse
+    quantizer trained on a few thousand points is the standard IVF
+    recipe (FAISS trains on a sample too); the full corpus is only
+    ever touched by the distributed cell-assignment pass."""
     import numpy as np
 
-    rows = e.select("vec_id", "embedding").collect()
-    ids = sorted(r.vec_id for r in rows)
-    stride = max(1, len(ids) // N_CELLS)
-    seed_ids = set(ids[::stride][:N_CELLS])
-    M = {r.vec_id: np.asarray(r.embedding, dtype=np.float32).astype(np.float64) for r in rows}
-    cents = [M[i] for i in sorted(seed_ids)]
-    X = np.stack(list(M.values()))
+    rows = (
+        e.select("vec_id", "embedding").orderBy("vec_id").limit(IVF_SAMPLE).collect()
+    )
+    X = np.stack([np.asarray(r.embedding, dtype=np.float32) for r in rows]).astype(
+        np.float64
+    )
+    stride = max(1, len(rows) // N_CELLS)
+    cents = [X[i] for i in range(0, len(rows), stride)[:N_CELLS]][:N_CELLS]
     for _ in range(KMEANS_ITERS):
         C = np.stack(cents)
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
@@ -350,16 +377,15 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = e.select("vec_id", "embedding").mapInPandas(assign, "vec_id long, cell int")
     corpus = e.join(cells, "vec_id")
 
-    # queries → N_PROBE nearest cells
-    qrows = (
+    # queries → N_PROBE nearest cells (bounded query side, as cosine_topk)
+    bc = _broadcast_queries(
+        spark,
         e.where(F.col("vec_id") % QUERY_STRIDE == 0)
         .select("vec_id", "embedding")
-        .collect()
+        .orderBy("vec_id")
+        .limit(MAX_QUERIES),
     )
-    q_ids = np.array([r.vec_id for r in qrows])
-    Q = np.stack([np.asarray(r.embedding, dtype=np.float32) for r in qrows]).astype(
-        np.float64
-    )
+    q_ids, Q = bc.value
     qd2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     probe_rows = [
         (int(q_ids[qi]), int(c))
@@ -422,21 +448,68 @@ WHERE a.vec_id < b.vec_id
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.95) — the
-    all-pairs form, exact: the full corpus matrix rides the kernel
-    closure as the query side (fine while the corpus fits a broadcast;
-    at 100 TB the same threshold query runs over LSH buckets — see
-    lsh_bucketed_ann — with this exact variant as the per-bucket
-    kernel). Threshold filtering happens inside the kernel, so almost
-    nothing crosses the post-kernel boundary."""
+    all-pairs form, exact, fully distributed: a blocked self-join.
+    Each vector hashes to one of NEAR_DUP_BLOCKS blocks; the (bi ≤ bj)
+    block-pair grid replicates each side ~B times (the Afrati-Ullman
+    blocked all-pairs layout: N·B communication for N²/B-per-reducer
+    work — B tunes to sqrt(#reducers) at scale), and a cogrouped
+    numpy kernel computes the block×block cosines with the same
+    left-to-right dimension fold as the oracle, so values stay
+    bit-identical. NOTHING is collected to the driver; threshold
+    filtering happens inside the kernel so almost nothing crosses the
+    post-kernel boundary."""
     import numpy as np
+    import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
-    rows = e.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows])
-    M = np.stack([np.asarray(r.embedding, dtype=np.float32) for r in rows]).astype(
-        np.float64
+    B = NEAR_DUP_BLOCKS
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(B) for j in range(i, B)], "bi int, bj int"
     )
-    pairs = _pairs_kernel(e, ids, M, top_k=None, threshold=0.95, upper_triangle=True)
-    return pairs.select(
-        F.col("q_id").alias("a_id"), F.col("n_id").alias("b_id"), "cosine"
+    blk = F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int")
+    e2 = e.select("vec_id", "embedding", blk.alias("blk"))
+
+    def side(bound_col: str) -> DataFrame:
+        s, g = e2.alias("s"), grid.alias("g")
+        return s.join(
+            F.broadcast(g), F.col("s.blk") == F.col(f"g.{bound_col}")
+        ).select(
+            F.col("g.bi").alias("bi"),
+            F.col("g.bj").alias("bj"),
+            F.col("s.vec_id").alias("vec_id"),
+            F.col("s.embedding").alias("embedding"),
+        )
+
+    left, right = side("bi"), side("bj")
+
+    def kern(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        A = _to_matrix(lpdf["embedding"])
+        Bm = _to_matrix(rpdf["embedding"])
+        acc = np.zeros((A.shape[0], Bm.shape[0]))
+        for i in range(A.shape[1]):
+            acc = acc + A[:, i : i + 1] * Bm[:, i][None, :]
+        cos = acc / (_seq_norms(A)[:, None] * _seq_norms(Bm)[None, :])
+        ai, bi_ = np.nonzero(cos >= 0.95)
+        a_ids = lpdf["vec_id"].to_numpy()[ai]
+        b_ids = rpdf["vec_id"].to_numpy()[bi_]
+        out = pd.DataFrame({"a_id": a_ids, "b_id": b_ids, "cosine": cos[ai, bi_]})
+        if key[0] == key[1]:
+            # intra-block: both orderings of each pair are present —
+            # keep the a < b one (also drops the self-pair diagonal)
+            return out[out["a_id"] < out["b_id"]]
+        # cross-block: each unordered pair appears exactly once (left
+        # is always the bi side); normalize to a < b by swapping —
+        # cosine is symmetric bitwise (per-dim products and the norm
+        # product commute), so the oracle's value is preserved
+        swap = out["a_id"] > out["b_id"]
+        out.loc[swap, ["a_id", "b_id"]] = out.loc[swap, ["b_id", "a_id"]].to_numpy()
+        return out
+
+    return (
+        left.groupby("bi", "bj")
+        .cogroup(right.groupby("bi", "bj"))
+        .applyInPandas(kern, "a_id long, b_id long, cosine double")
     )
