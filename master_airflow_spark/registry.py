@@ -105,19 +105,20 @@ PRIORITY: tuple[str, ...] = (
     "doc_chunks",
     "training_corpus_pipeline",
     # stats / sessionization / unpivot
-    "stats_moments",
-    "corr_qty_price",
     "conditional_aggregates",
-    "listagg_nation_customers",
     "sessionize_events",
-    "window_distribution",
     "unpivot_lineitem_measures",
+    # streaming with exact oracles (X19-X21 certification)
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_window",
+    "stream_interval_join",
+    "stream_static_enrich",
     # restructured this round
     "embedding_near_dup",
     # pandas-UDF family
     "pandas_udf_scalar",
     "pandas_udaf_median",
-    "apply_in_pandas_scale",
 )
 
 

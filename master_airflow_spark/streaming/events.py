@@ -128,21 +128,53 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> 
     )
 
 
+def _checkpoint_root() -> str:
+    """Prefer tmpfs for drain checkpoints: the offset/commit/state-store
+    files of a bounded AvailableNow drain are pure scratch — RAM-backed
+    I/O cuts the fixed per-drain cost. Production streams should pass a
+    durable object-store checkpoint instead (this helper is only for
+    drain-and-discard runs)."""
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm"
+    return tempfile.gettempdir()
+
+
 def run_to_memory(
-    stream_df: DataFrame, output_mode: str = "append", name: str | None = None
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    name: str | None = None,
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Drain a stream with Trigger.AvailableNow into a memory sink and
-    return the materialized result table."""
+    return the materialized result table.
+
+    The drain runs with a reduced shuffle-partition count: a streaming
+    query latches ``spark.sql.shuffle.partitions`` into its state-store
+    layout at first start, and every state partition writes its own
+    delta/commit files per trigger — 32 partitions of checkpoint I/O
+    for a bounded drain is pure overhead. On a real cluster with a
+    long-lived query, size ``state_partitions`` to the key cardinality
+    instead."""
+    import shutil
+
     qname = name or f"q_{uuid.uuid4().hex[:10]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = stream_df.sparkSession
+    ckpt = os.path.join(_checkpoint_root(), "mas_ckpt", qname)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(qname)
 
 
