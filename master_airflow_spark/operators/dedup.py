@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from master_airflow_spark.catalog import load_table
-from master_airflow_spark.registry import register
+from master_airflow_spark.registry import register, track_cache
 
 
 @register(
@@ -187,6 +187,27 @@ def with_bands(df: DataFrame, sig: str = "sig") -> DataFrame:
     )
 
 
+def minhash_signatures(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, sig) via per-row array expressions — ZERO shuffle: token
+    hashes materialize as a real column first (an attribute reference
+    inside transform() is read per element, whereas an inline outer
+    array EXPRESSION would re-evaluate per element — the quadratic
+    lambda trap), then the k-gram fold and the 16 affine-min lanes run
+    inside WholeStageCodegen at scan speed. Preferred form for bounded-
+    length documents; minhash_signatures_exploded below is the
+    shuffle-based shape for corpora with pathologically long rows."""
+    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    d1 = docs.select("doc_id", F.transform(toks, _tok_hash).alias("th"))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("th")),
+        lambda i: _fold(
+            [F.coalesce(F.try_element_at(F.col("th"), i + j), F.lit(j)) for j in range(k)]
+        ),
+    )
+    d2 = d1.select("doc_id", sh.alias("sh"))
+    return d2.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+
+
 def minhash_signatures_exploded(docs: DataFrame, k: int = 5) -> DataFrame:
     """(doc_id, sig) via the shuffle-based shingling pipeline — the
     shape that scales: posexplode tokens → ONE string hash per token →
@@ -284,13 +305,23 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle and diff-checked exactly.
 
     Scale: the self-join key (band_id, band_hash) is uniform by
-    construction; no document body crosses the shuffle — only doc_id +
-    16×int64 signature."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = minhash_signatures_exploded(docs)
-    # persist: the banded signatures feed BOTH sides of the self-join —
-    # without it the signature pipeline runs twice.
-    banded = with_bands(sigs).persist()
+    construction; no document body crosses the band-join shuffle —
+    only doc_id + 16×int64 signature. The up-front repartition on
+    doc_id spreads signature hashing across the cluster even when the
+    source arrives as few large splits; both self-join sides recompute
+    the signatures rather than caching them — per-row codegen hashing
+    is cheaper than a persist round-trip, and it keeps executor
+    storage memory free at corpus scale."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # explicit partition count: a count-less repartition(col) is an
+        # AQE-coalescible exchange, and this tiny-bytes/heavy-compute
+        # shuffle coalesces to ONE partition — serializing the hashing
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
+    sigs = minhash_signatures(docs)
+    banded = with_bands(sigs)
     left = banded.select(
         F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"), "band_id", "band_hash"
     )
@@ -381,7 +412,8 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash",
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_value").alias("band_value"),
-    ).persist()
+    )
+    banded = track_cache(banded)
     left = banded.select(
         F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_fp"), "band_id", "band_value"
     )

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from master_airflow_spark.catalog import load_table
 from master_airflow_spark.functions.hashing import portable_hash60, sql_portable_hash60
-from master_airflow_spark.registry import register
+from master_airflow_spark.registry import register, track_cache
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
 
@@ -234,19 +234,25 @@ SELECT * FROM (
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over MinHash-LSH candidate pairs: the
     verify stage of the near-dup pipeline. Candidates come from the
-    exploded signature pipeline (dedup.minhash_signatures_exploded —
-    the scale shape, no lambda-re-evaluation trap); exact Jaccard
+    per-row array signature pipeline (dedup.minhash_signatures, with a
+    doc_id repartition for scan parallelism); exact Jaccard
     (array_intersect / array_union over distinct string shingles,
     joined back by doc_id) runs only on candidates."""
     from master_airflow_spark.operators.dedup import (
-        minhash_signatures_exploded,
+        minhash_signatures,
         shingles,
         with_bands,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = minhash_signatures_exploded(docs)
-    banded = with_bands(sigs).persist()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # explicit count — see dedup.minhash_near_dup: AQE would
+        # coalesce a count-less column repartition to one partition
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
+    sigs = minhash_signatures(docs)
+    banded = with_bands(sigs)
     left = banded.select(F.col("doc_id").alias("a_id"), "band_id", "band_hash")
     right = banded.select(F.col("doc_id").alias("b_id"), "band_id", "band_hash")
     pairs = (
@@ -265,8 +271,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         docs.join(cand_ids, "doc_id", "left_semi")
         .select("doc_id", F.array_distinct(shingles("text")).alias("sh"))
-        .persist()
     )
+    sh = track_cache(sh)
     joined = (
         pairs.join(sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh")), "a_id")
         .join(sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")), "b_id")
@@ -376,8 +382,8 @@ def jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source")
         .agg(F.sort_array(F.collect_list("r")).alias("rs"))
         .withColumn("n", F.size("rs"))
-        .persist()
     )
+    ranked = track_cache(ranked)
     # prefix filter: pairs at J >= t must share a gram in the first
     # n - ceil(t*n) + 1 rarest grams of BOTH sets
     prefix = ranked.select(

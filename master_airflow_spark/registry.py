@@ -139,6 +139,30 @@ def oracles() -> dict[str, str]:
     }
 
 
+# Intra-query caches (persist() of a frame feeding both sides of a
+# self-join). They must outlive the query's ACTION, so the query fn
+# can't unpersist them itself — it records them here and the harness
+# releases them once the result is materialized, keeping executor
+# memory flat across a long many-query session.
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """Persist df and register it for release_caches()."""
+    df.persist()
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every tracked cache (call after consuming a query)."""
+    while _TRACKED_CACHES:
+        try:
+            _TRACKED_CACHES.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
 _loaded = False
 
 

@@ -143,3 +143,4 @@ def run_one(
         return compare(name, sdf, con, spec.oracle)
     finally:
         con.close()
+        registry.release_caches()  # keep executor memory flat across queries
