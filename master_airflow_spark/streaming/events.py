@@ -143,7 +143,7 @@ def run_to_memory(
     stream_df: DataFrame,
     output_mode: str = "append",
     name: str | None = None,
-    state_partitions: int = 8,
+    state_partitions: int = 4,
 ) -> DataFrame:
     """Drain a stream with Trigger.AvailableNow into a memory sink and
     return the materialized result table.
