@@ -73,6 +73,56 @@ def write_keyed_upsert(
     writer.parquet(path)
 
 
+def jdbc_options(
+    url: str,
+    table: str,
+    *,
+    batchsize: int = 10_000,
+    isolation_level: str = "READ_COMMITTED",
+    truncate: bool = False,
+    properties: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Option set for Spark's JDBC writer — the real W2 wire path
+    (reference dags/get_prices_load_postgres.py:59-65 does one INSERT
+    per row over psycopg2; Spark's JDBC sink batches ``batchsize``
+    rows per executeBatch round trip, one connection per partition).
+    Kept as a pure function so the contract is unit-testable without a
+    database in the loop."""
+    if batchsize < 1:
+        raise ValueError(f"batchsize must be >= 1, got {batchsize}")
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batchsize),
+        "isolationLevel": isolation_level,
+        "truncate": str(truncate).lower(),
+    }
+    opts.update(properties or {})
+    return opts
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    num_partitions: int | None = None,
+    **kwargs,
+) -> None:
+    """Append rows to an external RDBMS table over JDBC (W2). ``mode``
+    follows DataFrameWriter semantics; ``num_partitions`` caps the
+    concurrent connections (repartition before write — at scale, N
+    partitions = N parallel COPY-ish streams; size it to what the
+    database can absorb, not to the cluster)."""
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    writer = df.write.format("jdbc").mode(mode)
+    for k, v in jdbc_options(url, table, **kwargs).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def create_table_if_not_exists(
     spark: SparkSession, name: str, ddl_schema: str, using: str = "parquet"
 ) -> None:
