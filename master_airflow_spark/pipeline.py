@@ -133,6 +133,55 @@ class Pipeline:
         return [self.run(spark, d, params) for d in run_dates]
 
 
+class DailySchedule:
+    """O4 recurring trigger — the reference's ``schedule_interval=
+    '@daily'`` (dags/get_prices_load_mongodb.py:78) with Airflow's
+    execution-date semantics: the run FOR logical date D fires once
+    the day AFTER D has started (data for D is complete). Pure date
+    arithmetic — the caller owns the clock and the sleep, so the
+    trigger loop is deterministic and testable, and in production the
+    same object drives a real loop or an external scheduler tick."""
+
+    def __init__(self, pipeline: Pipeline, start_date: str):
+        import datetime as _dt
+
+        self._dt = _dt
+        self.pipeline = pipeline
+        self.start = _dt.date.fromisoformat(start_date)
+        self.completed: set[str] = set()
+
+    def due(self, now: str) -> list[str]:
+        """Logical dates whose runs are due at wall-time ``now``
+        (ISO date or datetime), oldest first, excluding completed —
+        catchup/backfill falls out naturally: a late start returns
+        every missed date."""
+        today = self._dt.datetime.fromisoformat(now).date()
+        last_complete = today - self._dt.timedelta(days=1)
+        out = []
+        d = self.start
+        while d <= last_complete:
+            iso = d.isoformat()
+            if iso not in self.completed:
+                out.append(iso)
+            d += self._dt.timedelta(days=1)
+        return out
+
+    def run_pending(
+        self,
+        spark: SparkSession,
+        now: str,
+        params: dict[str, Any] | None = None,
+    ) -> list[RunContext]:
+        """Execute every due logical date (one tick of the trigger
+        loop). Re-invoking with the same ``now`` is a no-op —
+        idempotent like the stages themselves."""
+        ctxs = []
+        for d in self.due(now):
+            ctxs.append(self.pipeline.run(spark, d, params))
+            self.completed.add(d)
+        return ctxs
+
+
 def gas_prices_pipeline(pages_provider: Callable[[RunContext], DataFrame]) -> Pipeline:
     """The reference's four DAGs as ONE pipeline: DDL → extract →
     derive → fan-out to N sinks (append + keyed-upsert semantics),

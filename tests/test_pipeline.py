@@ -67,3 +67,30 @@ def test_backfill_appends_but_upsert_stays_keyed(spark, tmp_path):
     assert appended.count() == 12  # 3 runs × 4 rows, duplicates kept
     assert upserted.count() == 8  # 2 distinct dates × 4 stations
     assert upserted.select("date", "station").distinct().count() == 8
+
+
+def test_daily_schedule_catchup_and_idempotence(spark):
+    from master_airflow_spark.pipeline import DailySchedule
+
+    p = Pipeline("sched")
+    runs: list[str] = []
+
+    @p.stage("record")
+    def record(ctx: RunContext) -> str:
+        runs.append(ctx.run_date)
+        return ctx.run_date
+
+    sched = DailySchedule(p, start_date="2024-01-01")
+    # airflow execution-date rule: the run FOR day D fires after D ends
+    assert sched.due("2024-01-01T06:00:00") == []
+    assert sched.due("2024-01-02T00:30:00") == ["2024-01-01"]
+    # late start → catchup over every missed date, oldest first
+    assert sched.due("2024-01-04") == ["2024-01-01", "2024-01-02", "2024-01-03"]
+
+    ctxs = sched.run_pending(spark, "2024-01-04")
+    assert [c.run_date for c in ctxs] == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    # same tick again: no duplicate runs
+    assert sched.run_pending(spark, "2024-01-04") == []
+    # next day triggers exactly one more
+    assert [c.run_date for c in sched.run_pending(spark, "2024-01-05")] == ["2024-01-04"]
+    assert runs == ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
