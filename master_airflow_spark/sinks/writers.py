@@ -123,6 +123,36 @@ def write_jdbc(
     writer.save()
 
 
+def write_es_bulk(
+    df: DataFrame, path: str, index: str, id_col: str | None = None
+) -> None:
+    """W3's real wire format without a live cluster: Elasticsearch
+    ``_bulk`` NDJSON — an action line ``{"index": {"_index": ...,
+    "_id": ...}}`` followed by the document source line, per row
+    (reference dags/get_prices_load_elasticsearch.py:52-63 indexes one
+    doc per HTTP call; bulk batches are how that's done at scale).
+    Partition-parallel text write; each output file is a valid _bulk
+    request body ready to POST. Providing ``id_col`` makes re-runs
+    idempotent (ES overwrites by _id), mirroring the keyed-upsert
+    semantics."""
+    meta_fields = [F.lit(index).alias("_index")]
+    if id_col:
+        meta_fields.append(F.col(id_col).cast("string").alias("_id"))
+    action = F.to_json(F.struct(F.struct(*meta_fields).alias("index")))
+    doc = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    df.select(F.concat_ws("\n", action, doc).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def write_mongoimport_jsonl(df: DataFrame, path: str) -> None:
+    """W1's ingest format without a live server: JSON-lines exactly as
+    ``mongoimport`` consumes (reference dags/get_prices_load_mongodb.py
+    :51-66 does insert_one per row). Partition-parallel; append mode =
+    the reference's duplicate-on-rerun semantics."""
+    df.write.mode("append").json(path)
+
+
 def create_table_if_not_exists(
     spark: SparkSession, name: str, ddl_schema: str, using: str = "parquet"
 ) -> None:

@@ -102,3 +102,44 @@ def test_write_jdbc_surfaces_missing_driver(spark):
     with pytest.raises(Exception) as ei:
         write_jdbc(df, "jdbc:nosuchdb://nowhere/x", "t", num_partitions=1)
     assert isinstance(ei.value, Py4JJavaError) or "driver" in str(ei.value).lower()
+
+
+def test_write_es_bulk_format(spark, tmp_path):
+    import glob
+    import json
+
+    from master_airflow_spark.sinks.writers import write_es_bulk
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 9.5), (2, "beta", 1.25)], "doc_id long, name string, score double"
+    )
+    out = str(tmp_path / "bulk")
+    write_es_bulk(df, out, index="prices", id_col="doc_id")
+
+    lines = []
+    for f in sorted(glob.glob(out + "/part-*")):
+        with open(f) as fh:
+            lines += [ln for ln in fh.read().splitlines() if ln]
+    assert len(lines) == 4  # action + doc per row
+    pairs = {json.loads(a)["index"]["_id"]: json.loads(d)
+             for a, d in zip(lines[::2], lines[1::2])}
+    for a in lines[::2]:
+        assert json.loads(a)["index"]["_index"] == "prices"
+    assert pairs["1"]["name"] == "alpha" and pairs["2"]["score"] == 1.25
+
+
+def test_write_mongoimport_jsonl_append(spark, tmp_path):
+    import glob
+    import json
+
+    from master_airflow_spark.sinks.writers import write_mongoimport_jsonl
+
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    out = str(tmp_path / "mongo")
+    write_mongoimport_jsonl(df, out)
+    write_mongoimport_jsonl(df, out)  # append: duplicates on re-run
+    rows = []
+    for f in glob.glob(out + "/part-*"):
+        with open(f) as fh:
+            rows += [json.loads(ln) for ln in fh.read().splitlines() if ln]
+    assert rows == [{"k": 1, "v": "x"}, {"k": 1, "v": "x"}]
