@@ -79,6 +79,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        # Methodology: queries in "rebuilt" re-run fn() inside the
+        # timed pass (their fn performs Spark work); the rest re-execute
+        # a prepared plan (count() repeats the full scan/join/agg; only
+        # py4j plan construction is amortized). Changed in round 3:
+        # cosine_topk moved to rebuilt, so its timings are not
+        # comparable to rounds 1-2.
+        "rebuilt": sorted(REBUILD),
     }
 
     if with_oracle:
@@ -105,9 +112,12 @@ def main() -> None:
 
 # Names of headline queries (filtered to what's registered, so bench
 # never breaks while coverage widens).
-# Queries never served from a prepared plan, always rebuilt and re-run:
-# stream drains perform the work inside fn().
-REBUILD = {"stream_tumbling_agg", "stream_session_window"}
+# Queries never served from a prepared plan, always rebuilt and re-run,
+# because fn() itself performs Spark work: stream drains run the query
+# inside fn(); cosine_topk materializes its bounded query set into an
+# executor broadcast during plan construction. Timing these from a
+# prepared plan would exclude that work from the measurement.
+REBUILD = {"stream_tumbling_agg", "stream_session_window", "cosine_topk"}
 
 HEADLINE = [
     "top1_price_today",

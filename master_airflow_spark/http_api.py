@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import unquote, urlsplit
 
 from pyspark.sql import SparkSession
 
@@ -40,7 +41,11 @@ def make_handler(spark: SparkSession, sf_dir: str):
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (http.server API)
-            fn = routes.get(self.path.rstrip("/") or self.path)
+            # Route on the decoded path component only — query strings
+            # (/prices/today?x=1) and %-encoded paths must still match,
+            # as the reference's FastAPI/Flask routing tolerates both.
+            path = unquote(urlsplit(self.path).path)
+            fn = routes.get(path.rstrip("/") or path)
             if fn is None:
                 self._send(404, {"error": f"no route {self.path}"})
                 return

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from master_airflow_spark.catalog import load_table
-from master_airflow_spark.registry import register
+from master_airflow_spark.registry import register, track_broadcast
 
 QUERY_STRIDE = 50  # vec_id % 50 == 0 → deterministic query subset
 MAX_QUERIES = 1024  # hard cap on the broadcast query side (bounds driver memory)
@@ -206,7 +206,10 @@ def _broadcast_queries(spark: SparkSession, q_df: DataFrame):
     rows = q_df.collect()
     q_ids = np.array([r[0] for r in rows])
     Q = np.stack([np.asarray(r[1], dtype=np.float32) for r in rows]).astype(np.float64)
-    return spark.sparkContext.broadcast((q_ids, Q))
+    # Tracked so release_caches() destroys it once the query result is
+    # consumed — repeated runs in a long-lived session would otherwise
+    # accumulate broadcast blocks on the executors.
+    return track_broadcast(spark.sparkContext.broadcast((q_ids, Q)))
 
 
 # -- LSH-bucketed ANN (scale path) ------------------------------------------

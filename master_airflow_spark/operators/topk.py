@@ -11,12 +11,15 @@ Recast on the driver's star schema: ``l_extendedprice`` over
 date. The reference's ``find_one``/``LIMIT 1`` is tie-nondeterministic
 (SURVEY.md §2.4); every query here adds a total-order tiebreaker.
 
-Scale notes: ORDER BY + LIMIT k compiles to TakeOrderedAndProject — a
-per-partition top-k then a k-row merge on the driver, no global sort —
-and the "today" filter reaches the parquet scan as a pushed predicate
-(partition pruning when the layout partitions by date). The scalar
-"max date" is computed as a 1-row aggregate joined back via broadcast:
-no driver-side collect, one extra lightweight job at any scale.
+Scale notes: both top-1 queries compile to a SINGLE hash aggregate
+over one scan — argmax/argmin encoded as ``max(struct(...))`` with
+sign-flipped tiebreaker fields, so each partition reduces to two
+16-byte structs map-side and the exchange carries one row per
+partition. No global sort, no scalar-subquery job, no second scan:
+the same plan shape at sf0.001 and at 100 TB. ("Today" rides in the
+same aggregate as the leading struct field — the row with the maximal
+(ship_date, price, …) IS today's highest, so the latest-date filter
+costs nothing extra.)
 """
 
 from __future__ import annotations
@@ -30,39 +33,47 @@ from master_airflow_spark.registry import register
 _PRICE_COLS = ["which", "price", "l_orderkey", "l_linenumber"]
 
 
-def _labeled_extreme(df: DataFrame, label: str, ascending: bool) -> DataFrame:
-    """One branch of the reference's two-query pattern: top-1 by price
-    with a deterministic tiebreaker, labeled for the T4 union."""
+def _argmax_struct(*, with_date: bool, lowest: bool) -> F.Column:
+    """Lexicographic max-struct encoding of the reference's ORDER BY:
+    price DESC (ASC for lowest — encoded by negating the double, an
+    exact monotone flip), then l_orderkey ASC, l_linenumber ASC (both
+    negated so the *max* struct carries the *min* tiebreakers). An
+    optional leading ship-date field makes the same aggregate pick the
+    extreme within the latest day only."""
     price = F.col("l_extendedprice")
-    order = [
-        price.asc() if ascending else price.desc(),
-        F.col("l_orderkey").asc(),
-        F.col("l_linenumber").asc(),
+    fields = [
+        ((-price) if lowest else price).alias("p"),
+        (-F.col("l_orderkey")).alias("no"),
+        (-F.col("l_linenumber")).alias("nl"),
     ]
-    return (
-        df.orderBy(*order)
-        .limit(1)
-        .select(
-            F.lit(label).alias("which"),
-            price.alias("price"),
-            "l_orderkey",
-            "l_linenumber",
-        )
+    if with_date:
+        fields.insert(0, F.to_date("l_shipdate").alias("d"))
+    return F.max(F.struct(*fields))
+
+
+def _decode(label: str, src: str, lowest: bool) -> F.Column:
+    price = F.col(f"{src}.p")
+    return F.struct(
+        F.lit(label).alias("which"),
+        ((-price) if lowest else price).alias("price"),
+        (-F.col(f"{src}.no")).alias("l_orderkey"),
+        (-F.col(f"{src}.nl")).alias("l_linenumber"),
     )
 
 
-def _with_today(df: DataFrame) -> DataFrame:
-    """Filter to the latest ship date (the dataset's 'today'), half-open
-    interval semantics per the Mongo API's ``[today, today+1d)`` filter."""
-    today = df.agg(F.max(F.to_date("l_shipdate")).alias("d"))
-    return (
-        df.join(F.broadcast(today))
-        .where(
-            (F.col("l_shipdate") >= F.col("d").cast("timestamp"))
-            & (F.col("l_shipdate") < F.date_add(F.col("d"), 1).cast("timestamp"))
-        )
-        .drop("d")
+def _high_low(df: DataFrame, with_date: bool) -> DataFrame:
+    """Highest & lowest price row (optionally within the latest ship
+    date) in ONE aggregate over one scan, then unpacked to the
+    reference's two labeled rows."""
+    agg = df.agg(
+        _argmax_struct(with_date=with_date, lowest=False).alias("hi"),
+        _argmax_struct(with_date=with_date, lowest=True).alias("lo"),
     )
+    return agg.select(
+        F.explode(
+            F.array(_decode("highest", "hi", False), _decode("lowest", "lo", True))
+        ).alias("r")
+    ).select("r.*")
 
 
 @register(
@@ -83,11 +94,10 @@ UNION ALL
     tags=("T1", "T2", "T4", "F1"),
 )
 def top1_price_today(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Today's highest & lowest price row (reference api/mongo/main.py:63-77)."""
-    scoped = _with_today(load_table(spark, sf_dir, "lineitem"))
-    high = _labeled_extreme(scoped, "highest", ascending=False)
-    low = _labeled_extreme(scoped, "lowest", ascending=True)
-    return high.unionByName(low)
+    """Today's highest & lowest price row (reference api/mongo/main.py:63-77).
+    The [today, today+1d) scoping (Mongo API's half-open date filter)
+    is folded into the argmax as the leading struct field."""
+    return _high_low(load_table(spark, sf_dir, "lineitem"), with_date=True)
 
 
 @register(
@@ -103,10 +113,7 @@ UNION ALL
 )
 def top1_price_alltime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-time highest & lowest (reference api/postgres/api.py:16-33)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    high = _labeled_extreme(li, "highest", ascending=False)
-    low = _labeled_extreme(li, "lowest", ascending=True)
-    return high.unionByName(low)
+    return _high_low(load_table(spark, sf_dir, "lineitem"), with_date=False)
 
 
 @register(

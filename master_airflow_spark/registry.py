@@ -140,11 +140,13 @@ def oracles() -> dict[str, str]:
 
 
 # Intra-query caches (persist() of a frame feeding both sides of a
-# self-join). They must outlive the query's ACTION, so the query fn
-# can't unpersist them itself — it records them here and the harness
-# releases them once the result is materialized, keeping executor
-# memory flat across a long many-query session.
+# self-join) and SparkContext broadcasts (query matrices shipped to
+# executors). Both must outlive the query's ACTION, so the query fn
+# can't free them itself — it records them here and the harness
+# releases them once the result is materialized, keeping executor and
+# driver memory flat across a long many-query session.
 _TRACKED_CACHES: list[DataFrame] = []
+_TRACKED_BROADCASTS: list = []
 
 
 def track_cache(df: DataFrame) -> DataFrame:
@@ -154,13 +156,25 @@ def track_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def track_broadcast(bc):
+    """Register a SparkContext broadcast for release_caches()."""
+    _TRACKED_BROADCASTS.append(bc)
+    return bc
+
+
 def release_caches() -> None:
-    """Unpersist every tracked cache (call after consuming a query)."""
+    """Unpersist every tracked cache and destroy every tracked
+    broadcast (call after consuming a query)."""
     while _TRACKED_CACHES:
         try:
             _TRACKED_CACHES.pop().unpersist()
         except Exception:
             pass  # session already stopped
+    while _TRACKED_BROADCASTS:
+        try:
+            _TRACKED_BROADCASTS.pop().destroy()
+        except Exception:
+            pass
 
 
 _loaded = False

@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
+import threading
 import uuid
 from collections.abc import Callable
 
@@ -139,11 +140,19 @@ def _checkpoint_root() -> str:
     return tempfile.gettempdir()
 
 
+# run_to_memory temporarily rewrites the session-global shuffle-
+# partition conf; two concurrent drains on one session could capture
+# each other's temporary value as `prev` and leave the session latched.
+# Serializing drains through this lock makes the save/restore safe
+# (drains are bounded, so the serialization cost is the drain itself).
+_DRAIN_LOCK = threading.Lock()
+
+
 def run_to_memory(
     stream_df: DataFrame,
     output_mode: str = "append",
     name: str | None = None,
-    state_partitions: int = 4,
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Drain a stream with Trigger.AvailableNow into a memory sink and
     return the materialized result table.
@@ -154,27 +163,29 @@ def run_to_memory(
     delta/commit files per trigger — 32 partitions of checkpoint I/O
     for a bounded drain is pure overhead. On a real cluster with a
     long-lived query, size ``state_partitions`` to the key cardinality
-    instead."""
+    instead. Not reentrant: drains on the same session serialize on a
+    module lock (see _DRAIN_LOCK)."""
     import shutil
 
     qname = name or f"q_{uuid.uuid4().hex[:10]}"
     spark = stream_df.sparkSession
     ckpt = os.path.join(_checkpoint_root(), "mas_ckpt", qname)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        shutil.rmtree(ckpt, ignore_errors=True)
+    with _DRAIN_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(qname)
 
 

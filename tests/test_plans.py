@@ -59,11 +59,19 @@ def test_range_join_is_broadcast_nlj(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in kinds
 
 
-def test_top1_uses_take_ordered(spark, sf_dir):
-    df = _q(spark, sf_dir, "top1_price_alltime")
-    assert has_operator(df, "TakeOrderedAndProject"), (
-        "ORDER BY + LIMIT must compile to per-partition top-k, not a global sort"
-    )
+def test_top1_is_single_scan_argmax(spark, sf_dir):
+    # top-1 compiles to ONE aggregate over ONE scan (argmax as
+    # max(struct(...)) with partial map-side combine), not a global
+    # sort and not two sorted scans unioned
+    from master_airflow_spark.plans.explain import formatted
+
+    for q in ("top1_price_alltime", "top1_price_today"):
+        plan = formatted(_q(spark, sf_dir, q))
+        # formatted() prints each node twice (tree line + detail
+        # section), so a single scan appears exactly twice
+        assert plan.count("Scan parquet") == 2, f"{q}: must scan lineitem once"
+        assert "partial_max(struct" in plan, f"{q}: argmax must partial-aggregate"
+        assert "Sort " not in plan, f"{q}: no global sort"
 
 
 def test_multikey_sort_uses_take_ordered(spark, sf_dir):
