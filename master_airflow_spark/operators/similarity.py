@@ -270,14 +270,71 @@ def _with_lsh_tables(e: DataFrame, dim: int = DIM) -> DataFrame:
     )
 
 
-@register("lsh_bucketed_ann", oracle=None, tags=("X25",))
+def _sql_proj(table: int, plane: int) -> str:
+    """DuckDB projection of `embedding` onto one deterministic
+    hyperplane — literal components, same left-to-right fold as
+    lsh_bucket's aggregate, so the sign (= the bucket bit) matches
+    Spark bit-for-bit."""
+    comps = ", ".join(repr(c) for c in _hyperplane(DIM, table, plane))
+    return (
+        f"list_sum(list_transform(list_zip(embedding, [{comps}]), "
+        "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+    )
+
+
+def _sql_bucket(table: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_sql_proj(table, p)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"({bits})"
+
+
+def _lsh_oracle() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_id, {_sql_bucket(t)} AS bucket FROM embeddings"
+        for t in range(N_TABLES)
+    )
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding, {_SQL_NORM.format(e='embedding')} AS nrm
+    FROM embeddings
+),
+q AS (SELECT vec_id FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+      ORDER BY vec_id LIMIT {MAX_QUERIES}),
+b AS ({bands}),
+qb AS (SELECT b.vec_id AS q_id, b.table_id, b.bucket
+       FROM b JOIN q ON q.vec_id = b.vec_id),
+cand AS (SELECT DISTINCT qb.q_id, b.vec_id AS n_id
+         FROM qb JOIN b ON b.table_id = qb.table_id AND b.bucket = qb.bucket
+         WHERE b.vec_id <> qb.q_id),
+scored AS (
+    SELECT c.q_id, c.n_id,
+           {_SQL_DOT.format(a='qe.embedding', b='ne.embedding')}
+               / (qe.nrm * ne.nrm) AS cosine
+    FROM cand c
+    JOIN e qe ON qe.vec_id = c.q_id
+    JOIN e ne ON ne.vec_id = c.n_id
+)
+SELECT q_id, n_id, cosine, rn
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, n_id) AS rn
+      FROM scored)
+WHERE rn <= {TOP_K}
+"""
+
+
+@register("lsh_bucketed_ann", oracle=_lsh_oracle(), tags=("X25",))
 def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH: queries join
     candidates sharing a (table_id, bucket) in any of N_TABLES tables,
-    candidates dedup, then exact cosine re-rank. Recall < 1 by design
-    (rows-only; tests/test_similarity.py pins recall vs cosine_topk).
-    At 100 TB (table_id, bucket) becomes the partition key so
-    candidate generation is a co-located join."""
+    candidates dedup, then exact cosine re-rank. Recall < 1 vs the
+    exact ground truth by design (tests/test_similarity.py pins it
+    against cosine_topk), but the pipeline itself is deterministic —
+    the hyperplanes are hash-derived constants — so the ENTIRE
+    bucket → candidate → re-rank chain replays exactly in DuckDB and
+    carries an exact oracle. At 100 TB (table_id, bucket) becomes the
+    partition key so candidate generation is a co-located join."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", norm("embedding").alias("nrm")
     )

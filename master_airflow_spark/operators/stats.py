@@ -290,3 +290,106 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     ).withColumn("measure", F.regexp_replace("measure", "^l_", ""))
+
+
+@register(
+    "events_rollup_grids",
+    oracle=f"""
+SELECT 'hour' AS grain,
+       time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+       event_type, count(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day' AS grain,
+       time_bucket(INTERVAL '1 day', ts) AS bucket_start,
+       event_type, count(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY 2, 3
+""",
+    tags=("X5", "X14", "X19"),
+)
+def events_rollup_grids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (the hypertable continuous-
+    aggregate shape): hourly AND daily grids per event type from ONE
+    scan and ONE shuffle — each event explodes into its (grain,
+    bucket) memberships before the aggregate, so adding a grain costs
+    fan-out, not another pass. The oracle states the same result as
+    two UNION ALL'd time_bucket aggregates."""
+    e = load_table(spark, sf_dir, "events")
+    grains = F.array(
+        F.struct(
+            F.lit("hour").alias("grain"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket_start"),
+        ),
+        F.struct(
+            F.lit("day").alias("grain"),
+            F.date_trunc("day", F.col("ts")).alias("bucket_start"),
+        ),
+    )
+    return (
+        e.select(F.explode(grains).alias("g"), "event_type", "value")
+        .groupBy(
+            F.col("g.grain").alias("grain"),
+            F.col("g.bucket_start").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked_after_view,
+       (SELECT count(*) FROM p) AS n_purchased_after_click,
+       CAST((SELECT count(*) FROM c) AS DOUBLE)
+           / (SELECT count(*) FROM v) AS view_to_click_rate,
+       CAST((SELECT count(*) FROM p) AS DOUBLE)
+           / (SELECT count(*) FROM c) AS click_to_purchase_rate
+""",
+    tags=("X1", "X5", "X9"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click after view → purchase
+    after click), the product-analytics staple: each stage is the
+    MIN event time per user constrained to follow the previous
+    stage's time — three per-user aggregates chained by equi-joins on
+    user_id, so every shuffle shares the same key and the stage joins
+    co-locate. Output is one row of stage counts + conversion rates
+    (single IEEE divisions — deterministic)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def stage(etype: str, prev: DataFrame | None, prev_ts: str, out_ts: str) -> DataFrame:
+        s = e.where(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(prev, "user_id").where(F.col("ts") > F.col(prev_ts))
+        return s.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    v = stage("view", None, "", "t_view")
+    c = stage("click", v, "t_view", "t_click")
+    p = stage("purchase", c, "t_click", "t_purchase")
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
+    return counts.select(
+        "n_viewed",
+        "n_clicked_after_view",
+        "n_purchased_after_click",
+        (
+            F.col("n_clicked_after_view").cast("double") / F.col("n_viewed")
+        ).alias("view_to_click_rate"),
+        (
+            F.col("n_purchased_after_click").cast("double")
+            / F.col("n_clicked_after_view")
+        ).alias("click_to_purchase_rate"),
+    )

@@ -646,3 +646,65 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens_packed"
         ),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH tf AS (
+    SELECT doc_id, tok, count(*) AS tf
+    FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)
+    GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tf)
+       GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+           (CAST(tf.tf AS DOUBLE) * CAST(n.n_docs + 1 AS DOUBLE))
+               / CAST(df.df + 1 AS DOUBLE) AS score
+    FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN n
+)
+SELECT doc_id, tok, tf, df, score, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, tok) AS rank
+      FROM scored)
+WHERE rank <= 3
+""",
+    tags=("X26", "X5", "X8"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic terms per document by a tf-idf-style
+    score. The idf factor is the RATIONAL form (N+1)/(df+1) rather
+    than its logarithm: monotone per-term, so per-term rankings agree
+    with log-idf wherever df ties, and — unlike ln() — every engine
+    computes it bit-identically (two exact int adds, one multiply,
+    one divide). Plan: token explode → (doc, tok) count → broadcast
+    the doc-frequency table (vocabulary-sized, not corpus-sized) back
+    onto the tf rows → per-doc top-3 window. The tf aggregate and the
+    window share the doc_id shuffle key."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            (
+                (F.col("tf").cast("double") * (F.col("n_docs") + 1).cast("double"))
+                / (F.col("df") + 1).cast("double")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "tok", "tf", "df", "score", "rank")
+    )

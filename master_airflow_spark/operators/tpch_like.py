@@ -200,3 +200,324 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# -- Q2/Q4/Q5/Q10/Q12/Q18/Q22 shapes (round 3) -------------------------------
+#
+# The remaining classic optimizer stress shapes the driver's star schema
+# can express: min-per-group join-back (Q2), EXISTS with a correlated
+# inequality (Q4), a six-table co-located join (Q5), group-by over a
+# three-way join with top-k (Q10), two-class conditional counts (Q12),
+# HAVING over a child aggregate (Q18), and scalar-subquery + NOT EXISTS
+# (Q22). Column substitutions (the driver schema has no partsupp /
+# commitdate / shipmode / phone): unit price l_extendedprice/l_quantity
+# plays ps_supplycost, shipment lateness (l_shipdate vs o_orderdate)
+# plays the commit/receipt lag, o_orderpriority plays l_shipmode, and
+# c_mktsegment plays the phone country code.
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           min(l_extendedprice / l_quantity) AS unit_price
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best AS (
+    SELECT l_partkey, min(unit_price) AS best_price FROM ps GROUP BY l_partkey
+)
+SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal, s.s_suppkey,
+       ps.unit_price AS best_unit_price
+FROM ps
+JOIN best ON best.l_partkey = ps.l_partkey AND ps.unit_price = best.best_price
+JOIN part p ON p.p_partkey = ps.l_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 20
+ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_suppkey
+LIMIT 50
+""",
+    tags=("X1", "X5", "X8", "T3"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: for each STANDARD mid-size part, the supplier(s)
+    offering the minimum observed unit price. The correlated-min
+    subquery compiles to a window MIN over the (part, supplier)
+    aggregate — one shuffle keyed on l_partkey serves both the
+    aggregate and the join-back, where the textbook plan would shuffle
+    twice. Unit price is a single IEEE division and MIN is selection,
+    not arithmetic — exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
+    best = ps.withColumn("best_price", F.min("unit_price").over(w)).where(
+        F.col("unit_price") == F.col("best_price")
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").where(
+            (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+        )
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        best.join(p, p.p_partkey == best.l_partkey)
+        .join(s, s.s_suppkey == best.l_suppkey)
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_suppkey")
+        .limit(50)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "s_acctbal",
+            "s_suppkey",
+            F.col("unit_price").alias("best_unit_price"),
+        )
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+""",
+    tags=("X2", "X5"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: orders per priority class with at least one lineitem
+    shipped >60 days after the order date (the lateness EXISTS). The
+    correlated inequality rides on the equi-join key, so it compiles to
+    a LEFT SEMI hash join on l_orderkey — state-free and shuffle-
+    minimal; the quarter filter pushes to the orders scan."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(SUM({sql_dmul(*_REV)}) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+    tags=("X1", "X5"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: revenue from orders where the supplier is in the
+    customer's own (ASIA) nation. The s_nationkey = c_nationkey leg
+    makes the supplier join conditional on the fact row's customer —
+    supplier/nation/region broadcast; the only shuffles are the two
+    fact-side equi-joins and the final tiny aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(n, n.n_nationkey == c.c_nationkey)
+        .join(r, r.r_regionkey == n.n_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(_revenue())
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM({sql_dmul(*_REV)}) AS DOUBLE) AS revenue,
+       c.c_acctbal, n.n_name AS nation, c.c_mktsegment
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name, c.c_mktsegment
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+    tags=("X1", "X5", "T3"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter. Both filters push to their scans; the nation dim
+    broadcasts; TakeOrderedAndProject caps the sorted output."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(n, n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"), "c_mktsegment")
+        .agg(_revenue())
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation", "c_mktsegment")
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    oracle="""
+SELECT CAST(year(l.l_shipdate) AS INT) AS ship_year,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY year(l.l_shipdate)
+""",
+    tags=("X1", "X5", "X15"),
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: two-class conditional counts per ship year
+    (o_orderpriority plays l_shipmode). Integer counts — no float
+    determinism concerns; one fact-fact shuffle join, one tiny agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS total_qty
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+HAVING SUM(CAST(l.l_quantity AS DECIMAL(28,4))) > 250
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""",
+    tags=("X1", "X5", "T3"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose total quantity exceeds 250 (~top 1%),
+    with their customer. The HAVING filter runs on the exact decimal
+    sum (identical on both engines), before the double cast; the
+    child aggregate's key is the join key, so the customer join
+    reuses the aggregate's partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    agg = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,4)")).alias("qty_dec"))
+        .where(F.col("qty_dec") > 250)
+    )
+    return (
+        agg.join(o, o.o_orderkey == agg.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q22_idle_balances",
+    oracle="""
+WITH avg_bal AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+               / COUNT(c_acctbal) AS v
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment, count(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_acctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.v
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
+""",
+    tags=("X2", "X5", "X15"),
+)
+def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: well-funded customers (balance above the positive-
+    balance average — a scalar subquery broadcast as a 1-row join)
+    with no urgent orders (anti join), counted per market segment
+    (c_mktsegment plays the phone country code). The anti join's
+    build side is pre-filtered to urgent orders only."""
+    from master_airflow_spark.functions.exact import davg, dsum
+
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal", "v")
+    )
+    urgent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("v"))
+        .join(urgent, urgent.o_custkey == c.c_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+    )
