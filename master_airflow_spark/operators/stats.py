@@ -393,3 +393,46 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_clicked_after_view")
         ).alias("click_to_purchase_rate"),
     )
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+       count(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("X5", "X14", "X19"),
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: the hourly rollup
+    is computed as two INDEPENDENT partial rollups — the 'stored' base
+    (events before 1999) and the 'newly arrived' delta (1999 onward) —
+    merged by re-aggregating the partials. COUNT merges by addition
+    and the decimal SUM is associative, so the merged rollup is
+    bit-identical to the full recompute the oracle states: that
+    equality IS the incremental-view-maintenance contract. At 100 TB
+    the base never rescans — only delta partitions aggregate, and the
+    merge touches just the (bucket, type) rows the delta produced."""
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit("1999-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_start"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_part"),
+            F.sum(F.col("value").cast("decimal(28,4)")).alias("sum_part"),
+        )
+
+    base = partial(e.where(F.col("ts") < split))
+    delta = partial(e.where(F.col("ts") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.sum("n_part").alias("n_events"),
+            F.sum("sum_part").cast("double").alias("sum_value"),
+        )
+    )

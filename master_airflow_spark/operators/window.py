@@ -254,3 +254,74 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_ord.o_orderkey").alias("last_orderkey"),
         F.col("last_ord.o_totalprice").alias("last_order_price"),
     )
+
+
+@register(
+    "asof_join_tolerance",
+    oracle="""
+SELECT event_id, user_id, ts, o_orderkey AS last_orderkey,
+       o_totalprice AS last_order_price
+FROM (
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+           row_number() OVER (PARTITION BY e.event_id
+                              ORDER BY o.o_orderdate DESC NULLS LAST,
+                                       o.o_orderkey DESC NULLS LAST) AS rn
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id
+     AND o.o_orderdate <= e.ts
+     AND o.o_orderdate >= e.ts - INTERVAL 90 DAY
+)
+WHERE rn = 1
+""",
+    tags=("X4",),
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance horizon (pandas merge_asof's
+    ``tolerance=``): the most recent order at or before each event,
+    but only if it is within 90 days — older matches lapse to NULL.
+
+    Same union-merge plan as asof_join_events_orders (one shuffle on
+    user_id, no range-join blow-up); the tolerance is enforced AFTER
+    the merge by also carrying the matched order's time forward and
+    nulling the match when it is stale — O(1) extra state per row,
+    while the oracle's range-join formulation multiplies every event
+    by every in-horizon order."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    orders_side = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_order"),
+        F.struct("o_orderdate", "o_orderkey", "o_totalprice").alias("ord"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("o_orderkey").alias("tiebreak"),
+    )
+    events_side = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        F.lit(None)
+        .cast("struct<o_orderdate:timestamp,o_orderkey:bigint,o_totalprice:double>")
+        .alias("ord"),
+        "event_id",
+        "ts",
+        F.col("event_id").alias("tiebreak"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_order").desc(), F.col("tiebreak").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = orders_side.unionByName(events_side).withColumn(
+        "last_ord", F.last("ord", ignorenulls=True).over(w)
+    )
+    fresh = F.col("last_ord.o_orderdate") >= F.col("ts") - F.expr("INTERVAL 90 DAYS")
+    return merged.where(F.col("is_order") == 0).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("last_ord.o_orderkey")).alias("last_orderkey"),
+        F.when(fresh, F.col("last_ord.o_totalprice")).alias("last_order_price"),
+    )

@@ -84,6 +84,8 @@ PRIORITY: tuple[str, ...] = (
     "events_rollup_grids",
     "funnel_conversion",
     "tfidf_top_terms",
+    "incremental_rollup_merge",
+    "asof_join_tolerance",
     # (3) implementation touched this round
     "top1_price_today",  # single-scan argmax rewrite
     "top1_price_alltime",  # single-scan argmax rewrite
@@ -113,8 +115,6 @@ PRIORITY: tuple[str, ...] = (
     "cast_string_price",
     "date_range_filter",
     "membership_filter",
-    "top1_price_lexicographic",
-    "string_functions",
 )
 
 
