@@ -521,3 +521,71 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "total_acctbal"),
         )
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+SELECT CAST(SUM({sql_dmul('l_extendedprice', 'l_discount')}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("X5", "X15", "F1"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: single-table filtered aggregate — the pure predicate-
+    pushdown showcase. All three predicates reach the parquet scan as
+    PushedFilters (pinned in tests/test_plans.py); the whole query is
+    one WholeStageCodegen span over one scan, partial-agg combined
+    map-side to a single row."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(dmul(F.col("l_extendedprice"), F.col("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    tags=("X5", "X6", "F2"),
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per (brand, type, size)
+    outside an excluded brand/type. The part dim is filtered then
+    broadcast onto lineitem; count(DISTINCT) expands to the standard
+    two-phase plan — dedup on (group, suppkey) with map-side partial
+    dedup, then count — so no supplier list ever materializes."""
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").where(
+            (F.col("p_brand") != "Brand#45")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

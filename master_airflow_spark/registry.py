@@ -86,6 +86,8 @@ PRIORITY: tuple[str, ...] = (
     "tfidf_top_terms",
     "incremental_rollup_merge",
     "asof_join_tolerance",
+    "q6_forecast_revenue",
+    "q16_supplier_variety",
     # (3) implementation touched this round
     "top1_price_today",  # single-scan argmax rewrite
     "top1_price_alltime",  # single-scan argmax rewrite
@@ -113,8 +115,6 @@ PRIORITY: tuple[str, ...] = (
     "json_document",
     "composite_key",
     "cast_string_price",
-    "date_range_filter",
-    "membership_filter",
 )
 
 

@@ -58,3 +58,19 @@ def test_oracles_subset_of_queries():
     assert set(o) <= set(q)
     # every oracle is non-trivial SQL mentioning a SELECT
     assert all("SELECT" in sql.upper() for sql in o.values())
+
+
+def test_entry_queries_release_previous_resources(spark, sf_dir):
+    """__spark_entry__.queries() wraps each fn so invoking the NEXT
+    query releases the previous one's tracked caches and broadcasts —
+    the driver's 50-query loop must not accumulate executor memory."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    # simhash_near_dup persists its banded frame via track_cache
+    qs["simhash_near_dup"](spark, sf_dir).count()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() > 0, "expected a tracked cache in flight"
+    # invoking any next query releases it before building the new plan
+    qs["dedup_exact"](spark, sf_dir).count()
+    assert jsc.getPersistentRDDs().size() == 0, "previous query's cache leaked"

@@ -169,3 +169,14 @@ def test_sequence_packing_single_shuffle(spark, sf_dir):
     from master_airflow_spark.plans.explain import op_count
 
     assert op_count(_q(spark, sf_dir, "sequence_packing"), "Exchange") == 1
+
+
+def test_q6_filters_push_to_scan(spark, sf_dir):
+    # Q6's whole point: every predicate reaches the parquet scan
+    from master_airflow_spark.plans.explain import formatted
+
+    plan = formatted(_q(spark, sf_dir, "q6_forecast_revenue"))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
