@@ -159,8 +159,12 @@ def track_broadcast(bc):
 
 
 def release_caches() -> None:
-    """Unpersist every tracked cache and destroy every tracked
-    broadcast (call after consuming a query)."""
+    """Unpersist every tracked cache and broadcast (call after
+    consuming a query). Broadcasts are unpersist()ed, not destroy()ed:
+    unpersist frees the executor-side blocks (the leak) but leaves the
+    broadcast re-sendable from the driver value, so a caller that
+    builds several query plans before materializing them can still
+    execute an older plan afterwards."""
     while _TRACKED_CACHES:
         try:
             _TRACKED_CACHES.pop().unpersist()
@@ -168,7 +172,7 @@ def release_caches() -> None:
             pass  # session already stopped
     while _TRACKED_BROADCASTS:
         try:
-            _TRACKED_BROADCASTS.pop().destroy()
+            _TRACKED_BROADCASTS.pop().unpersist()
         except Exception:
             pass
 
