@@ -15,6 +15,7 @@ from master_airflow_spark.operators import (  # noqa: F401
     scalarfns,
     scrub,
     similarity,
+    skew,
     sql_api,
     stats,
     streaming_queries,

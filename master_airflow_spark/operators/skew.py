@@ -61,3 +61,40 @@ def salted_join(
     return b.join(
         s, (F.col(big_key) == F.col(small_key)) & (b["__salt"] == s["__salt"])
     ).drop("__salt")
+
+
+def _register_salted_query() -> None:
+    """Registered here (not at module top) so the utilities above stay
+    import-light for library users."""
+    from pyspark.sql import SparkSession
+
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.registry import register
+
+    @register(
+        "salted_hot_key_agg",
+        oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total
+FROM events
+GROUP BY event_type
+""",
+        tags=("X5",),
+    )
+    def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hot-key aggregation via two-stage salting: the events table
+        has only ~5 distinct event types, so a plain groupBy lands the
+        whole table on 5 reducers no matter how many executors exist —
+        the canonical skew case. Stage 1 spreads each key over 16
+        content-derived salts (80 reducers of work), stage 2 collapses
+        the partials; decimal sums make the recombination exact, so
+        the result is bit-identical to the unsalted oracle."""
+        return salted_agg_counts(
+            load_table(spark, sf_dir, "events").select("event_type", "value"),
+            "event_type",
+            "value",
+        )
+
+
+_register_salted_query()

@@ -88,6 +88,7 @@ PRIORITY: tuple[str, ...] = (
     "asof_join_tolerance",
     "q6_forecast_revenue",
     "q16_supplier_variety",
+    "salted_hot_key_agg",
     # (3) implementation touched this round
     "top1_price_today",  # single-scan argmax rewrite
     "top1_price_alltime",  # single-scan argmax rewrite
@@ -114,7 +115,6 @@ PRIORITY: tuple[str, ...] = (
     "date_parse_roundtrip",
     "json_document",
     "composite_key",
-    "cast_string_price",
 )
 
 
