@@ -14,6 +14,18 @@ iterative-algorithm failure mode on Spark).
 Iteration count is O(graph diameter); near-dup graphs are
 overwhelmingly tiny cliques, so 3-5 rounds converge. The loop is
 driver-side CONTROL only — data never leaves executors.
+
+Lineage/memory management: each round's label table persists (the
+convergence check materializes it) and the SUPERSEDED round
+unpersists immediately, so at most two label generations are cached
+at once; the edge list and the final labels register with
+registry.track_cache so the harness frees them once the query result
+is consumed. (An earlier version cut lineage with
+``localCheckpoint``, but checkpoint RDDs are invisible to
+DataFrame.unpersist and accumulated in the session forever — a leak
+per invocation. With ≤MAX_ITERATIONS bounded rounds the persisted
+lineage stays shallow enough that checkpointing buys nothing; at
+hundreds of rounds you would reintroduce it WITH explicit cleanup.)
 """
 
 from __future__ import annotations
@@ -21,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from master_airflow_spark.registry import register
+from master_airflow_spark.registry import register, track_cache
 
 MAX_ITERATIONS = 20
 
@@ -29,13 +41,13 @@ MAX_ITERATIONS = 20
 def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     """(src, dst) undirected edges + (id) vertices → (id, component)
     where component = min vertex id reachable."""
-    sym = (
+    sym = track_cache(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     labels = vertices.select(F.col("id"), F.col("id").alias("component"))
+    prev: DataFrame | None = None
     for _ in range(MAX_ITERATIONS):
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
@@ -51,18 +63,23 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)  # cut lineage each round
+            .persist()
         )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .where(F.col("n.component") != F.col("o.component"))
             .limit(1)
-            .count()
+            .count()  # materializes new_labels' cache
         )
+        if prev is not None:
+            prev.unpersist()  # superseded generation — nothing uses it now
+        prev = new_labels
         labels = new_labels
         if changed == 0:
             break
+    if prev is not None:
+        track_cache(prev)  # final generation: released after consumption
     return labels
 
 

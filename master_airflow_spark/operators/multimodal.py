@@ -108,14 +108,61 @@ def decode_image(payload: bytes) -> object:
     raise NotImplementedError("wire PIL.Image.open(BytesIO(payload)) here")
 
 
+def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a P6 PPM — no codec library needed:
+    decode, index-map rows/cols with floor arithmetic (deterministic,
+    no interpolation rounding), re-encode. The genuinely-working
+    resize branch; formats needing a real codec stay loud stubs."""
+    import numpy as np
+
+    w, h, rgb = decode_ppm(payload)
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    out = img[rows][:, cols]
+    return b"P6\n%d %d\n255\n" % (out_w, out_h) + out.tobytes()
+
+
 def resize_image(payload: bytes, w: int, h: int) -> bytes:
-    """Resize an encoded image. STUB: requires PIL."""
-    raise NotImplementedError("resize requires a codec library (PIL)")
+    """Resize an encoded image. PPM (P6) resizes natively via
+    resize_ppm; every other format requires PIL — STUB."""
+    if payload.startswith(b"P6"):
+        return resize_ppm(payload, w, h)
+    raise NotImplementedError("non-PPM resize requires a codec library (PIL)")
+
+
+# Trivial raw-frame "video" container, so frame-sampling has a real,
+# codec-free branch: magic 'FR01', then little-endian u32 n_frames,
+# width, height, then n_frames raw RGB frames of w*h*3 bytes each.
+_VIDEO_MAGIC = b"FR01"
+
+
+def encode_raw_video(frames: "list[bytes]", w: int, h: int) -> bytes:
+    import struct
+
+    if any(len(f) != 3 * w * h for f in frames):
+        raise ValueError("frame size mismatch")
+    return _VIDEO_MAGIC + struct.pack("<III", len(frames), w, h) + b"".join(frames)
 
 
 def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
-    """Sample video frames. STUB: requires ffmpeg/pyav."""
-    raise NotImplementedError("frame sampling requires ffmpeg/pyav")
+    """Sample every ``every_n``-th frame. The FR01 raw container
+    parses natively (pure byte slicing — the same stride-sampling a
+    real pipeline does after demuxing); real codecs (mp4/webm) remain
+    loud stubs."""
+    import struct
+
+    if not payload.startswith(_VIDEO_MAGIC):
+        raise NotImplementedError("non-FR01 frame sampling requires ffmpeg/pyav")
+    n, w, h = struct.unpack_from("<III", payload, 4)
+    frame_len = 3 * w * h
+    base = 4 + 12
+    if len(payload) < base + n * frame_len:
+        raise ValueError("truncated FR01 payload")
+    return [
+        payload[base + i * frame_len : base + (i + 1) * frame_len]
+        for i in range(0, n, every_n)
+    ]
 
 
 FEATURES_SCHEMA = StructType(
@@ -216,4 +263,96 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             ",", F.transform("features", lambda v: v.cast("string"))
         ).alias("features"),
+    )
+
+
+def _synthesize_media(kind: str):
+    """Kernel factory: deterministically expand each document's text
+    into a binary media payload (md5-keyed byte stream) — the ingest
+    stand-in that gives the decode/resize/sample kernels real bytes to
+    chew on. kind='ppm' -> 4x4 P6 image; kind='video' -> 6-frame 2x2
+    FR01 clip."""
+    import hashlib
+
+    def bytestream(seed: bytes, n: int) -> bytes:
+        out = b""
+        counter = 0
+        while len(out) < n:
+            out += hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
+            counter += 1
+        return out[:n]
+
+    def make(text: str) -> bytes:
+        seed = text.encode("utf-8")
+        if kind == "ppm":
+            return b"P6\n4 4\n255\n" + bytestream(seed, 48)
+        frames = [bytestream(seed + b"|%d" % i, 12) for i in range(6)]
+        return encode_raw_video(frames, 2, 2)
+
+    return make
+
+
+@register("ppm_decode_resize", oracle=None, tags=("multimodal", "X27"))
+def ppm_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → resize over binary image payloads, end to end on the
+    native PPM branch (no codec library): synthesize a 4x4 P6 payload
+    per document, nearest-neighbor-resize it to 2x2 inside an Arrow-
+    batched kernel, and emit decoded dims + an md5 of the resized
+    bytes. Rows-only (binary pipelines aren't SQL-oracle-able);
+    tests/test_multimodal_plumbing.py pins exact output values."""
+    import hashlib
+
+    make = _synthesize_media("ppm")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                resized = resize_image(make(text), 2, 2)
+                w, h, rgb = decode_ppm(resized)
+                rows.append((doc_id, w, h, hashlib.md5(resized).hexdigest()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_width", "out_height", "resized_md5"]
+            )
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(
+            run,
+            "doc_id long, out_width int, out_height int, resized_md5 string",
+        )
+    )
+
+
+@register("video_frame_sample", oracle=None, tags=("multimodal", "X27"))
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary video payloads on the native FR01
+    raw-container branch: synthesize a 6-frame clip per document,
+    stride-sample every 2nd frame in an Arrow-batched kernel, emit
+    counts + an md5 over the sampled frames. Real containers (mp4)
+    stay loud NotImplementedError stubs; the Spark-side plumbing —
+    binary in, fixed schema out, batch iteration — is identical."""
+    import hashlib
+
+    make = _synthesize_media("video")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                frames = sample_frames(make(text), 2)
+                digest = hashlib.md5(b"".join(frames)).hexdigest()
+                rows.append((doc_id, 6, len(frames), digest))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "n_sampled", "sampled_md5"]
+            )
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(
+            run,
+            "doc_id long, n_frames int, n_sampled int, sampled_md5 string",
+        )
     )

@@ -89,6 +89,8 @@ PRIORITY: tuple[str, ...] = (
     "q6_forecast_revenue",
     "q16_supplier_variety",
     "salted_hot_key_agg",
+    "ppm_decode_resize",
+    "video_frame_sample",
     # (3) implementation touched this round
     "top1_price_today",  # single-scan argmax rewrite
     "top1_price_alltime",  # single-scan argmax rewrite
@@ -113,8 +115,6 @@ PRIORITY: tuple[str, ...] = (
     "normalize_whitespace",
     "bounded_split",
     "date_parse_roundtrip",
-    "json_document",
-    "composite_key",
 )
 
 

@@ -1,0 +1,91 @@
+"""Native (codec-free) multimodal branches: PPM nearest-neighbor
+resize and FR01 raw-container frame sampling — exact value pins, plus
+loud-stub behavior for formats that genuinely need a codec library."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from master_airflow_spark.operators.multimodal import (
+    decode_ppm,
+    encode_raw_video,
+    resize_image,
+    resize_ppm,
+    sample_frames,
+)
+
+
+def _ppm(w: int, h: int, rgb: bytes) -> bytes:
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb
+
+
+def test_resize_ppm_nearest_neighbor_exact():
+    # 2x2 image with distinct corner colors -> 4x4 upscale replicates
+    # each source pixel into a 2x2 block (floor index mapping)
+    px = [b"\xff\x00\x00", b"\x00\xff\x00", b"\x00\x00\xff", b"\xff\xff\xff"]
+    src = _ppm(2, 2, b"".join(px))
+    w, h, rgb = decode_ppm(resize_ppm(src, 4, 4))
+    assert (w, h) == (4, 4)
+    got = [rgb[i * 3 : i * 3 + 3] for i in range(16)]
+    expect = [
+        px[0], px[0], px[1], px[1],
+        px[0], px[0], px[1], px[1],
+        px[2], px[2], px[3], px[3],
+        px[2], px[2], px[3], px[3],
+    ]
+    assert got == expect
+
+
+def test_resize_ppm_downscale_and_roundtrip():
+    rgb = bytes(range(48))  # 4x4
+    out = resize_image(_ppm(4, 4, rgb), 2, 2)
+    w, h, small = decode_ppm(out)
+    assert (w, h) == (2, 2) and len(small) == 12
+    # floor mapping picks rows 0,2 and cols 0,2
+    img = [rgb[i * 3 : i * 3 + 3] for i in range(16)]
+    assert [small[i * 3 : i * 3 + 3] for i in range(4)] == [
+        img[0], img[2], img[8], img[10]
+    ]
+
+
+def test_resize_non_ppm_is_loud_stub():
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\x89PNG\r\n...", 2, 2)
+
+
+def test_frame_sampling_stride_and_checksum():
+    frames = [bytes([i] * 12) for i in range(6)]  # 2x2 rgb frames
+    clip = encode_raw_video(frames, 2, 2)
+    sampled = sample_frames(clip, 2)
+    assert sampled == [frames[0], frames[2], frames[4]]
+    assert sample_frames(clip, 6) == [frames[0]]
+    digest = hashlib.md5(b"".join(sampled)).hexdigest()
+    assert digest == hashlib.md5(frames[0] + frames[2] + frames[4]).hexdigest()
+
+
+def test_frame_sampling_non_fr01_is_loud_stub():
+    with pytest.raises(NotImplementedError):
+        sample_frames(b"\x00\x00\x00\x18ftypmp42", 2)
+
+
+def test_truncated_fr01_raises():
+    frames = [bytes([7] * 12)] * 3
+    clip = encode_raw_video(frames, 2, 2)
+    with pytest.raises(ValueError):
+        sample_frames(clip[:-5], 1)
+
+
+def test_registered_queries_run(spark, sf_dir):
+    from master_airflow_spark import registry
+
+    registry._ensure_loaded()
+    rs = registry.REGISTRY["ppm_decode_resize"].fn(spark, sf_dir)
+    first = rs.orderBy("doc_id").first()
+    assert (first.out_width, first.out_height) == (2, 2)
+    assert len(first.resized_md5) == 32
+    vs = registry.REGISTRY["video_frame_sample"].fn(spark, sf_dir)
+    vfirst = vs.orderBy("doc_id").first()
+    assert (vfirst.n_frames, vfirst.n_sampled) == (6, 3)
+    assert rs.count() == vs.count() > 0
