@@ -324,6 +324,36 @@ WHERE rn <= {TOP_K}
 """
 
 
+def _pair_cosine_kernel(pairs: DataFrame) -> DataFrame:
+    """Row-aligned cosine over candidate PAIRS: input rows carry both
+    embeddings (columns a_emb, b_emb); the kernel stacks each Arrow
+    batch into matrices and folds dimension-by-dimension
+    (acc += A[:,i]*B[:,i]) — the same left-to-right reduction as the
+    column-expression dot()/_SQL_DOT, so oracle values stay
+    bit-identical — at numpy speed instead of the interpreted
+    per-element fold (~100× on re-rank-heavy ANN plans)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _to_matrix(pdf["a_emb"])
+            B = _to_matrix(pdf["b_emb"])
+            acc = np.zeros(A.shape[0])
+            for i in range(A.shape[1]):
+                acc = acc + A[:, i] * B[:, i]
+            cos = acc / (_seq_norms(A) * _seq_norms(B))
+            yield pd.DataFrame(
+                {"q_id": pdf["q_id"], "n_id": pdf["n_id"], "cosine": cos}
+            )
+
+    return pairs.select("q_id", "n_id", "a_emb", "b_emb").mapInPandas(
+        run, "q_id long, n_id long, cosine double"
+    )
+
+
 @register("lsh_bucketed_ann", oracle=_lsh_oracle(), tags=("X25",))
 def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH: queries join
@@ -335,9 +365,7 @@ def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket → candidate → re-rank chain replays exactly in DuckDB and
     carries an exact oracle. At 100 TB (table_id, bucket) becomes the
     partition key so candidate generation is a co-located join."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm("embedding").alias("nrm")
-    )
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     banded = _with_lsh_tables(e)
     q_ids = (
         e.where(F.col("vec_id") % QUERY_STRIDE == 0)
@@ -348,7 +376,6 @@ def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = banded.join(F.broadcast(q_ids), "vec_id").select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
         "table_id",
         "bucket",
     )
@@ -356,11 +383,16 @@ def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         banded.join(F.broadcast(q), ["table_id", "bucket"])
         .where(F.col("vec_id") != F.col("q_id"))
         .dropDuplicates(["q_id", "vec_id"])
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.col("q_emb").alias("a_emb"),
+            F.col("embedding").alias("b_emb"),
+        )
     )
-    cos = (dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))).alias("cosine")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (
-        cand.select("q_id", F.col("vec_id").alias("n_id"), cos)
+        _pair_cosine_kernel(cand)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= TOP_K)
     )
@@ -467,24 +499,16 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(probes, "cell")
         .where(F.col("vec_id") != F.col("q_id"))
         .join(qmat, "q_id")
-    )
-    prods = F.zip_with(
-        "q_emb", "embedding", lambda x, y: x * y.cast("double")
-    )
-    dotc = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-    qn = F.sqrt(
-        F.aggregate(
-            F.transform("q_emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-        )
-    )
-    cn = norm("embedding")
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
-    return (
-        cand.select(
+        .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
-            (dotc / (qn * cn)).alias("cosine"),
+            F.col("q_emb").alias("a_emb"),
+            F.col("embedding").alias("b_emb"),
         )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        _pair_cosine_kernel(cand)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= TOP_K)
     )
