@@ -445,7 +445,12 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on doc_id at any scale."""
     from master_airflow_spark.functions.hashing import portable_hash60
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the token hash + 60-bit contribution math across cores —
+    # the documents scan is one split at bench SF (explicit count: a
+    # count-less repartition is an AQE-coalescible exchange)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")).alias("tok"),

@@ -351,23 +351,41 @@ def jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unblocked approximate variant is ngram_jaccard_pairs over LSH
     candidates."""
     t = 0.6
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        "source",
-        # sequence(1, 0) would generate a DESCENDING range, so clamp to 1
-        # and drop short tail grams: docs under 3 chars yield an empty set
-        F.array_distinct(
-            F.expr(
-                "filter(transform(sequence(1, greatest(length(text) - 2, 1)),"
-                " i -> substring(text, i, 3)), g -> length(g) = 3)"
-            )
-        ).alias("s"),
+    # the documents scan arrives as ONE split at bench SF — spread the
+    # gram extraction across the cluster before the compute-heavy
+    # Generate (explicit count: a count-less repartition is an AQE-
+    # coalescible exchange that would collapse back to one partition)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
-    # global rarity rank per gram: cardinality-bounded dim, broadcast back
-    grams = sh.select(F.explode("s").alias("g"))
+    # 3-gram rows via position explode + plain substring: a Generate
+    # plus ordinary codegen'd expressions. (The array formulation —
+    # transform/filter/array_distinct — runs every element through
+    # Spark's INTERPRETED higher-order-function path, ~10× slower; the
+    # per-doc distinct becomes one dropDuplicates shuffle of 8-byte-ish
+    # rows instead.) sequence(1, 0) would generate a DESCENDING range,
+    # so clamp to 1; short docs' partial grams drop via the length
+    # filter — same gram sets as the oracle's list_distinct form.
+    g_rows = track_cache(
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr("sequence(1, greatest(length(text) - 2, 1))")
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id", "source", F.expr("substring(text, i, 3)").alias("g")
+        )
+        .where(F.length("g") == 3)
+        .dropDuplicates(["doc_id", "g"])
+        # feeds BOTH the rarity-rank aggregate and the ranked rebuild
+    )
+    # global rarity rank per gram: cardinality-bounded dim (≤ charset³,
+    # independent of corpus size), broadcast back
     ranks = (
-        grams.groupBy("g")
+        g_rows.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
         .select(
             "g",
@@ -377,8 +395,7 @@ def jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranked = (
-        sh.select("doc_id", "source", F.explode("s").alias("g"))
-        .join(F.broadcast(ranks), "g")
+        g_rows.join(F.broadcast(ranks), "g")
         .groupBy("doc_id", "source")
         .agg(F.sort_array(F.collect_list("r")).alias("rs"))
         .withColumn("n", F.size("rs"))
