@@ -436,3 +436,133 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_part").cast("double").alias("sum_value"),
         )
     )
+
+
+@register(
+    "daily_revenue_gap_filled",
+    oracle=f"""
+WITH bounds AS (
+    SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+           CAST(max(o_orderdate) AS DATE) AS d1
+    FROM orders
+),
+spine AS (
+    SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                       CAST(d1 AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds
+),
+daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT s.day,
+       COALESCE(d.n_orders, 0) AS n_orders,
+       COALESCE(d.revenue, 0.0) AS revenue
+FROM spine s LEFT JOIN daily d ON d.day = s.day
+""",
+    tags=("X1", "X14"),
+)
+def daily_revenue_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill: daily order revenue with EVERY day
+    between the first and last order present — missing days surface as
+    explicit zero rows (the shape reporting and forecasting inputs
+    need). The spine generates from the min/max bounds (a 1-row
+    aggregate broadcast into a sequence explode — no driver collect),
+    and the left join's spine side is date-cardinality-bounded, so at
+    100 TB it broadcasts against the aggregated daily table."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
+
+
+@register(
+    "event_rate_anomalies",
+    oracle="""
+WITH hourly AS (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+scored AS (
+    SELECT hour, event_type, n,
+           CAST(sum(n) OVER w AS BIGINT) AS s1,
+           CAST(sum(n * n) OVER w AS BIGINT) AS s2,
+           CAST(count(n) OVER w AS BIGINT) AS k
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+hist AS (
+    SELECT hour, event_type, n, k,
+           (s2 - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1) AS var,
+           CAST(s1 AS DOUBLE) / k AS mean
+    FROM scored WHERE k >= 12
+)
+SELECT hour, event_type, n, k, (n - mean) / sqrt(var) AS z
+FROM hist
+WHERE var > 0 AND abs((n - mean) / sqrt(var)) > 2
+""",
+    tags=("X5", "X9", "X19"),
+)
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed rate-anomaly detection: hourly event counts per type,
+    z-scored against the trailing 24 observed hours (rows frame —
+    sufficient statistics Σn, Σn² are INTEGER sums over counts, so the
+    window math is exact on both engines and the z expression is one
+    fixed-order double computation). Flags |z| > 2 once 12 hours of
+    history exist. One shuffle for the hourly aggregate; the window
+    re-uses its (event_type) partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    scored = hourly.select(
+        "hour",
+        "event_type",
+        "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count("n").over(w).alias("k"),
+    )
+    # filter BEFORE the divisions: under ANSI mode the short-history
+    # rows (k = 0) would raise DIVIDE_BY_ZERO inside the projection;
+    # var > 0 likewise guards a constant-rate window (sqrt(0) divisor)
+    hist = scored.where(F.col("k") >= 12).select(
+        "hour",
+        "event_type",
+        "n",
+        "k",
+        (
+            (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("k"))
+            / (F.col("k") - 1)
+        ).alias("var"),
+        (F.col("s1").cast("double") / F.col("k")).alias("mean"),
+    )
+    z = (F.col("n") - F.col("mean")) / F.sqrt(F.col("var"))
+    return (
+        hist.where(F.col("var") > 0)
+        .select("hour", "event_type", "n", "k", z.alias("z"))
+        .where(F.abs(F.col("z")) > 2)
+    )

@@ -91,6 +91,8 @@ PRIORITY: tuple[str, ...] = (
     "salted_hot_key_agg",
     "ppm_decode_resize",
     "video_frame_sample",
+    "daily_revenue_gap_filled",
+    "event_rate_anomalies",
     # (3) implementation touched this round
     "top1_price_today",  # single-scan argmax rewrite
     "top1_price_alltime",  # single-scan argmax rewrite
@@ -113,8 +115,6 @@ PRIORITY: tuple[str, ...] = (
     "set_ops_customers",
     "pivot_priority_by_status",
     "normalize_whitespace",
-    "bounded_split",
-    "date_parse_roundtrip",
 )
 
 
