@@ -566,3 +566,90 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hour", "event_type", "n", "k", z.alias("z"))
         .where(F.abs(F.col("z")) > 2)
     )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_week,
+           CAST(floor(date_diff('day', f.cohort_week,
+                                CAST(date_trunc('week', e.ts) AS DATE)) / 7.0)
+                AS INT) AS week_offset
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT cohort_week, week_offset,
+       CAST(count(*) AS BIGINT) AS n_active_users
+FROM activity
+GROUP BY cohort_week, week_offset
+""",
+    tags=("X5", "X14", "X8"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, one
+    row per (cohort, week offset) with the count of users active that
+    week — the classic product-analytics triangle. The first-seen
+    aggregate, the enrich join, and the per-user dedup all key on
+    user_id, so they share one shuffle; week offsets are integer day
+    arithmetic (exact on both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"),
+                           F.col("cohort_week")) / 7.0
+            ).cast("int").alias("week_offset"),
+        )
+        .dropDuplicates(["user_id", "cohort_week", "week_offset"])
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM ordered
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+    tags=("X5", "X9"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts between consecutive events per user
+    (path/funnel exploration): lead() over the per-user timeline with
+    a deterministic (ts, event_id) order, then count per (from, to)
+    pair. One shuffle for the window; the 5×5 output aggregate is
+    map-side combinable."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        ordered.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

@@ -93,6 +93,8 @@ PRIORITY: tuple[str, ...] = (
     "video_frame_sample",
     "daily_revenue_gap_filled",
     "event_rate_anomalies",
+    "cohort_retention",
+    "event_transition_matrix",
     # (3) implementation touched this round
     "top1_price_today",  # single-scan argmax rewrite
     "top1_price_alltime",  # single-scan argmax rewrite
@@ -113,8 +115,6 @@ PRIORITY: tuple[str, ...] = (
     "rollup_sales",
     "cube_priority_status",
     "set_ops_customers",
-    "pivot_priority_by_status",
-    "normalize_whitespace",
 )
 
 
