@@ -110,3 +110,46 @@ def test_exact_dedup_stable_under_duplication(spark, texts):
     m_double = dict(map(tuple, doubled.collect()))
     assert set(m_once) == set(m_double)
     assert all(m_double[h] == 2 * m_once[h] for h in m_once)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),       # day bucket
+            st.floats(min_value=0.01, max_value=1e6,     # price
+                      allow_nan=False, allow_infinity=False),
+            st.integers(min_value=1, max_value=1000),    # orderkey
+            st.integers(min_value=1, max_value=7),       # linenumber
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_top1_argmax_equals_sort_limit(spark, rows):
+    """The single-scan max(struct) argmax (operators/topk._high_low)
+    must pick exactly the row the reference's ORDER BY ... LIMIT 1
+    formulation picks, including the date scoping and both tiebreaker
+    directions."""
+    import datetime
+
+    from master_airflow_spark.operators.topk import _high_low
+
+    df = spark.createDataFrame(
+        [
+            (datetime.datetime(1997, 1, 1) + datetime.timedelta(days=d), p, ok, ln)
+            for d, p, ok, ln in rows
+        ],
+        "l_shipdate timestamp, l_extendedprice double, l_orderkey long, l_linenumber int",
+    )
+    for with_date in (False, True):
+        got = {r.which: (r.price, r.l_orderkey, r.l_linenumber)
+               for r in _high_low(df, with_date=with_date).collect()}
+        pool = rows
+        if with_date:
+            latest = max(d for d, *_ in rows)
+            pool = [r for r in rows if r[0] == latest]
+        hi = min(pool, key=lambda r: (-r[1], r[2], r[3]))
+        lo = min(pool, key=lambda r: (r[1], r[2], r[3]))
+        assert got["highest"] == (hi[1], hi[2], hi[3])
+        assert got["lowest"] == (lo[1], lo[2], lo[3])
