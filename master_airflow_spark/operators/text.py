@@ -725,3 +725,45 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "tok", "tf", "df", "score", "rank")
     )
+
+
+@register(
+    "collapse_repeated_tokens",
+    oracle=rf"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+cleaned AS (
+    SELECT doc_id, len(t) AS n_tokens,
+           list_filter(t, (x, i) -> i = 1 OR x <> t[i - 1]) AS kept
+    FROM toks
+)
+SELECT doc_id, n_tokens,
+       len(kept) AS n_after,
+       md5(array_to_string(kept, ' ')) AS cleaned_md5
+FROM cleaned
+""",
+    tags=("X26", "X16"),
+)
+def collapse_repeated_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate token collapse ('a a the' -> 'a the') —
+    the stutter-removal normalization step of a text-cleaning
+    pipeline, as a pure column expression: an indexed array filter
+    keeping positions whose token differs from its predecessor. The
+    cleaned text is emitted as an md5 (the driver needs scalar
+    outputs); Spark's filter lambda index is 0-based, DuckDB's
+    1-based — the predecessor test is offset accordingly."""
+    t = tokens()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", t.alias("t"))
+    kept = F.filter("t", lambda x, i: (i == 0) | (x != F.element_at("t", i)))
+    cleaned = docs.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        kept.alias("kept"),
+    )
+    return cleaned.select(
+        "doc_id",
+        "n_tokens",
+        F.size("kept").alias("n_after"),
+        F.md5(F.encode(F.concat_ws(" ", F.col("kept")), "utf-8")).alias(
+            "cleaned_md5"
+        ),
+    )

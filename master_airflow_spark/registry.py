@@ -95,6 +95,7 @@ PRIORITY: tuple[str, ...] = (
     "event_rate_anomalies",
     "cohort_retention",
     "event_transition_matrix",
+    "collapse_repeated_tokens",
     # (3) implementation touched this round
     "top1_price_today",  # single-scan argmax rewrite
     "top1_price_alltime",  # single-scan argmax rewrite
@@ -114,7 +115,6 @@ PRIORITY: tuple[str, ...] = (
     "approx_distinct_users",
     "rollup_sales",
     "cube_priority_status",
-    "set_ops_customers",
 )
 
 
