@@ -54,8 +54,12 @@ def ensure_session_defaults(spark: SparkSession) -> None:
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Column names stored as parquet TIMESTAMP(NANOS) — a type Spark
-    lacks (read as long via spark.sql.legacy.parquet.nanosAsLong)."""
+    """Column names stored as parquet TIMESTAMP(NANOS).
+
+    How Spark surfaces these depends on version: ≤4.0 has no ns type
+    and needs spark.sql.legacy.parquet.nanosAsLong (column arrives as
+    bigint raw nanos); 4.1+ reads them natively as TIMESTAMP_NTZ,
+    µs-truncated — same floor DuckDB applies at read time."""
     schema = pq.read_schema(path)
     return [
         f.name
@@ -70,10 +74,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_defaults(spark)
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
-    for c in _nanos_timestamp_cols(path):
-        # integer ns→µs floor (`div`, not `/`: ns values exceed double's
-        # 2^53 integer range), matching DuckDB's read-time truncation.
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols and dict(df.dtypes).get(ns_cols[0]) == "bigint":
+        # Legacy nanosAsLong read: integer ns→µs floor (`div`, not `/`:
+        # ns values exceed double's 2^53 integer range), matching
+        # DuckDB's read-time truncation.
+        for c in ns_cols:
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    # Native TIMESTAMP_NTZ read (Spark 4.1+) needs no conversion: the
+    # wall clock equals the legacy µs-floored value under the UTC
+    # session timezone, and leaving the column untouched keeps
+    # timestamp predicates pushable into the parquet scan (the legacy
+    # long→timestamp projection blocked that).
     return df
 
 

@@ -203,7 +203,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap math on unix microseconds so both engines compare integers."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    # cast: events.ts reads as timestamp_ntz on Spark 4.1+, which
+    # unix_micros rejects; UTC session tz makes the cast exact
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     new_sess = (
         F.when(
             (us - F.lag(us).over(w) > 1_800_000_000)

@@ -589,3 +589,470 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# -- Q8/Q9/Q11/Q13/Q15/Q17/Q20/Q21 shapes (round 3, second batch) -------------
+#
+# Completes the 22-query TPC-H analog suite on the driver star schema.
+# Remaining substitutions for columns the schema lacks (no partsupp /
+# commitdate / receiptdate / container / mfgr / phone): supply cost :=
+# 0.6 * p_retailprice (Q9), lateness := l_shipdate more than 90 days
+# after o_orderdate (Q21), container class := p_size bucket (Q17), and
+# Q11's "stock value" := lineitem revenue booked by one nation's
+# suppliers. Every aggregate follows the decimal exactness recipe
+# (functions/exact.py); every comparison that decides row membership is
+# made on exact decimals so Spark and DuckDB agree on the boundary.
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+WITH base AS (
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           {sql_dmul(*_REV)} AS volume,
+           sn.n_name AS supp_nation
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = cn.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                     ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+       count(*) AS n_items
+FROM base
+GROUP BY o_year
+""",
+    tags=("X1", "X5", "X15"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: NATION_2's share of the ASIA STANDARD-part market per
+    order year. Seven-table join where every dimension (nation ×2,
+    region, supplier, part) broadcasts — the only shuffles are the two
+    fact-side equi-joins and the tiny final aggregate. The share is a
+    ratio of two exact decimal sums, one IEEE division at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    )
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    cn = F.broadcast(
+        n.select(F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk"))
+    )
+    sn = F.broadcast(
+        n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    )
+    rev = dmul(F.col("l_extendedprice"), 1 - F.col("l_discount"))
+    zero = F.lit(0).cast("decimal(28,8)")
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(cn, F.col("cnk") == c.c_nationkey)
+        .join(r, r.r_regionkey == F.col("crk"))
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(sn, F.col("snk") == s.s_nationkey)
+        .join(p, p.p_partkey == li.l_partkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(zero))
+                .cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+SELECT sn.n_name AS supp_nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM({sql_dmul(*_REV)}) AS DOUBLE)
+         - 0.6 * CAST(SUM({sql_dmul('p.p_retailprice', 'l.l_quantity')}) AS DOUBLE)
+         AS profit
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+JOIN part p     ON p.p_partkey = l.l_partkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY sn.n_name, year(o.o_orderdate)
+""",
+    tags=("X1", "X5", "X13"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit on red parts per supplier nation and order
+    year, with supply cost := 0.6 × p_retailprice (the schema has no
+    partsupp). Both termsums stay exact decimals; the 0.6 scale and the
+    subtraction are two deterministic IEEE ops on the final per-group
+    values. part/supplier/nation broadcast; the LIKE filter prunes the
+    part build side before it ships."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    sn = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    )
+    rev = dmul(F.col("l_extendedprice"), 1 - F.col("l_discount"))
+    cost = dmul(F.col("p_retailprice"), F.col("l_quantity"))
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(sn, F.col("snk") == s.s_nationkey)
+        .join(p, p.p_partkey == li.l_partkey)
+        .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(rev).cast("double")
+                - F.lit(0.6) * F.sum(cost).cast("double")
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+WITH nat AS (
+    SELECT l.l_partkey,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(28,4))) AS value_dec
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_2'
+    GROUP BY l.l_partkey
+)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS stock_value
+FROM nat
+WHERE value_dec > (SELECT SUM(value_dec) * CAST(0.001 AS DECIMAL(4,3)) FROM nat)
+""",
+    tags=("X1", "X5", "X2"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose NATION_2-supplier revenue exceeds 0.1% of
+    that nation's total (scalar-subquery threshold). The per-part
+    aggregate is computed once; the global total folds the SAME
+    aggregate's output (25× fewer rows than re-scanning lineitem) and
+    broadcasts as a 1-row join. Membership is decided on exact decimals
+    — decimal × decimal(4,3) is exact on both engines — so the
+    threshold boundary cannot drift between Spark and DuckDB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
+    )
+    per_part = (
+        li.join(s, s.s_suppkey == li.l_suppkey)
+        .join(n, n.n_nationkey == s.s_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(28,4)")).alias("value_dec"))
+    )
+    from master_airflow_spark.registry import track_cache
+
+    per_part = track_cache(per_part)  # feeds both the threshold and the filter
+    total = per_part.agg(
+        (F.sum("value_dec") * F.lit("0.001").cast("decimal(4,3)")).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value_dec") > F.col("threshold"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("stock_value"))
+    )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+""",
+    tags=("X1", "X5"),
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: histogram of customers by non-urgent order count —
+    the outer-join-preserving double aggregate (customers with zero
+    orders must survive as c_count = 0, which an inner join would
+    silently drop). One shuffle keyed on custkey, then a tiny
+    histogram aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH rev AS (
+    SELECT l_suppkey,
+           SUM({sql_dmul(*_REV)}) AS total_rev_dec
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, s.s_acctbal,
+       CAST(rev.total_rev_dec AS DOUBLE) AS total_revenue
+FROM rev
+JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.total_rev_dec = (SELECT max(total_rev_dec) FROM rev)
+""",
+    tags=("X1", "X5", "T1"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: the supplier(s) with maximum revenue in 1997Q1 — the
+    view-plus-scalar-max pattern. The quarter aggregate is computed
+    once (cached), its 1-row max broadcasts back as the filter, and
+    ties survive (the reference semantics) because equality is tested
+    on exact decimals, not rounded doubles."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    from master_airflow_spark.registry import track_cache
+
+    rev = track_cache(
+        li.groupBy("l_suppkey").agg(
+            F.sum(dmul(F.col("l_extendedprice"), 1 - F.col("l_discount"))).alias(
+                "total_rev_dec"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_rev_dec").alias("mx"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_rev_dec") == F.col("mx"))
+        .join(s, s.s_suppkey == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            F.col("total_rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH candidate AS (
+    SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_size < 10
+), with_avg AS (
+    SELECT l_extendedprice, l_quantity,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)))
+                    OVER (PARTITION BY l_partkey) AS DOUBLE)
+             / COUNT(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+    FROM candidate
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / 7.0
+           AS avg_yearly,
+       count(*) AS n_items
+FROM with_avg
+WHERE l_quantity < 0.2 * avg_qty
+""",
+    tags=("X1", "X5", "X9"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue forgone on small-quantity orders of
+    Brand#23 small parts (p_size < 10 plays the container class). The
+    correlated per-part average compiles to a window aggregate over the
+    part-filtered lineitems — the filter is at part granularity, so the
+    window sees exactly the correlated subquery's rows and no second
+    lineitem scan exists. The 0.2 × avg threshold is one IEEE multiply
+    on an exactly-derived average, identical on both engines."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").where(
+            (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10)
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    cand = li.join(p, p.p_partkey == li.l_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    with_avg = cand.withColumn(
+        "avg_qty",
+        F.sum(F.col("l_quantity").cast("decimal(28,4)")).over(w).cast("double")
+        / F.count("l_quantity").over(w),
+    )
+    return with_avg.where(F.col("l_quantity") < 0.2 * F.col("avg_qty")).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(28,4)")).cast("double") / 7.0)
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    oracle="""
+WITH sp AS (
+    SELECT l.l_suppkey,
+           SUM(CASE WHEN year(l.l_shipdate) = 1997
+                    THEN CAST(l.l_quantity AS DECIMAL(28,4))
+                    ELSE CAST(0 AS DECIMAL(28,4)) END) AS qty97,
+           SUM(CAST(l.l_quantity AS DECIMAL(28,4))) AS qty_all
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'red%'
+    GROUP BY l.l_suppkey, l.l_partkey
+)
+SELECT s.s_suppkey, s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name IN ('NATION_2', 'NATION_7')
+  AND EXISTS (SELECT 1 FROM sp
+              WHERE sp.l_suppkey = s.s_suppkey
+                AND sp.qty97 * 2 > sp.qty_all)
+""",
+    tags=("X2", "X5", "X15"),
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: NATION_2/NATION_7 suppliers who shipped more than
+    half of some red part's lifetime volume in 1997 alone (the
+    availqty-vs-half-of-shipments comparison recast onto two measures
+    both derivable from lineitem). The two-measure HAVING is a single
+    conditional aggregate pass; qualification reaches suppliers as a
+    LEFT SEMI join, so a supplier qualifying via many parts appears
+    once without a distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    )
+    zero = F.lit(0).cast("decimal(28,4)")
+    qty = F.col("l_quantity").cast("decimal(28,4)")
+    sp = (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(F.year("l_shipdate") == 1997, qty).otherwise(zero)).alias(
+                "qty97"
+            ),
+            F.sum(qty).alias("qty_all"),
+        )
+        .where(F.col("qty97") * 2 > F.col("qty_all"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").where(
+            F.col("n_name").isin("NATION_2", "NATION_7")
+        )
+    )
+    return (
+        s.join(n, n.n_nationkey == s.s_nationkey)
+        .join(sp, sp.l_suppkey == s.s_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH li AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                THEN 1 ELSE 0 END AS late
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+), stats AS (
+    SELECT l_orderkey,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+    FROM li
+    GROUP BY l_orderkey
+)
+SELECT s.s_name, count(*) AS numwait
+FROM li
+JOIN stats ON stats.l_orderkey = li.l_orderkey
+JOIN supplier s ON s.s_suppkey = li.l_suppkey
+WHERE li.late = 1 AND stats.n_supp >= 2 AND stats.n_late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 25
+""",
+    tags=("X2", "X5", "X8", "T3"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who were the sole late shipper in
+    finished multi-supplier orders (late := shipped >90 days after the
+    order date — the schema's receipt/commit proxy). The EXISTS /
+    NOT EXISTS pair collapses into per-order distinct counts computed
+    in ONE aggregate pass; flagged lines join back on the same
+    l_orderkey partitioning, so the exchange is reused rather than
+    re-shuffled. Both frames derive from one cached scan of the
+    F-order lineitems."""
+    from master_airflow_spark.registry import track_cache
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    flagged = track_cache(
+        li.join(o, o.o_orderkey == li.l_orderkey).select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("late"),
+        )
+    )
+    stats = (
+        flagged.groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(
+                F.when(F.col("late") == 1, F.col("l_suppkey"))
+            ).alias("n_late"),
+        )
+        .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        flagged.where(F.col("late") == 1)
+        .join(stats, "l_orderkey")
+        .join(s, s.s_suppkey == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )

@@ -61,6 +61,15 @@ def register(
 # regression in older code can't hide behind its round-1 stamp — the
 # slice advances each round.
 PRIORITY: tuple[str, ...] = (
+    # (0) added this round, never certified — TPC-H suite completion
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
     # (1) never driver-certified (rounds 1-2 sampled 93 of 104)
     "lsh_bucketed_ann",  # exact oracle added this round
     "ivf_ann_topk",

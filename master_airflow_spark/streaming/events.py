@@ -29,8 +29,10 @@ from pyspark.sql import functions as F
 
 from master_airflow_spark.functions.exact import dsum
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+# ts slot depends on Spark version: 4.1+ reads parquet TIMESTAMP(NANOS)
+# natively as timestamp_ntz; older versions need nanosAsLong (bigint).
+EVENTS_SCHEMA_TEMPLATE = (
+    "event_id bigint, ts {ts_type}, user_id bigint, event_type string, "
     "value double, props string"
 )
 
@@ -50,18 +52,23 @@ def landing_dir_for(parquet_file: str) -> str:
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files.
-    ts arrives as raw nanos (nanosAsLong, see catalog.py) → converted
-    to TimestampType here, one rule for batch and stream."""
+    The explicit schema must match how this Spark version surfaces
+    parquet ns timestamps (see catalog._nanos_timestamp_cols), so probe
+    with a footer-only batch read; ts is normalized to TimestampType —
+    one rule for batch and stream."""
     from master_airflow_spark.catalog import ensure_session_defaults
 
-    ensure_session_defaults(spark)  # ts-as-bigint needs nanosAsLong
+    ensure_session_defaults(spark)
+    ts_type = dict(spark.read.parquet(events_dir).dtypes)["ts"]
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_SCHEMA)
+        .schema(EVENTS_SCHEMA_TEMPLATE.format(ts_type=ts_type))
         .option("maxFilesPerTrigger", 1)
         .load(events_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "bigint":  # legacy nanosAsLong read
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
@@ -251,7 +258,13 @@ def attribution_join(
             "user_id",
             "click_ts",
             "purchase_ts",
-            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+            # cast: batch-replay callers pass timestamp_ntz columns,
+            # which unix_micros rejects; the UTC session tz makes the
+            # cast value-preserving either way
+            (
+                F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+                - F.unix_micros(F.col("click_ts").cast("timestamp"))
+            ).alias("lag_us"),
         )
     )
 
