@@ -36,6 +36,10 @@ EVENTS_SCHEMA_TEMPLATE = (
     "value double, props string"
 )
 
+# events_dir -> how this runtime surfaces the parquet ts column
+# (footer-only probe, but still a Spark job worth doing once per dir).
+_TS_TYPE_CACHE: dict[str, str] = {}
+
 
 def landing_dir_for(parquet_file: str) -> str:
     """The file-stream source requires a *directory* (a landing zone —
@@ -59,7 +63,10 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     from master_airflow_spark.catalog import ensure_session_defaults
 
     ensure_session_defaults(spark)
-    ts_type = dict(spark.read.parquet(events_dir).dtypes)["ts"]
+    ts_type = _TS_TYPE_CACHE.get(events_dir)
+    if ts_type is None:
+        ts_type = dict(spark.read.parquet(events_dir).dtypes)["ts"]
+        _TS_TYPE_CACHE[events_dir] = ts_type
     raw = (
         spark.readStream.format("parquet")
         .schema(EVENTS_SCHEMA_TEMPLATE.format(ts_type=ts_type))
@@ -179,7 +186,17 @@ def run_to_memory(
     ckpt = os.path.join(_checkpoint_root(), "mas_ckpt", qname)
     with _DRAIN_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_nodata = spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+        )
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        if output_mode == "complete":
+            # Complete mode re-emits full state every trigger, so the
+            # trailing no-data micro-batch (whose purpose is flushing
+            # append-mode results past the watermark) adds a full
+            # state-store commit cycle and no rows — skip it. Append
+            # drains keep it: closed windows would otherwise never emit.
+            spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         try:
             q = (
                 stream_df.writeStream.format("memory")
@@ -192,6 +209,9 @@ def run_to_memory(
             q.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+            )
             shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(qname)
 
