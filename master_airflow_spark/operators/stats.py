@@ -655,3 +655,47 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@register(
+    "price_histogram",
+    oracle="""
+WITH mm AS (
+    SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+    FROM lineitem
+)
+SELECT LEAST(CAST(floor((l_extendedprice - mn) / ((mx - mn) / 10.0)) AS INT),
+             9) AS bin,
+       mn + LEAST(CAST(floor((l_extendedprice - mn) / ((mx - mn) / 10.0)) AS INT),
+                  9) * ((mx - mn) / 10.0) AS bin_lo,
+       count(*) AS n_items
+FROM lineitem, mm
+GROUP BY 1, 2
+""",
+    tags=("X5", "X15"),
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bin histogram of l_extendedprice. The min/max
+    scalar pair is a 1-row broadcast joined onto the fact scan — two
+    passes total, both full-scan-parallel, the shape a profiler uses
+    at any scale. Bin assignment is (x−mn)/width floored, max value
+    clamped into the top bin; every arithmetic step is the same IEEE
+    double op sequence on both engines, so bin membership cannot
+    drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / 10.0
+    bin_ = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("mn")) / width).cast("int"),
+        F.lit(9),
+    )
+    return (
+        li.join(F.broadcast(mm))
+        .groupBy(
+            bin_.alias("bin"),
+            (F.col("mn") + bin_ * width).alias("bin_lo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )

@@ -767,3 +767,133 @@ def collapse_repeated_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cleaned_md5"
         ),
     )
+
+
+@register(
+    "containment_pairs",
+    oracle=r"""
+WITH sh AS (
+    SELECT doc_id, source,
+           list_distinct(list_transform(range(1, greatest(length(text) - 6, 1)),
+                                        i -> substr(text, i, 8))) AS s
+    FROM documents
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       len(list_intersect(a.s, b.s)) AS n_common,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id <> b.doc_id
+WHERE len(a.s) > 0
+  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.5
+""",
+    tags=("X24", "X26"),
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 8-gram containment C(A→B) = |A∩B| / |A| ≥ 0.5 over
+    same-source pairs — the sub-document-duplication signal Jaccard
+    misses (a paragraph wholly lifted into a longer doc scores low
+    Jaccard but high containment; see Broder '97 resemblance vs
+    containment). Directional: both (a,b) and (b,a) can appear with
+    different scores. 8-char shingles are rare enough that the
+    inverted-index equi-join on (gram, source) emits only truly
+    overlapping candidate pairs — no all-pairs product, no prefix
+    filter needed — and the gram rows are integer-hashed before the
+    join so the shuffle carries 8-byte keys. Exactly the oracle's
+    quadratic all-pairs result, at index-join cost."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    g_rows = track_cache(
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr("sequence(1, greatest(length(text) - 7, 1))")
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr("substring(text, i, 8)").alias("g"),
+        )
+        .where(F.length("g") == 8)
+        .dropDuplicates(["doc_id", "g"])
+        # 8-byte integer gram ids: xxhash64 collisions at charset^8
+        # cardinality are negligible for counting and keep the
+        # self-join shuffle narrow
+        .select("doc_id", "source", F.xxhash64("g").alias("gid"))
+    )
+    sizes = g_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    b = g_rows.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("source").alias("b_source"),
+        F.col("gid").alias("b_gid"),
+    )
+    common = (
+        g_rows.join(
+            b,
+            (F.col("gid") == F.col("b_gid"))
+            & (F.col("source") == F.col("b_source"))
+            & (F.col("doc_id") != F.col("b_id")),
+        )
+        .groupBy(F.col("doc_id").alias("a_id"), "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes, sizes.doc_id == common.a_id)
+        .withColumn(
+            "containment", F.col("n_common").cast("double") / F.col("n_grams")
+        )
+        .where(F.col("containment") >= 0.5)
+        .select("a_id", "b_id", "n_common", "containment")
+    )
+
+
+@register(
+    "zipf_quality_score",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+),
+freq AS (
+    SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+)
+SELECT t.doc_id,
+       count(*) AS n_toks,
+       CAST(SUM(CAST(f.cnt AS DECIMAL(28,4))) AS DOUBLE) / count(*)
+           AS mean_tok_freq,
+       CAST(count_if(f.cnt <= 2) AS DOUBLE) / count(*) AS rare_frac
+FROM tok t JOIN freq f ON f.tok = t.tok
+GROUP BY t.doc_id
+""",
+    tags=("X26", "quality"),
+)
+def zipf_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency document scoring — the deterministic stand-in
+    for unigram-LM log-probability filtering (CCNet-style): per doc,
+    the mean corpus frequency of its tokens (high = boilerplate /
+    templated, low = rare-token noise) and the fraction of
+    near-hapax tokens (corpus count ≤ 2, the OOV-ish tail). Engine
+    log() implementations differ in the last ulp, so the score is
+    kept in exact integer/decimal space — same ranking signal,
+    bit-identical across engines. Two hash aggregates plus one
+    equi-join on the token, all map-side combinable; the frequency
+    table is vocabulary-sized (Zipf-bounded ≪ corpus) and would
+    broadcast at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tok.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            (
+                F.sum(F.col("cnt").cast("decimal(28,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_tok_freq"),
+            (
+                F.count_if(F.col("cnt") <= 2).cast("double") / F.count(F.lit(1))
+            ).alias("rare_frac"),
+        )
+    )

@@ -325,3 +325,39 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("last_ord.o_orderkey")).alias("last_orderkey"),
         F.when(fresh, F.col("last_ord.o_totalprice")).alias("last_order_price"),
     )
+
+
+@register(
+    "scd2_purchase_history",
+    oracle="""
+SELECT user_id,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       value,
+       CASE WHEN lead(ts) OVER w IS NULL THEN TRUE ELSE FALSE END AS is_current
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    tags=("X9", "cdc"),
+)
+def scd2_purchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change stream
+    (CDC apply): each purchase event sets the user's current value;
+    lead() closes the previous validity interval half-open
+    [valid_from, valid_to), the newest row stays open with
+    is_current = true. One shuffle keyed on user_id — the standard
+    SCD2 merge a warehouse pipeline runs per batch, and the interval
+    table an as-of join then serves. Ties break on event_id, so the
+    interval chain is total-ordered and deterministic."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        "value",
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

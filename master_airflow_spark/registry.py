@@ -70,6 +70,10 @@ PRIORITY: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
+    "scd2_purchase_history",
+    "price_histogram",
+    "containment_pairs",
+    "zipf_quality_score",
     # (1) never driver-certified (rounds 1-2 sampled 93 of 104)
     "lsh_bucketed_ann",  # exact oracle added this round
     "ivf_ann_topk",
