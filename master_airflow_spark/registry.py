@@ -109,14 +109,20 @@ PRIORITY: tuple[str, ...] = (
     "cohort_retention",
     "event_transition_matrix",
     "collapse_repeated_tokens",
-    # (3) implementation touched this round
-    "top1_price_today",  # single-scan argmax rewrite
-    "top1_price_alltime",  # single-scan argmax rewrite
-    "cosine_topk",  # broadcast lifecycle change
-    "stream_tumbling_agg",  # drain state-partition change
-    "stream_sliding_agg",
+    # (3) implementation touched this round — ordered so the 5 slots
+    # left inside the driver's 50-query window land on the distinct
+    # changed runtime paths: complete-mode drain (tumbling), the
+    # heaviest state path (session), append-mode drain with the
+    # no-data guard (interval join), the argmax rewrite (top1), and
+    # the broadcast lifecycle (cosine). The remaining three share
+    # those code paths with a certified sibling.
+    "stream_tumbling_agg",  # drain state-partition + no-data-batch change
     "stream_session_window",
     "stream_interval_join",
+    "top1_price_today",  # single-scan argmax rewrite
+    "cosine_topk",  # broadcast lifecycle change
+    "top1_price_alltime",  # same argmax shape as top1_price_today
+    "stream_sliding_agg",  # same drain path as tumbling
     "stream_static_enrich",
     # (4) rotation slice: round-1-certified, not re-certified since
     "pricing_summary",
