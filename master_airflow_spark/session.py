@@ -47,7 +47,12 @@ def get_spark(
         # them to TimestampType (micros, floor) — same truncation DuckDB
         # applies, so oracle comparisons agree.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode executors all live in the driver JVM; at 8g the
+        # 19-query bench sequence spends up to ~2s/query in GC churn
+        # (measured: training_corpus_pipeline 2.4s at 8g → 0.9s at
+        # 24g), so size the heap to the 32-thread working set. On a
+        # real cluster this is owned by spark-submit instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # saveAsTable target for bucketed tables (sinks/bucketed.py);
         # kept out of the repo tree.
         .config(

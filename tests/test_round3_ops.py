@@ -1,0 +1,95 @@
+"""Semantic laws for the round-3 operators, beyond the oracle diff:
+SCD2 intervals partition each user's timeline; histogram bins cover
+every row exactly once; containment is directional and complete for
+identical documents; Zipf scoring is scale-consistent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_scd2_intervals_chain(spark, sf_dir):
+    """Per user: exactly one open (is_current) interval, and every
+    closed interval's valid_to equals the next interval's valid_from —
+    the half-open chain that makes as-of lookups unambiguous."""
+    from master_airflow_spark.operators.window import scd2_purchase_history
+
+    out = scd2_purchase_history(spark, sf_dir).cache()
+    open_counts = (
+        out.groupBy("user_id")
+        .agg(F.sum(F.col("is_current").cast("int")).alias("n_open"))
+        .where(F.col("n_open") != 1)
+        .count()
+    )
+    assert open_counts == 0
+    # chain law: valid_to of row k == valid_from of row k+1 (per user)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    chained = out.withColumn("next_from", F.lead("valid_from").over(w)).where(
+        F.col("valid_to").isNotNull() & (F.col("valid_to") != F.col("next_from"))
+    )
+    assert chained.count() == 0
+    out.unpersist()
+
+
+def test_price_histogram_partitions_rows(spark, sf_dir):
+    """Bin counts sum to the table row count and bins lie in [0, 9]."""
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.operators.stats import price_histogram
+
+    h = price_histogram(spark, sf_dir).collect()
+    n_rows = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r.n_items for r in h) == n_rows
+    assert all(0 <= r.bin <= 9 for r in h)
+
+
+def test_containment_identical_docs(spark):
+    """A document fully contained in a longer one scores 1.0 in the
+    a→b direction and < 1.0 in b→a — the asymmetry Jaccard lacks."""
+    import tempfile
+
+    from master_airflow_spark.operators.text import containment_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "en", "s1", len(base)),
+        (2, base + " with a long unique suffix bolted onto the end here", "en", "s1", 0),
+        (3, "completely unrelated content lives in this document", "en", "s1", 0),
+    ]
+    import pandas as pd
+
+    with tempfile.TemporaryDirectory() as d:
+        # single-file parquet, the layout the driver testdata ships
+        pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        ).to_parquet(f"{d}/documents.parquet")
+        out = {
+            (r.a_id, r.b_id): r.containment
+            for r in containment_pairs(spark, d).collect()
+        }
+    from master_airflow_spark.registry import release_caches
+
+    release_caches()
+    assert out[(1, 2)] == 1.0  # doc1 ⊂ doc2
+    assert 0.5 <= out[(2, 1)] < 1.0  # doc2 only partially inside doc1
+    assert (1, 3) not in out and (3, 1) not in out
+
+
+def test_zipf_score_bounds(spark, sf_dir):
+    """rare_frac ∈ [0,1]; mean_tok_freq ≥ 1 (every token occurs at
+    least once — itself); one output row per document."""
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.operators.text import zipf_quality_score
+
+    out = zipf_quality_score(spark, sf_dir).cache()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert out.count() == n_docs
+    bad = out.where(
+        (F.col("rare_frac") < 0)
+        | (F.col("rare_frac") > 1)
+        | (F.col("mean_tok_freq") < 1)
+    ).count()
+    assert bad == 0
+    out.unpersist()
