@@ -109,31 +109,20 @@ PRIORITY: tuple[str, ...] = (
     "cohort_retention",
     "event_transition_matrix",
     "collapse_repeated_tokens",
-    # (3) implementation touched this round — ordered so the 5 slots
-    # left inside the driver's 50-query window land on the distinct
-    # changed runtime paths: complete-mode drain (tumbling), the
-    # heaviest state path (session), append-mode drain with the
-    # no-data guard (interval join), the argmax rewrite (top1), and
-    # the broadcast lifecycle (cosine). The remaining three share
-    # those code paths with a certified sibling.
-    "stream_tumbling_agg",  # drain state-partition + no-data-batch change
-    "stream_session_window",
-    "stream_interval_join",
+    # (3) implementation touched this round — the 45 uncertified
+    # entries above leave 5 window slots; they land on the distinct
+    # changed runtime paths plus a 2-entry rotation slice. Siblings of
+    # each pick share its code path: session/sliding/static drain like
+    # tumbling (complete mode), top1_price_alltime is the same argmax
+    # shape as top1_price_today, and the broadcast-lifecycle change is
+    # exercised by lsh_bucketed_ann / ivf_ann_topk in slots 13-14.
+    "stream_tumbling_agg",  # complete-mode drain: no-data batch skipped
+    "stream_interval_join",  # append-mode drain: no-data batch kept
     "top1_price_today",  # single-scan argmax rewrite
-    "cosine_topk",  # broadcast lifecycle change
-    "top1_price_alltime",  # same argmax shape as top1_price_today
-    "stream_sliding_agg",  # same drain path as tumbling
-    "stream_static_enrich",
-    # (4) rotation slice: round-1-certified, not re-certified since
+    # (4) rotation slice: round-1-certified, not re-certified since;
+    # advances each round
     "pricing_summary",
     "revenue_by_nation",
-    "customer_order_counts",
-    "semi_anti_customers",
-    "range_join_price_bands",
-    "distinct_order_status",
-    "approx_distinct_users",
-    "rollup_sales",
-    "cube_priority_status",
 )
 
 

@@ -180,3 +180,49 @@ def test_q6_filters_push_to_scan(spark, sf_dir):
     pushed = plan.split("PushedFilters")[1].split("]")[0]
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+# -- round-3 additions --------------------------------------------------------
+
+
+def test_q8_market_share_dims_broadcast(spark, sf_dir):
+    """Seven-table Q8: every dimension leg must broadcast; the only
+    shuffle joins allowed are the two fact-side equi-joins."""
+    df = _q(spark, sf_dir, "q8_market_share")
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds
+    assert kinds.count("BroadcastHashJoin") >= 5, kinds
+    n_shuffle = kinds.count("SortMergeJoin") + kinds.count("ShuffledHashJoin")
+    assert n_shuffle <= 2, f"fact joins only: {kinds}"
+
+
+def test_q15_quarter_filter_pushed(spark, sf_dir):
+    assert has_pushed_filter(
+        _q(spark, sf_dir, "q15_top_supplier"), "l_shipdate"
+    ), "quarter predicate must reach the lineitem scan"
+
+
+def test_q21_supplier_broadcast_no_cartesian(spark, sf_dir):
+    kinds = join_kinds(_q(spark, sf_dir, "q21_waiting_suppliers"))
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastHashJoin" in kinds, "supplier dim must broadcast"
+
+
+def test_containment_pairs_no_cartesian(spark, sf_dir):
+    """The candidate generator must be the inverted-index equi-join on
+    (gram, source) — never an all-pairs product."""
+    from master_airflow_spark.registry import release_caches
+
+    df = _q(spark, sf_dir, "containment_pairs")
+    kinds = join_kinds(df)
+    release_caches()
+    assert "CartesianProduct" not in kinds, kinds
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """SCD2 build is one shuffle keyed on user_id — lead() and the
+    interval projection reuse the same partitioning."""
+    from master_airflow_spark.plans.explain import op_count
+
+    df = _q(spark, sf_dir, "scd2_purchase_history")
+    assert op_count(df, "Exchange") == 1
