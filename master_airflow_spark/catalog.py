@@ -59,7 +59,21 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     How Spark surfaces these depends on version: ≤4.0 has no ns type
     and needs spark.sql.legacy.parquet.nanosAsLong (column arrives as
     bigint raw nanos); 4.1+ reads them natively as TIMESTAMP_NTZ,
-    µs-truncated — same floor DuckDB applies at read time."""
+    µs-truncated — same floor DuckDB applies at read time.
+
+    `path` may be a single parquet file (the driver testdata layout) or
+    a directory of part files (the production layout Spark writes) —
+    every part shares the footer schema, so the first one answers."""
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(r, f)
+            for r, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        if not parts:
+            return []
+        path = parts[0]
     schema = pq.read_schema(path)
     return [
         f.name
