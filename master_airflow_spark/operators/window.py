@@ -361,3 +361,45 @@ def scd2_purchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "ratio_to_report",
+    oracle="""
+WITH agg AS (
+    SELECT o_orderpriority, o_orderstatus,
+           SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS grp_dec
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+)
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grp_dec AS DOUBLE) AS grp_total,
+       CAST(grp_dec AS DOUBLE)
+         / CAST(SUM(grp_dec) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+         AS share_of_priority
+FROM agg
+""",
+    tags=("X5", "X9"),
+)
+def ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each (priority, status) cell's share of its
+    priority's total — the windowed-share idiom (share = value /
+    SUM(value) OVER (PARTITION BY group)) that grouped ratios (q8)
+    don't exercise. The window runs over the 15-row AGGREGATE, not the
+    fact table, so the share step costs nothing at any scale; both
+    numerator and denominator stay exact decimals until one final
+    double division per row."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("grp_dec")
+    )
+    w = Window.partitionBy("o_orderpriority")
+    return agg.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("grp_dec").cast("double").alias("grp_total"),
+        (
+            F.col("grp_dec").cast("double")
+            / F.sum("grp_dec").over(w).cast("double")
+        ).alias("share_of_priority"),
+    )

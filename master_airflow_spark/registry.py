@@ -74,6 +74,7 @@ PRIORITY: tuple[str, ...] = (
     "price_histogram",
     "containment_pairs",
     "zipf_quality_score",
+    "ratio_to_report",
     # (1) never driver-certified (rounds 1-2 sampled 93 of 104)
     "lsh_bucketed_ann",  # exact oracle added this round
     "ivf_ann_topk",
@@ -120,9 +121,9 @@ PRIORITY: tuple[str, ...] = (
     "stream_interval_join",  # append-mode drain: no-data batch kept
     "top1_price_today",  # single-scan argmax rewrite
     # (4) rotation slice: round-1-certified, not re-certified since;
-    # advances each round
+    # advances each round (revenue_by_nation etc. also run implicitly
+    # in every driver bench pass)
     "pricing_summary",
-    "revenue_by_nation",
 )
 
 
