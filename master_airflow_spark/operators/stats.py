@@ -664,10 +664,13 @@ WITH mm AS (
     SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
     FROM lineitem
 )
-SELECT LEAST(CAST(floor((l_extendedprice - mn) / ((mx - mn) / 10.0)) AS INT),
-             9) AS bin,
-       mn + LEAST(CAST(floor((l_extendedprice - mn) / ((mx - mn) / 10.0)) AS INT),
-                  9) * ((mx - mn) / 10.0) AS bin_lo,
+SELECT CASE WHEN mx = mn THEN 0
+            ELSE LEAST(CAST(floor((l_extendedprice - mn)
+                                  / ((mx - mn) / 10.0)) AS INT), 9) END AS bin,
+       mn + (CASE WHEN mx = mn THEN 0
+                  ELSE LEAST(CAST(floor((l_extendedprice - mn)
+                                        / ((mx - mn) / 10.0)) AS INT), 9) END)
+            * ((mx - mn) / 10.0) AS bin_lo,
        count(*) AS n_items
 FROM lineitem, mm
 GROUP BY 1, 2
@@ -681,15 +684,20 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any scale. Bin assignment is (x−mn)/width floored, max value
     clamped into the top bin; every arithmetic step is the same IEEE
     double op sequence on both engines, so bin membership cannot
-    drift."""
+    drift. Degenerate input (min == max → width 0) puts every row in
+    bin 0 on both engines — guarded explicitly because zero-width
+    division is NULL under Spark's non-ANSI mode but ±inf/nan in
+    DuckDB."""
     li = load_table(spark, sf_dir, "lineitem")
     mm = li.agg(
         F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
     )
     width = (F.col("mx") - F.col("mn")) / 10.0
-    bin_ = F.least(
-        F.floor((F.col("l_extendedprice") - F.col("mn")) / width).cast("int"),
-        F.lit(9),
+    bin_ = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("mn")) / width).cast("int"),
+            F.lit(9),
+        )
     )
     return (
         li.join(F.broadcast(mm))

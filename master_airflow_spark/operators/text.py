@@ -881,7 +881,10 @@ def zipf_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is vocabulary-sized (Zipf-bounded ≪ corpus) and would
     broadcast at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    # cached: the tokenize/explode scan feeds both the vocabulary
+    # aggregate and the join probe side — without the cache the regex
+    # split over the whole corpus runs twice
+    tok = track_cache(docs.select("doc_id", F.explode(tokens()).alias("tok")))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     return (
         tok.join(freq, "tok")

@@ -743,7 +743,7 @@ WITH nat AS (
 )
 SELECT l_partkey, CAST(value_dec AS DOUBLE) AS stock_value
 FROM nat
-WHERE value_dec > (SELECT SUM(value_dec) * CAST(0.001 AS DECIMAL(4,3)) FROM nat)
+WHERE value_dec * 1000 > (SELECT SUM(value_dec) FROM nat)
 """,
     tags=("X1", "X5", "X2"),
 )
@@ -752,9 +752,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     that nation's total (scalar-subquery threshold). The per-part
     aggregate is computed once; the global total folds the SAME
     aggregate's output (25× fewer rows than re-scanning lineitem) and
-    broadcasts as a 1-row join. Membership is decided on exact decimals
-    — decimal × decimal(4,3) is exact on both engines — so the
-    threshold boundary cannot drift between Spark and DuckDB."""
+    broadcasts as a 1-row join. Membership (value > 0.1% of total) is
+    decided as ``value × 1000 > total`` — an integer-scaled decimal
+    compare with no fractional multiply, so no rounding exists for the
+    engines to disagree on (a 0.001 decimal factor would round at
+    Spark's clamped result scale and drift the boundary)."""
     li = load_table(spark, sf_dir, "lineitem")
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
     n = F.broadcast(
@@ -769,12 +771,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from master_airflow_spark.registry import track_cache
 
     per_part = track_cache(per_part)  # feeds both the threshold and the filter
-    total = per_part.agg(
-        (F.sum("value_dec") * F.lit("0.001").cast("decimal(4,3)")).alias("threshold")
-    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
     return (
         per_part.join(F.broadcast(total))
-        .where(F.col("value_dec") > F.col("threshold"))
+        .where(F.col("value_dec") * 1000 > F.col("total_dec"))
         .select("l_partkey", F.col("value_dec").cast("double").alias("stock_value"))
     )
 

@@ -110,9 +110,9 @@ PRIORITY: tuple[str, ...] = (
     "cohort_retention",
     "event_transition_matrix",
     "collapse_repeated_tokens",
-    # (3) implementation touched this round — the 45 uncertified
-    # entries above leave 5 window slots; they land on the distinct
-    # changed runtime paths plus a 2-entry rotation slice. Siblings of
+    # (3) implementation touched this round — the 46 uncertified
+    # entries above leave 4 window slots; they land on the distinct
+    # changed runtime paths plus a 1-entry rotation slice. Siblings of
     # each pick share its code path: session/sliding/static drain like
     # tumbling (complete mode), top1_price_alltime is the same argmax
     # shape as top1_price_today, and the broadcast-lifecycle change is
