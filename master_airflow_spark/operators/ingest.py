@@ -54,12 +54,43 @@ SAMPLE_PAGES: list[tuple[int, str]] = [
 RUN_DATE = "2026-08-13"
 
 
-@register("html_scrape_pipeline", oracle=None, tags=("S2", "P1-P9"))
+# Golden expected output, hand-derived from SAMPLE_PAGES by applying the
+# reference scraper's semantics (SURVEY.md §2.2 P1-P9): zip-align the
+# four cell lists (page 2 row 2 lacks a usercell → truncated away),
+# bounded-split the usercell into time + user ('' when absent),
+# whitespace-normalize, stamp RUN_DATE, build the JSON doc and the
+# date+station object key. A VALUES oracle = the §5.2 golden e2e test
+# under the driver's hash-diff.
+_SCRAPE_GOLDEN = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), CAST(163.9 AS DOUBLE), '163.9',
+   'Esso Du Commerce / René Lévesque', 'Verdun ( Île des Soeurs )',
+   '06:46', 'gaswatcher', DATE '2026-08-13',
+   '{"price":"163.9","station":"Esso Du Commerce / René Lévesque","city":"Verdun ( Île des Soeurs )","time":"06:46","user":"gaswatcher","date":"2026-08-13"}',
+   '2026-08-13Esso Du Commerce / René Lévesque'),
+  (CAST(1 AS BIGINT), CAST(99.9 AS DOUBLE), '99.9',
+   'Shell Centre-Ville', 'Montréal', '07:12', '', DATE '2026-08-13',
+   '{"price":"99.9","station":"Shell Centre-Ville","city":"Montréal","time":"07:12","user":"","date":"2026-08-13"}',
+   '2026-08-13Shell Centre-Ville'),
+  (CAST(1 AS BIGINT), CAST(151.4 AS DOUBLE), '151.4',
+   'Petro-Canada Atwater', 'Westmount', '08:03', 'early bird', DATE '2026-08-13',
+   '{"price":"151.4","station":"Petro-Canada Atwater","city":"Westmount","time":"08:03","user":"early bird","date":"2026-08-13"}',
+   '2026-08-13Petro-Canada Atwater'),
+  (CAST(2 AS BIGINT), CAST(158.2 AS DOUBLE), '158.2',
+   'Ultramar Papineau', 'Plateau', '09:30', 'plateau_rider', DATE '2026-08-13',
+   '{"price":"158.2","station":"Ultramar Papineau","city":"Plateau","time":"09:30","user":"plateau_rider","date":"2026-08-13"}',
+   '2026-08-13Ultramar Papineau')
+) AS t(page_id, price, price_str, station, city, "time", "user", "date", doc, obj_key)
+"""
+
+
+@register("html_scrape_pipeline", oracle=_SCRAPE_GOLDEN, tags=("S2", "P1-P9"))
 def html_scrape_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw HTML pages → typed gas_prices rows (mapInPandas parse,
     arrays_zip alignment, P2/P3 derivations, P8 doc, P9 key).
-    Deterministic canned input; rows-only check (no HTML in the
-    driver's views). Page 2's second row has no usercell → zip
-    truncates it away, matching the reference's ``zip`` semantics."""
+    Deterministic canned input checked against a hand-derived VALUES
+    golden (the driver's views hold no HTML). Page 2's second row has
+    no usercell → zip truncates it away, matching the reference's
+    ``zip`` semantics."""
     pages = spark.createDataFrame(SAMPLE_PAGES, "page_id long, html string")
     return scrape_pipeline(pages, RUN_DATE)

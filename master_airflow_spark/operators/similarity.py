@@ -150,9 +150,10 @@ def _pairs_kernel(
     )
 
 
-@register(
-    "cosine_topk",
-    oracle=f"""
+# Brute-force cosine top-k ground truth over the bounded query set —
+# the oracle for cosine_topk AND for ivf_ann_exhaustive (whose all-cells
+# probe provably degenerates to the same result).
+_COSINE_TOPK_ORACLE = f"""
 WITH e AS (
     SELECT vec_id, embedding, {_SQL_NORM.format(e='embedding')} AS nrm
     FROM embeddings
@@ -171,7 +172,12 @@ FROM (SELECT *, row_number() OVER (PARTITION BY q_id
                                    ORDER BY cosine DESC, n_id) AS rn
       FROM pairs)
 WHERE rn <= {TOP_K}
-""",
+"""
+
+
+@register(
+    "cosine_topk",
+    oracle=_COSINE_TOPK_ORACLE,
     tags=("X25",),
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,7 +450,29 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus-side cell id is the partition/cluster key at 100 TB —
     candidate generation is a co-located equi-join on cell id, ~
     N_PROBE/N_CELLS of the corpus per query. Rows-only (recall < 1 by
-    design); the exact ground truth is cosine_topk."""
+    design); the exact ground truth is cosine_topk, and the SAME
+    machinery is exactly certified by ivf_ann_exhaustive."""
+    return _ivf_topk(spark, sf_dir, N_PROBE)
+
+
+@register(
+    "ivf_ann_exhaustive",
+    oracle=_COSINE_TOPK_ORACLE,
+    tags=("X25",),
+)
+def ivf_ann_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF pipeline with every cell probed (n_probe = N_CELLS):
+    candidate generation degenerates to the full corpus, so the result
+    PROVABLY equals brute-force cosine top-k — which is exactly what
+    the oracle states. This certifies the whole IVF machinery (sampled
+    k-means quantizer, distributed cell assignment, probe join, numpy
+    re-rank kernel) under the driver's hash-diff, while ivf_ann_topk
+    keeps the approximate (recall < 1) configuration the recall tests
+    pin."""
+    return _ivf_topk(spark, sf_dir, N_CELLS)
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
     import numpy as np
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -482,7 +510,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_rows = [
         (int(q_ids[qi]), int(c))
         for qi in range(len(q_ids))
-        for c in np.argsort(qd2[qi], kind="stable")[:N_PROBE]
+        for c in np.argsort(qd2[qi], kind="stable")[:n_probe]
     ]
     probes = F.broadcast(
         spark.createDataFrame(probe_rows, "q_id long, cell int")

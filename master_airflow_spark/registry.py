@@ -75,12 +75,13 @@ PRIORITY: tuple[str, ...] = (
     "containment_pairs",
     "zipf_quality_score",
     "ratio_to_report",
+    "ivf_ann_exhaustive",  # all-cells probe == brute force, exact oracle
+    "html_scrape_pipeline",  # VALUES golden replaces rows-only check
     # (1) never driver-certified (rounds 1-2 sampled 93 of 104)
     "lsh_bucketed_ann",  # exact oracle added this round
     "ivf_ann_topk",
     "sql_api_top1_alltime",
     "sql_api_grouping_sets",
-    "zip_align_arrays",
     "stats_moments",
     "corr_qty_price",
     "listagg_nation_customers",
@@ -104,7 +105,6 @@ PRIORITY: tuple[str, ...] = (
     "q16_supplier_variety",
     "salted_hot_key_agg",
     "ppm_decode_resize",
-    "video_frame_sample",
     "daily_revenue_gap_filled",
     "event_rate_anomalies",
     "cohort_retention",
@@ -115,8 +115,10 @@ PRIORITY: tuple[str, ...] = (
     # changed runtime paths plus a 1-entry rotation slice. Siblings of
     # each pick share its code path: session/sliding/static drain like
     # tumbling (complete mode), top1_price_alltime is the same argmax
-    # shape as top1_price_today, and the broadcast-lifecycle change is
-    # exercised by lsh_bucketed_ann / ivf_ann_topk in slots 13-14.
+    # shape as top1_price_today, the broadcast-lifecycle change is
+    # exercised by ivf_ann_exhaustive / lsh_bucketed_ann above, and
+    # the evicted low-risk pure-builtin entries (zip_align_arrays,
+    # video_frame_sample) keep their local differential tests.
     "stream_tumbling_agg",  # complete-mode drain: no-data batch skipped
     "stream_interval_join",  # append-mode drain: no-data batch kept
     "top1_price_today",  # single-scan argmax rewrite
