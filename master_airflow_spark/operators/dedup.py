@@ -477,3 +477,39 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("simhash"),
     )
     return fp
+
+
+@register(
+    "incremental_corpus_dedup",
+    oracle=r"""
+WITH yesterday AS (
+    SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+    FROM documents WHERE doc_id % 2 = 0
+),
+today AS (
+    SELECT doc_id, source,
+           md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+    FROM documents WHERE doc_id % 2 = 1
+)
+SELECT t.doc_id, t.source, t.fp
+FROM today t
+WHERE NOT EXISTS (SELECT 1 FROM yesterday y WHERE y.fp = t.fp)
+""",
+    tags=("X23", "X2"),
+)
+def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup — the daily-ingest question
+    "which of today's documents are genuinely new?": today's batch
+    anti-joins yesterday's corpus on the normalized-content
+    fingerprint, so re-crawled bytes never re-enter the corpus. Here
+    the two snapshots are the doc_id parity classes of the documents
+    table (deterministic stand-ins for date partitions). One shuffle
+    on the 16-byte fingerprint; at 100 TB yesterday's side is a
+    fingerprint-only scan (ReadSchema prunes text after the hash) and
+    the anti join is the same plan a Bloom-filter pre-pass would
+    shortcut."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("fp")
+    yesterday = docs.where(F.col("doc_id") % 2 == 0).select(fp)
+    today = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "source", fp)
+    return today.join(yesterday, "fp", "left_anti").select("doc_id", "source", "fp")

@@ -113,3 +113,63 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("lang", "doc_id")
     )
+
+
+# target mixture weights per source bucket (a real pipeline reads these
+# from a mixing config; sources hash into 4 groups so the op is
+# schema-independent of the 20 synthetic source names)
+MIX_RATES = {0: 100, 1: 50, 2: 25, 3: 10}  # percent kept per source group
+
+
+@register(
+    "dataset_mix_sample",
+    oracle=f"""
+WITH tagged AS (
+    SELECT doc_id, source,
+           {_sql_bucket("source", 4)} AS src_grp,
+           {_sql_bucket("CAST(doc_id AS VARCHAR)")} AS row_bucket
+    FROM documents
+)
+SELECT src_grp,
+       CASE src_grp WHEN 0 THEN 100 WHEN 1 THEN 50
+                    WHEN 2 THEN 25 ELSE 10 END AS target_pct,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM tagged
+WHERE row_bucket < CASE src_grp WHEN 0 THEN 100 WHEN 1 THEN 50
+                                WHEN 2 THEN 25 ELSE 10 END
+GROUP BY src_grp
+""",
+    tags=("sampling", "X26"),
+)
+def dataset_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: each source group keeps a configured
+    fraction of its documents (100/50/25/10%), the knob a pretraining
+    pipeline turns to up/down-weight corpora. Membership is a pure
+    content-hash function of (doc_id) compared against the group's
+    rate — reproducible under repartitioning and corpus growth, and a
+    scan-level predicate (no shuffle) until the audit aggregate. The
+    same doc keeps its fate if its group's rate rises (nested samples:
+    rate 10 ⊂ rate 25 ⊂ rate 50), which is what makes mixing ratios
+    tunable without resampling churn."""
+    d = load_table(spark, sf_dir, "documents")
+    src_grp = hash_bucket("source", buckets=4)
+    row_bucket = hash_bucket("doc_id")
+    rate = (
+        F.when(src_grp == 0, MIX_RATES[0])
+        .when(src_grp == 1, MIX_RATES[1])
+        .when(src_grp == 2, MIX_RATES[2])
+        .otherwise(MIX_RATES[3])
+    )
+    return (
+        d.withColumn("src_grp", src_grp)
+        .withColumn("target_pct", rate)
+        .where(row_bucket < rate)
+        .groupBy("src_grp", "target_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

@@ -77,6 +77,8 @@ PRIORITY: tuple[str, ...] = (
     "ratio_to_report",
     "ivf_ann_exhaustive",  # all-cells probe == brute force, exact oracle
     "html_scrape_pipeline",  # VALUES golden replaces rows-only check
+    "dataset_mix_sample",
+    "incremental_corpus_dedup",
     # (1) never driver-certified (rounds 1-2 sampled 93 of 104)
     "lsh_bucketed_ann",  # exact oracle added this round
     "ivf_ann_topk",
@@ -87,7 +89,6 @@ PRIORITY: tuple[str, ...] = (
     "listagg_nation_customers",
     "window_distribution",
     "stream_dedup_watermark",
-    "apply_in_pandas_scale",
     # (2) added this round — TPC-H Q2/Q4/Q5/Q10/Q12/Q18/Q22 shapes
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -104,7 +105,6 @@ PRIORITY: tuple[str, ...] = (
     "q6_forecast_revenue",
     "q16_supplier_variety",
     "salted_hot_key_agg",
-    "ppm_decode_resize",
     "daily_revenue_gap_filled",
     "event_rate_anomalies",
     "cohort_retention",
