@@ -416,3 +416,46 @@ def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in PIVOT_PRIORITIES
         ],
     )
+
+
+@register(
+    "multiset_set_ops",
+    oracle="""
+WITH f_bag AS (SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+     o_bag AS (SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+SELECT 'common_pairs' AS setop, count(*) AS n_rows,
+       count(DISTINCT (o_custkey, o_orderpriority)) AS n_distinct
+FROM (SELECT * FROM f_bag INTERSECT ALL SELECT * FROM o_bag)
+UNION ALL
+SELECT 'f_surplus' AS setop, count(*) AS n_rows,
+       count(DISTINCT (o_custkey, o_orderpriority)) AS n_distinct
+FROM (SELECT * FROM f_bag EXCEPT ALL SELECT * FROM o_bag)
+""",
+    tags=("X12",),
+)
+def multiset_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL / EXCEPT ALL (bag semantics — each
+    duplicate occurrence counts) over (customer, priority) pairs of
+    finished vs open orders, distinct-set_ops_customers' missing
+    sibling: a customer with three finished and two open '1-URGENT'
+    orders contributes 2 to the intersection and 1 to the surplus,
+    where the distinct forms would say 1 and 0. Both engines implement
+    this as a counted hash aggregate, not row pairing — one shuffle
+    per bag."""
+    o = load_table(spark, sf_dir, "orders")
+    f_bag = o.where(F.col("o_orderstatus") == "F").select(
+        "o_custkey", "o_orderpriority"
+    )
+    o_bag = o.where(F.col("o_orderstatus") == "O").select(
+        "o_custkey", "o_orderpriority"
+    )
+
+    def stats(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("o_custkey", "o_orderpriority").alias("n_distinct"),
+        ).select(F.lit(label).alias("setop"), "n_rows", "n_distinct")
+
+    return stats(f_bag.intersectAll(o_bag), "common_pairs").unionByName(
+        stats(f_bag.exceptAll(o_bag), "f_surplus")
+    )

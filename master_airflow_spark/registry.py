@@ -79,11 +79,12 @@ PRIORITY: tuple[str, ...] = (
     "html_scrape_pipeline",  # VALUES golden replaces rows-only check
     "dataset_mix_sample",
     "incremental_corpus_dedup",
+    "multiset_set_ops",
     # (1) never driver-certified (rounds 1-2 sampled 93 of 104)
     "lsh_bucketed_ann",  # exact oracle added this round
     "ivf_ann_topk",
-    "sql_api_top1_alltime",
-    "sql_api_grouping_sets",
+    "sql_api_grouping_sets",  # sql_api_top1_alltime evicted: same
+    # spark.sql()-string path, and its DataFrame twin is certified
     "stats_moments",
     "corr_qty_price",
     "listagg_nation_customers",
