@@ -60,28 +60,30 @@ RUN_DATE = "2026-08-13"
 # bounded-split the usercell into time + user ('' when absent),
 # whitespace-normalize, stamp RUN_DATE, build the JSON doc and the
 # date+station object key. A VALUES oracle = the §5.2 golden e2e test
-# under the driver's hash-diff.
-_SCRAPE_GOLDEN = """
+# under the driver's hash-diff. The run date is interpolated from the
+# single RUN_DATE constant so the golden cannot drift from the knob.
+_SCRAPE_GOLDEN_TEMPLATE = """
 SELECT * FROM (VALUES
   (CAST(1 AS BIGINT), CAST(163.9 AS DOUBLE), '163.9',
    'Esso Du Commerce / René Lévesque', 'Verdun ( Île des Soeurs )',
-   '06:46', 'gaswatcher', DATE '2026-08-13',
-   '{"price":"163.9","station":"Esso Du Commerce / René Lévesque","city":"Verdun ( Île des Soeurs )","time":"06:46","user":"gaswatcher","date":"2026-08-13"}',
-   '2026-08-13Esso Du Commerce / René Lévesque'),
+   '06:46', 'gaswatcher', DATE '@RUN_DATE@',
+   '{"price":"163.9","station":"Esso Du Commerce / René Lévesque","city":"Verdun ( Île des Soeurs )","time":"06:46","user":"gaswatcher","date":"@RUN_DATE@"}',
+   '@RUN_DATE@Esso Du Commerce / René Lévesque'),
   (CAST(1 AS BIGINT), CAST(99.9 AS DOUBLE), '99.9',
-   'Shell Centre-Ville', 'Montréal', '07:12', '', DATE '2026-08-13',
-   '{"price":"99.9","station":"Shell Centre-Ville","city":"Montréal","time":"07:12","user":"","date":"2026-08-13"}',
-   '2026-08-13Shell Centre-Ville'),
+   'Shell Centre-Ville', 'Montréal', '07:12', '', DATE '@RUN_DATE@',
+   '{"price":"99.9","station":"Shell Centre-Ville","city":"Montréal","time":"07:12","user":"","date":"@RUN_DATE@"}',
+   '@RUN_DATE@Shell Centre-Ville'),
   (CAST(1 AS BIGINT), CAST(151.4 AS DOUBLE), '151.4',
-   'Petro-Canada Atwater', 'Westmount', '08:03', 'early bird', DATE '2026-08-13',
-   '{"price":"151.4","station":"Petro-Canada Atwater","city":"Westmount","time":"08:03","user":"early bird","date":"2026-08-13"}',
-   '2026-08-13Petro-Canada Atwater'),
+   'Petro-Canada Atwater', 'Westmount', '08:03', 'early bird', DATE '@RUN_DATE@',
+   '{"price":"151.4","station":"Petro-Canada Atwater","city":"Westmount","time":"08:03","user":"early bird","date":"@RUN_DATE@"}',
+   '@RUN_DATE@Petro-Canada Atwater'),
   (CAST(2 AS BIGINT), CAST(158.2 AS DOUBLE), '158.2',
-   'Ultramar Papineau', 'Plateau', '09:30', 'plateau_rider', DATE '2026-08-13',
-   '{"price":"158.2","station":"Ultramar Papineau","city":"Plateau","time":"09:30","user":"plateau_rider","date":"2026-08-13"}',
-   '2026-08-13Ultramar Papineau')
+   'Ultramar Papineau', 'Plateau', '09:30', 'plateau_rider', DATE '@RUN_DATE@',
+   '{"price":"158.2","station":"Ultramar Papineau","city":"Plateau","time":"09:30","user":"plateau_rider","date":"@RUN_DATE@"}',
+   '@RUN_DATE@Ultramar Papineau')
 ) AS t(page_id, price, price_str, station, city, "time", "user", "date", doc, obj_key)
 """
+_SCRAPE_GOLDEN = _SCRAPE_GOLDEN_TEMPLATE.replace("@RUN_DATE@", RUN_DATE)
 
 
 @register("html_scrape_pipeline", oracle=_SCRAPE_GOLDEN, tags=("S2", "P1-P9"))

@@ -121,6 +121,12 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_RATES = {0: 100, 1: 50, 2: 25, 3: 10}  # percent kept per source group
 
 
+_SQL_MIX_RATE = (
+    f"CASE src_grp WHEN 0 THEN {MIX_RATES[0]} WHEN 1 THEN {MIX_RATES[1]} "
+    f"WHEN 2 THEN {MIX_RATES[2]} ELSE {MIX_RATES[3]} END"
+)
+
+
 @register(
     "dataset_mix_sample",
     oracle=f"""
@@ -131,17 +137,15 @@ WITH tagged AS (
     FROM documents
 )
 SELECT src_grp,
-       CASE src_grp WHEN 0 THEN 100 WHEN 1 THEN 50
-                    WHEN 2 THEN 25 ELSE 10 END AS target_pct,
+       {_SQL_MIX_RATE} AS target_pct,
        count(*) AS n_docs,
        min(doc_id) AS min_doc_id,
        max(doc_id) AS max_doc_id
 FROM tagged
-WHERE row_bucket < CASE src_grp WHEN 0 THEN 100 WHEN 1 THEN 50
-                                WHEN 2 THEN 25 ELSE 10 END
+WHERE row_bucket < {_SQL_MIX_RATE}
 GROUP BY src_grp
 """,
-    tags=("sampling", "X26"),
+    tags=("sampling",),
 )
 def dataset_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted dataset mixing: each source group keeps a configured

@@ -89,7 +89,7 @@ PRIORITY: tuple[str, ...] = (
     "corr_qty_price",
     "listagg_nation_customers",
     "window_distribution",
-    "stream_dedup_watermark",
+    "apply_in_pandas_scale",
     # (2) added this round — TPC-H Q2/Q4/Q5/Q10/Q12/Q18/Q22 shapes
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -116,10 +116,17 @@ PRIORITY: tuple[str, ...] = (
     # changed runtime paths plus a 1-entry rotation slice. Siblings of
     # each pick share its code path: session/sliding/static drain like
     # tumbling (complete mode), top1_price_alltime is the same argmax
-    # shape as top1_price_today, the broadcast-lifecycle change is
-    # exercised by ivf_ann_exhaustive / lsh_bucketed_ann above, and
-    # the evicted low-risk pure-builtin entries (zip_align_arrays,
-    # video_frame_sample) keep their local differential tests.
+    # shape as top1_price_today, and the broadcast-lifecycle change is
+    # exercised by ivf_ann_exhaustive / lsh_bucketed_ann above.
+    # Evicted to make room, each with local tests that pin its
+    # semantics harder than the external check it loses:
+    #   zip_align_arrays, sql_api_top1_alltime — pure-builtin exprs
+    #     whose DataFrame twins are certified (oracle tests still run
+    #     locally every round);
+    #   stream_dedup_watermark, video_frame_sample, ppm_decode_resize —
+    #     rows-only externally (the weakest check level), vs real
+    #     semantic pins in tests/test_streaming.py and
+    #     tests/test_multimodal_plumbing.py / test_jdbc_and_decode.py.
     "stream_tumbling_agg",  # complete-mode drain: no-data batch skipped
     "stream_interval_join",  # append-mode drain: no-data batch kept
     "top1_price_today",  # single-scan argmax rewrite
