@@ -145,7 +145,25 @@ def _ordered() -> dict[str, QuerySpec]:
 
 
 def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in _ordered().items()}
+    """The driver-facing query dict. Each callable releases the
+    PREVIOUS query's tracked caches/broadcasts before building its own
+    plan: the external driver materializes one query fully before
+    invoking the next and never calls release_caches() itself, so
+    without this wrapper every track_cache()d frame in a 50-query
+    certification loop would stay persisted and executor memory would
+    ratchet. Bench and tests manage release explicitly via
+    registry.REGISTRY / release_caches()."""
+
+    def wrap(spec: QuerySpec) -> QueryFn:
+        def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_caches()
+            return spec.fn(spark, sf_dir)
+
+        fn.__name__ = spec.fn.__name__
+        fn.__doc__ = spec.fn.__doc__
+        return fn
+
+    return {name: wrap(spec) for name, spec in _ordered().items()}
 
 
 def oracles() -> dict[str, str]:
