@@ -24,26 +24,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, SMOKE_SF_DIR)
 
 
-def _released(fn: Callable[[SparkSession, str], DataFrame]):
-    """Release the PREVIOUS query's tracked caches/broadcasts before
-    building the next plan. The driver materializes each query fully
-    before invoking the next, so by the time this runs the prior
-    query's persisted frames and broadcast blocks are consumable — this
-    keeps executor/driver memory flat across the long sampling loop
-    without the driver needing to know about the cache registry."""
-    from master_airflow_spark import registry
-
-    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        registry.release_caches()
-        return fn(spark, sf_dir)
-
-    return wrapped
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # registry.queries() callables release the previous query's tracked
+    # caches/broadcasts before building their own plan, keeping
+    # executor/driver memory flat across the driver's sampling loop.
     from master_airflow_spark import registry
 
-    return {name: _released(fn) for name, fn in registry.queries().items()}
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
