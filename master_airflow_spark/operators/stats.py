@@ -707,3 +707,89 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@register(
+    "interpolate_sparse_series",
+    oracle=f"""
+WITH big AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders WHERE o_totalprice > 450000 GROUP BY 1
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM big),
+spine AS (
+    SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                       CAST(d1 AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds
+),
+j AS (
+    SELECT s.day, b.revenue FROM spine s LEFT JOIN big b ON b.day = s.day
+),
+ctx AS (
+    SELECT day, revenue,
+           last_value(revenue IGNORE NULLS)
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS prev_v,
+           last_value(CASE WHEN revenue IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS prev_d,
+           first_value(revenue IGNORE NULLS)
+               OVER (ORDER BY day ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS next_v,
+           first_value(CASE WHEN revenue IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (ORDER BY day ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS next_d
+    FROM j
+)
+SELECT day, revenue,
+       CASE WHEN revenue IS NOT NULL THEN revenue
+            WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+            ELSE prev_v + (next_v - prev_v)
+                 * (CAST(datediff('day', prev_d, day) AS DOUBLE)
+                    / CAST(datediff('day', prev_d, next_d) AS DOUBLE))
+       END AS revenue_interp
+FROM ctx
+""",
+    tags=("X9", "X14"),
+)
+def interpolate_sparse_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a sparse daily series (high-value
+    order revenue, observed on ~6% of days) — the imputation sibling
+    of daily_revenue_gap_filled's zero-fill: gap days get
+    prev + (next−prev)·(Δdays/gap) from the bracketing observations,
+    edge days before the first / after the last observation stay NULL.
+    prev/next come from IGNORE NULLS running last/first over the
+    calendar spine. The window is global but runs over the AGGREGATED
+    date-cardinality-bounded series (≤ a few thousand rows whatever
+    the fact-table size), so the single-partition sort is as cheap at
+    100 TB as here; observations themselves pass through exactly (the
+    interp expression short-circuits to the observed value)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum("o_totalprice", "revenue")
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    j = spine.join(daily, "day", "left")
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = Window.orderBy("day").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_day = F.when(F.col("revenue").isNotNull(), F.col("day"))
+    ctx = j.select(
+        "day",
+        "revenue",
+        F.last("revenue", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("prev_d"),
+        F.first("revenue", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("next_d"),
+    )
+    frac = F.datediff("day", "prev_d").cast("double") / F.datediff(
+        "next_d", "prev_d"
+    ).cast("double")
+    interp = (
+        F.when(F.col("revenue").isNotNull(), F.col("revenue"))
+        .when(F.col("prev_v").isNull() | F.col("next_v").isNull(), F.lit(None))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+    )
+    return ctx.select("day", "revenue", interp.alias("revenue_interp"))
