@@ -93,3 +93,74 @@ def test_zipf_score_bounds(spark, sf_dir):
     ).count()
     assert bad == 0
     out.unpersist()
+
+
+def test_interpolation_laws(spark, sf_dir):
+    """Observed days pass through exactly; interpolated values lie
+    within their bracketing observations; days outside the observed
+    range keep NULL interp."""
+    from master_airflow_spark.operators.stats import interpolate_sparse_series
+
+    rows = interpolate_sparse_series(spark, sf_dir).orderBy("day").collect()
+    obs = [(i, r.revenue) for i, r in enumerate(rows) if r.revenue is not None]
+    assert obs, "series must have observations"
+    for i, r in enumerate(rows):
+        if r.revenue is not None:
+            assert r.revenue_interp == r.revenue
+    first_obs, last_obs = obs[0][0], obs[-1][0]
+    for i, r in enumerate(rows):
+        if r.revenue is None and first_obs < i < last_obs:
+            lo = min(v for j, v in obs)
+            hi = max(v for j, v in obs)
+            assert r.revenue_interp is not None and lo <= r.revenue_interp <= hi
+        if r.revenue is None and (i < first_obs or i > last_obs):
+            assert r.revenue_interp is None
+
+
+def test_mix_sample_nesting(spark, sf_dir):
+    """Hash sampling is nested: the rows kept at rate p are a superset
+    of those kept at any rate q < p — mixing ratios can be tuned
+    without resampling churn."""
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", hash_bucket("doc_id").alias("b")
+    )
+    kept = {p: {r.doc_id for r in d.where(F.col("b") < p).collect()} for p in (10, 25, 50)}
+    assert kept[10] <= kept[25] <= kept[50]
+
+
+def test_incremental_dedup_no_overlap(spark, sf_dir):
+    """No surviving 'new' document shares a fingerprint with
+    yesterday's snapshot."""
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.operators.dedup import incremental_corpus_dedup
+
+    out = incremental_corpus_dedup(spark, sf_dir)
+    y = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 2 == 0)
+        .select(F.md5(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("fp"))
+    )
+    assert out.join(y, "fp", "inner").count() == 0
+
+
+def test_multiset_intersect_law(spark, sf_dir):
+    """|A ∩all B| == Σ_key min(multiplicity_A, multiplicity_B)."""
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.operators.relational import multiset_set_ops
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = {}
+    for status in ("F", "O"):
+        for r in (
+            o.where(F.col("o_orderstatus") == status)
+            .groupBy("o_custkey", "o_orderpriority")
+            .count()
+            .collect()
+        ):
+            counts.setdefault((r.o_custkey, r.o_orderpriority), {})[status] = r["count"]
+    expect = sum(min(v.get("F", 0), v.get("O", 0)) for v in counts.values())
+    got = {r.setop: r.n_rows for r in multiset_set_ops(spark, sf_dir).collect()}
+    assert got["common_pairs"] == expect
