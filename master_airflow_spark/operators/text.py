@@ -900,3 +900,68 @@ def zipf_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_frac"),
         )
     )
+
+
+@register(
+    "repeated_shingle_ratio",
+    oracle=r"""
+WITH g AS (
+    SELECT doc_id,
+           list_transform(range(1, greatest(length(text) - 6, 1)),
+                          i -> substr(text, i, 8)) AS grams
+    FROM documents
+)
+SELECT doc_id,
+       len(grams) AS n_shingles,
+       len(list_distinct(grams)) AS n_distinct,
+       CASE WHEN len(grams) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+       END AS dup_shingle_ratio
+FROM g
+""",
+    tags=("X26", "quality"),
+)
+def repeated_shingle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal-repetition quality signal (the Gopher/MassiveText
+    "repetition" filter family): the fraction of a document's 8-char
+    shingles that are duplicates of an earlier shingle in the SAME
+    document — boilerplate, chorus-like spam, and template pages score
+    high while natural prose stays low. Pure per-row column
+    expressions (position explode → count vs count-distinct), no
+    shuffle beyond the per-doc aggregate, so the filter runs at scan
+    speed in the quality-gate stage of the corpus funnel. Ratios are
+    one IEEE division of exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("sequence(1, greatest(length(text) - 7, 1))")
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr("substring(text, i, 8)").alias("g"))
+        .where(F.length("g") == 8)
+    )
+    agg = g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count_distinct("g").alias("n_distinct"),
+    )
+    # docs shorter than 8 chars generate no shingle rows: restore them
+    # with zero counts so every document keeps a quality row (the
+    # oracle's len(grams)=0 branch)
+    all_docs = docs.select("doc_id")
+    return (
+        all_docs.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.when(F.coalesce("n_shingles", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                1.0
+                - F.col("n_distinct").cast("double") / F.col("n_shingles")
+            )
+            .alias("dup_shingle_ratio"),
+        )
+    )
