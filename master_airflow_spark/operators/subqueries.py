@@ -157,15 +157,44 @@ FROM orders
 )
 def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SERIAL-pk parity (reference test_dag_postgres.py:18): surrogate
-    ids via row_number over a TOTAL order — deterministic, unlike
+    ids over a TOTAL order — deterministic, unlike
     monotonically_increasing_id whose values depend on partitioning
     (mid is the right tool when ids only need uniqueness; this is the
-    reproducible-build form)."""
+    reproducible-build form).
+
+    Distributed two-phase assignment, NOT a global window (which
+    funnels every row through one partition): range-partition on the
+    order key, number rows within each partition, then add the
+    partition-size prefix offsets (a #partitions-row aggregate,
+    window-summed and broadcast back). Ids depend only on the unique
+    total order (o_orderdate, o_orderkey), not on where the sampled
+    range boundaries land, so the result is bit-stable across cluster
+    sizes while the sort stays fully parallel."""
     from pyspark.sql import Window
 
     from master_airflow_spark.catalog import load_table
 
-    w = Window.orderBy("o_orderdate", "o_orderkey")
-    return load_table(spark, sf_dir, "orders").select(
-        F.row_number().over(w).alias("surrogate_id"), "o_orderkey", "o_orderdate"
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = o.repartitionByRange(n_parts, "o_orderdate", "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("pid").orderBy("o_orderdate", "o_orderkey")
+    local = ranged.withColumn("rn", F.row_number().over(local_w))
+    offsets_w = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("offset", F.coalesce(F.sum("n").over(offsets_w), F.lit(0)))
+        .select("pid", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            (F.col("offset") + F.col("rn")).cast("int").alias("surrogate_id"),
+            "o_orderkey",
+            "o_orderdate",
+        )
     )
