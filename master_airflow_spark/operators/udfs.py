@@ -126,3 +126,50 @@ def apply_in_pandas_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus string, o_orderkey long, o_totalprice double, scaled double",
         )
     )
+
+
+@register(
+    "udtf_fixed_chunks",
+    oracle="""
+SELECT d.doc_id,
+       CAST(s.i AS INT) AS chunk_no,
+       substr(d.text, s.i * 120 + 1, 120) AS chunk,
+       length(substr(d.text, s.i * 120 + 1, 120)) AS chunk_len
+FROM documents d,
+     LATERAL (SELECT unnest(range(0, CAST(ceil(length(d.text) / 120.0) AS BIGINT)))
+              AS i) s
+WHERE d.doc_id % 25 = 0
+""",
+    tags=("X27",),
+)
+def udtf_fixed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27: Python UDTF (table function) — the one UDF shape the rest
+    of the family misses: one input row → N output rows from arbitrary
+    Python, registered and invoked through SQL ``LATERAL`` like any
+    table source. The body fixed-width-chunks document text (120
+    chars), mirroring the oracle's LATERAL range expansion; chunking
+    itself is done JVM-side elsewhere (doc_chunks) — this query exists
+    to certify the UDTF execution surface end-to-end, on a pruned 4%
+    slice of the corpus (UDTFs are row-at-a-time Python, the slowest
+    path in the engine)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_no int, chunk string, chunk_len int")
+    class FixedChunks:
+        def eval(self, text: str, width: int):
+            if text is None:
+                return
+            for n in range((len(text) + width - 1) // width):
+                piece = text[n * width : (n + 1) * width]
+                yield n, piece, len(piece)
+
+    spark.udtf.register("fixed_chunks", FixedChunks)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    docs.createOrReplaceTempView("udtf_docs_slice")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_no, c.chunk, c.chunk_len
+        FROM udtf_docs_slice d,
+             LATERAL fixed_chunks(d.text, 120) c
+        """
+    )
