@@ -98,3 +98,68 @@ def spend_alerts(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+# -- transformWithState form (Spark 4.x) --------------------------------------
+#
+# The modern replacement for applyInPandasWithState: a StatefulProcessor
+# object with named, individually-typed state variables (value/list/map),
+# TTL support, and timer callbacks — the API surface new stateful
+# operators should target. spend_alerts_tws is the same per-user spend
+# tracker as spend_alerts, so tests can pin both implementations to the
+# same output on the same stream.
+
+
+def spend_alerts_tws(events: DataFrame, threshold: float = 100.0) -> DataFrame:
+    """transformWithStateInPandas twin of ``spend_alerts``: per-user
+    running (count, total); emit one row whenever the total crosses a
+    new multiple of ``threshold``. State is a single named ValueState
+    keyed by user_id (the shuffle key) holding two scalars — same
+    bounded-state discipline, new API.
+
+    Runtime requirements beyond applyInPandasWithState: the RocksDB
+    state store provider (set spark.sql.streaming.stateStore.
+    providerClass to ...state.RocksDBStateStoreProvider) and the
+    ``protobuf`` package (the TWS Python state server's wire format) —
+    the equivalence test skips where the runtime lacks them."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SpendProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "spend", "n_events long, total_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            prior = self._state.get() if self._state.exists() else None
+            n, total = (prior[0], prior[1]) if prior is not None else (0, 0.0)
+            before = int(total // threshold)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            after = int(total // threshold)
+            if after > before:
+                yield pd.DataFrame(
+                    [(user_id, n, total, after)],
+                    columns=[
+                        "user_id",
+                        "n_events",
+                        "total_value",
+                        "crossed_multiple",
+                    ],
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SpendProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
+    )
