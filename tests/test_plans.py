@@ -226,3 +226,41 @@ def test_scd2_single_exchange(spark, sf_dir):
 
     df = _q(spark, sf_dir, "scd2_purchase_history")
     assert op_count(df, "Exchange") == 1
+
+
+def test_runtime_bloom_filter_injects(spark, sf_dir):
+    """Runtime Bloom-filter join pruning (on by default in Spark 4):
+    a selective filter on the shuffle-join build side injects a
+    might_contain() pre-filter into the probe-side scan, cutting
+    shuffle volume — the 100 TB fact-fact join aid. Thresholds are
+    lowered to make the toy-scale plan demonstrate the production
+    shape (at real scale the defaults — app side > 10GB — govern)."""
+    from pyspark.sql import functions as F
+
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.plans.explain import formatted
+
+    confs = {
+        # sf0.001's lineitem parquet is ~115KB; the app-side scan must
+        # exceed this for injection (default 10GB — the real-scale gate)
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = formatted(j)
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
