@@ -965,3 +965,86 @@ def repeated_shingle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_shingle_ratio"),
         )
     )
+
+
+@register(
+    "split_leakage_audit",
+    oracle=r"""
+WITH split AS (
+    SELECT doc_id, text,
+           CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < 80 THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, split, unnest(list_distinct(
+               list_transform(range(1, greatest(length(text) - 6, 1)),
+                              i -> substr(text, i, 8)))) AS g
+    FROM split
+),
+train_grams AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+eval_grams AS (SELECT doc_id, g FROM grams WHERE split = 'eval')
+SELECT e.doc_id,
+       count(*) AS n_grams,
+       count(*) FILTER (WHERE tg.g IS NOT NULL) AS n_shared,
+       CAST(count(*) FILTER (WHERE tg.g IS NOT NULL) AS DOUBLE) / count(*)
+           AS leak_ratio
+FROM eval_grams e LEFT JOIN train_grams tg ON tg.g = e.g
+GROUP BY e.doc_id
+HAVING CAST(count(*) FILTER (WHERE tg.g IS NOT NULL) AS DOUBLE) / count(*) >= 0.2
+""",
+    tags=("X26", "X2", "sampling"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval split-leakage audit: for every document hashed into
+    the eval split (same doc_id-hash rule as train_test_split), the
+    fraction of its distinct 8-gram shingles that also occur anywhere
+    in the train split; docs over 20% shared content are flagged —
+    near-duplicates straddling the split boundary, which silently
+    inflate eval scores. The train side reduces to a DISTINCT gram set
+    (vocabulary-bounded, ≪ corpus); the check is one equi-join on the
+    gram — an inverted-index probe, no pairwise comparison, so it runs
+    at the same cost as the dedup passes at 100 TB. Counting uses a
+    LEFT join + null-flag so n_grams and n_shared come from ONE join
+    pass, and the ratio is a single division of exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(100),
+        )
+        < 80,
+        "train",
+    ).otherwise("eval")
+    grams = (
+        docs.select("doc_id", split.alias("split"), "text")
+        .select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.expr("sequence(1, greatest(length(text) - 7, 1))")
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", "split", F.expr("substring(text, i, 8)").alias("g"))
+        .where(F.length("g") == 8)
+        .dropDuplicates(["doc_id", "g"])
+    )
+    train_grams = (
+        grams.where(F.col("split") == "train").select("g").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = grams.where(F.col("split") == "eval").select("doc_id", "g")
+    return (
+        ev.join(train_grams, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_shared"),
+        )
+        .withColumn(
+            "leak_ratio", F.col("n_shared").cast("double") / F.col("n_grams")
+        )
+        .where(F.col("leak_ratio") >= 0.2)
+    )
