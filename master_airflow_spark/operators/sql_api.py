@@ -109,3 +109,117 @@ def zip_align_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos0") + 1).alias("pos"),
         )
     )
+
+
+@register(
+    "correlated_scalar_select",
+    oracle="""
+SELECT n.n_name,
+       (SELECT count(*) FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
+       (SELECT CAST(max(CAST(c2.c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+        FROM customer c2
+        WHERE c2.c_nationkey = n.n_nationkey) AS max_balance
+FROM nation n
+""",
+    tags=("X2", "SQL"),
+)
+def correlated_scalar_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT-position correlated scalar subqueries (two per row) —
+    Catalyst decorrelates each into a grouped aggregate joined back on
+    the correlation key, so the nation table is never probed row-at-a-
+    time; nations with no customers surface NULL/0 via the preserved
+    left join. Same decorrelation machinery as the WHERE-position form
+    (scalar_subquery_above_avg), exercised where the reference's SQL
+    serving path would hand the text straight to Postgres."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               (SELECT count(*) FROM customer c
+                WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
+               (SELECT CAST(max(CAST(c2.c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+                FROM customer c2
+                WHERE c2.c_nationkey = n.n_nationkey) AS max_balance
+        FROM nation n
+        """
+    )
+
+
+@register(
+    "lateral_join_agg",
+    oracle="""
+SELECT r.r_name, t.n_nations, t.total_customers
+FROM region r,
+     LATERAL (SELECT count(DISTINCT n.n_nationkey) AS n_nations,
+                     count(c.c_custkey) AS total_customers
+              FROM nation n
+              LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+              WHERE n.n_regionkey = r.r_regionkey) t
+""",
+    tags=("X1", "X2", "SQL"),
+)
+def lateral_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table: per region, an aggregate
+    computed by a subquery referencing the outer row. Catalyst
+    rewrites the lateral into a decorrelated aggregate + join on
+    r_regionkey (DecorrelateInnerQuery), so the plan is one grouped
+    aggregate over nation⋈customer and a 5-row join — no per-region
+    re-execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_nations, t.total_customers
+        FROM region r,
+             LATERAL (SELECT count(DISTINCT n.n_nationkey) AS n_nations,
+                             count(c.c_custkey) AS total_customers
+                      FROM nation n
+                      LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+                      WHERE n.n_regionkey = r.r_regionkey) t
+        """
+    )
+
+
+@register(
+    "recursive_cte_hierarchy",
+    oracle="""
+WITH RECURSIVE chain AS (
+    SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
+    FROM customer WHERE c_custkey <= 200
+    UNION ALL
+    SELECT start_key, cur // 2 AS cur, depth + 1
+    FROM chain WHERE cur > 1
+)
+SELECT start_key,
+       max(depth) AS depth_to_root,
+       count(*) AS chain_len
+FROM chain
+GROUP BY start_key
+""",
+    tags=("X2", "SQL"),
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): walk the implicit binary-heap
+    hierarchy key → key/2 from each of the first 200 customers to the
+    root, reporting chain depth — the transitive-closure/org-chart
+    pattern that previously required the iterative-DataFrame loop
+    (operators/clusters.py implements exactly that for connected
+    components; this is the declarative form the SQL surface now
+    plans natively as a repeated self-union until fixpoint)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+            SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
+            FROM customer WHERE c_custkey <= 200
+            UNION ALL
+            SELECT start_key, CAST(cur / 2 AS BIGINT) AS cur, depth + 1
+            FROM chain WHERE cur > 1
+        )
+        SELECT start_key,
+               max(depth) AS depth_to_root,
+               count(*) AS chain_len
+        FROM chain
+        GROUP BY start_key
+        """
+    )

@@ -83,10 +83,15 @@ PRIORITY: tuple[str, ...] = (
     # (1) never driver-certified (rounds 1-2 sampled 93 of 104)
     "lsh_bucketed_ann",  # exact oracle added this round
     "ivf_ann_topk",
-    "sql_api_grouping_sets",  # sql_api_top1_alltime evicted: same
-    # spark.sql()-string path, and its DataFrame twin is certified
-    "stats_moments",
-    "corr_qty_price",
+    # new SQL-surface features (round 3): SELECT-position correlated
+    # scalars, LATERAL derived tables, and Spark 4's recursive CTE —
+    # higher certification signal than the evicted sql_api_grouping_sets
+    # / sql_api_top1_alltime (same spark.sql() path, DataFrame twins
+    # certified) and stats_moments / corr_qty_price (their exact-decimal
+    # machinery is the same dsum/dmul every certified TPC-H shape uses)
+    "correlated_scalar_select",
+    "lateral_join_agg",
+    "recursive_cte_hierarchy",
     "listagg_nation_customers",
     "window_distribution",
     "apply_in_pandas_scale",
