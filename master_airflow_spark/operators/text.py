@@ -1048,3 +1048,115 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("leak_ratio") >= 0.2)
     )
+
+
+# winnowing parameters: k-token shingles, window of w consecutive
+# shingle hashes (guarantee: any shared run of >= w+k-1 tokens yields
+# at least one shared fingerprint — Schleimer/Wilkerson/Aiken, MOSS)
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+),
+h AS (
+    SELECT doc_id,
+           list_transform(
+               range(1, greatest(len(toks) - {WINNOW_K - 1}, 0) + 1),
+               i -> {sql_portable_hash60(
+                   "concat_ws('|', toks[i], toks[i+1], toks[i+2])")}
+           ) AS hashes
+    FROM t
+),
+fp AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(hashes) - {WINNOW_W - 1}, 0) + 1),
+               w -> list_aggregate(hashes[w:w+{WINNOW_W - 1}], 'min')
+           )) AS fps
+    FROM h
+)
+SELECT doc_id,
+       len(fps) AS n_fingerprints,
+       CAST(coalesce(list_aggregate(fps, 'bit_xor'), 0) AS BIGINT) AS fp_digest
+FROM fp
+""",
+    tags=("X24", "X26"),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken '03,
+    the MOSS scheme): hash every {k}-token shingle, slide a window of
+    {w} consecutive hashes, keep each window's minimum — a robust
+    LOCAL fingerprint set guaranteeing any shared token run of length
+    ≥ w+k−1 leaves at least one common fingerprint, which is what
+    partial-overlap detection needs and global schemes (MinHash:
+    whole-doc similarity; doc_fingerprint: exact content) can't give.
+    Judged output is the per-doc fingerprint count plus an
+    order-independent XOR digest of the distinct fingerprint set (the
+    engines enumerate windows in different orders; XOR folds the SET,
+    so values still hash-match). All built-in expressions: one
+    posexplode, two windows keyed by doc — scan-speed, corpus-linear;
+    pair generation over shared fingerprints would reuse the
+    containment_pairs inverted-index join."""
+    from master_airflow_spark.functions.hashing import portable_hash60 as ph
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens().alias("toks"))
+    # shingle hashes, one row per position (posexplode keeps the plan
+    # in codegen; array higher-order fns would interpret)
+    n_sh = F.greatest(F.size("toks") - (WINNOW_K - 1), F.lit(0))
+    h = (
+        t.select(
+            "doc_id",
+            "toks",
+            F.explode(F.expr(f"sequence(1, greatest(size(toks) - {WINNOW_K - 1}, 1))")).alias("i"),
+            n_sh.alias("n_sh"),
+        )
+        .where(F.col("i") <= F.col("n_sh"))
+        .select(
+            "doc_id",
+            F.col("i").alias("pos"),
+            ph(
+                F.concat_ws(
+                    "|",
+                    F.expr("toks[i-1]"),
+                    F.expr("toks[i]"),
+                    F.expr("toks[i+1]"),
+                )
+            ).alias("h"),
+        )
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    n_windows = Window.partitionBy("doc_id")
+    fps = (
+        # window min FIRST (each window needs its full W-hash span),
+        # THEN drop the trailing positions whose window would run past
+        # the end of the document
+        h.withColumn("fp", F.min("h").over(win))
+        .withColumn("n_pos", F.max("pos").over(n_windows))
+        .where(F.col("pos") <= F.col("n_pos") - (WINNOW_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    per_doc = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.bit_xor("fp").alias("fp_digest"),
+    )
+    # docs too short for any window keep a zero row (oracle's len=0 branch)
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
+            F.coalesce("fp_digest", F.lit(0)).cast("long").alias("fp_digest"),
+        )
+    )

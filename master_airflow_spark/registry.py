@@ -82,7 +82,8 @@ PRIORITY: tuple[str, ...] = (
     "multiset_set_ops",
     # (1) never driver-certified (rounds 1-2 sampled 93 of 104)
     "lsh_bucketed_ann",  # exact oracle added this round
-    "ivf_ann_topk",
+    "winnowing_fingerprints",  # ivf_ann_topk evicted: rows-only, and
+    # its machinery is exactly certified by ivf_ann_exhaustive above
     # new SQL-surface features (round 3): SELECT-position correlated
     # scalars, LATERAL derived tables, and Spark 4's recursive CTE —
     # higher certification signal than the evicted sql_api_grouping_sets
