@@ -459,3 +459,48 @@ def multiset_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats(f_bag.intersectAll(o_bag), "common_pairs").unionByName(
         stats(f_bag.exceptAll(o_bag), "f_surplus")
     )
+
+
+@register(
+    "fuzzy_customer_pairs",
+    oracle="""
+SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+       a.c_name AS a_name, b.c_name AS b_name,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+FROM customer a
+JOIN customer b ON a.c_nationkey = b.c_nationkey
+               AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+    tags=("X3", "X13"),
+)
+def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity resolution: same-nation customer pairs
+    whose names are within Levenshtein distance 1 — the fuzzy-match
+    primitive record-linkage and data-cleaning pipelines run before a
+    merge. Blocked on nationkey (the standard blocking-key trick), so
+    the quadratic distance computation happens per block, never
+    corpus²; at 100 TB the block key would be a coarser sort key
+    (name prefix / phonetic bucket) but the plan — equi-join on block,
+    inequality dedup, scalar distance filter — is identical. Both
+    engines implement classic Levenshtein, so the judged distance is
+    engine-exact."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a = c.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        F.col("c_nationkey").alias("bnk"),
+    )
+    return (
+        a.join(b, (F.col("nk") == F.col("bnk")) & (F.col("a_key") < F.col("b_key")))
+        .withColumn("edit_dist", F.levenshtein("a_name", "b_name"))
+        .where(F.col("edit_dist") <= 1)
+        .select("a_key", "b_key", "a_name", "b_name", "edit_dist")
+    )
