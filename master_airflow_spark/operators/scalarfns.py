@@ -211,3 +211,40 @@ def map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getItem("k").alias("k"),
         m.isNotNull().alias("valid_json"),
     )
+
+
+@register(
+    "variant_semistructured",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(count(json_extract(props, '$.missing')) AS BIGINT) AS n_missing_path
+FROM events
+GROUP BY event_type
+""",
+    tags=("X17",),
+)
+def variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (new in Spark
+    4): props parses once into a binary variant (parse_json) and typed
+    paths come out via variant_get — the open-schema alternative to
+    from_json's fixed StructType, and the encoding that lets a lake
+    store heterogeneous JSON without schema migration. Extraction of
+    an absent path yields NULL (counted here to pin that semantics);
+    aggregates run on the extracted long. The oracle reads the same
+    paths with DuckDB's JSON extraction — the judged values certify
+    parse + typed-get + null-path behavior, not the storage format."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    missing = F.variant_get(v, "$.missing", "long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(missing).alias("n_missing_path"),
+    )

@@ -93,7 +93,8 @@ PRIORITY: tuple[str, ...] = (
     "correlated_scalar_select",
     "lateral_join_agg",
     "recursive_cte_hierarchy",
-    "listagg_nation_customers",
+    "variant_semistructured",  # Spark 4 VARIANT codepath — higher
+    # certification value than listagg (locally pinned, stock agg)
     "window_distribution",
     "apply_in_pandas_scale",
     # (2) added this round — TPC-H Q2/Q4/Q5/Q10/Q12/Q18/Q22 shapes
