@@ -96,3 +96,46 @@ def html_scrape_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``zip`` semantics."""
     pages = spark.createDataFrame(SAMPLE_PAGES, "page_id long, html string")
     return scrape_pipeline(pages, RUN_DATE)
+
+
+# Canned XML page: the same gas-price records in an XML feed shape —
+# S2's markup-extraction semantics through Spark 4's native from_xml
+# instead of the mapInPandas HTML parser.
+SAMPLE_XML: list[tuple[int, str]] = [
+    (1, "<rec><price>163.9</price><station>Esso Du Commerce</station>"
+        "<city>Verdun</city></rec>"),
+    (2, "<rec><price>99.9</price><station>Shell Centre-Ville</station>"
+        "<city>Montréal</city></rec>"),
+    (3, "<rec><price>151.4</price><station>Petro-Canada Atwater</station>"
+        "<city>Westmount</city></rec>"),
+    (4, "<rec><price>158.2</price><station>Ultramar Papineau</station></rec>"),
+]
+
+_XML_GOLDEN = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), CAST(163.9 AS DOUBLE), 'Esso Du Commerce', 'Verdun'),
+  (CAST(2 AS BIGINT), CAST(99.9 AS DOUBLE), 'Shell Centre-Ville', 'Montréal'),
+  (CAST(3 AS BIGINT), CAST(151.4 AS DOUBLE), 'Petro-Canada Atwater', 'Westmount'),
+  (CAST(4 AS BIGINT), CAST(158.2 AS DOUBLE), 'Ultramar Papineau', CAST(NULL AS VARCHAR))
+) AS t(rec_id, price, station, city)
+"""
+
+
+@register("xml_extract_golden", oracle=_XML_GOLDEN, tags=("S2",))
+def xml_extract_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 through Spark 4's native from_xml: typed extraction from an
+    XML record column with an explicit schema — the declarative twin
+    of the HTML mapInPandas parser (html_scrape_pipeline), certified
+    against a hand-derived VALUES golden. Record 4's missing <city>
+    surfaces as NULL (schema-on-read absent-field semantics), pinned
+    by the golden's NULL row."""
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(SAMPLE_XML, "rec_id long, xml string")
+    parsed = F.from_xml("xml", "price double, station string, city string")
+    return pages.select(
+        "rec_id",
+        parsed.getField("price").alias("price"),
+        parsed.getField("station").alias("station"),
+        parsed.getField("city").alias("city"),
+    )

@@ -248,3 +248,95 @@ def variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.count(missing).alias("n_missing_path"),
     )
+
+
+@register(
+    "csv_parse_roundtrip",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey AS parsed_key,
+       o_orderstatus AS parsed_status,
+       o_totalprice AS parsed_price
+FROM orders
+""",
+    tags=("X17", "S2"),
+)
+def csv_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_csv parser certification by round-trip: serialize three
+    order columns into a CSV line (quoted status guards the delimiter
+    case), re-parse with an explicit schema, and emit the parsed
+    fields next to the original key. The oracle states the identity —
+    parsed values must equal source values — so the judged diff
+    certifies the parse path end-to-end (the ingest shape for CSV
+    landing zones, S2's delimited sibling)."""
+    o = load_table(spark, sf_dir, "orders")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    parsed = F.from_csv(
+        line, "k bigint, status string, price double"
+    )
+    return o.select(
+        "o_orderkey",
+        parsed.getField("k").alias("parsed_key"),
+        parsed.getField("status").alias("parsed_status"),
+        parsed.getField("price").alias("parsed_price"),
+    )
+
+
+@register(
+    "null_semantics",
+    oracle="""
+WITH t AS (
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'P') AS maybe_status,
+           o_totalprice
+    FROM orders
+)
+SELECT
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(count(maybe_status) AS BIGINT) AS n_nonnull,
+    CAST(count(*) FILTER (WHERE maybe_status IS NOT DISTINCT FROM NULL) AS BIGINT)
+        AS n_null_safe_eq_null,
+    CAST(count(*) FILTER (WHERE maybe_status IS DISTINCT FROM 'O') AS BIGINT)
+        AS n_distinct_from_o,
+    CAST(count(*) FILTER (WHERE coalesce(maybe_status, 'PENDING') = 'PENDING')
+         AS BIGINT) AS n_coalesced,
+    CAST(count(*) FILTER (WHERE CASE WHEN maybe_status IS NOT NULL
+                                     THEN 'seen' ELSE 'missing' END = 'missing')
+         AS BIGINT) AS n_nvl2_missing
+FROM t
+""",
+    tags=("X15",),
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic semantics pinned cross-engine: NULLIF
+    introduces NULLs, then null-safe equality (<=> / IS NOT DISTINCT
+    FROM), its negation, COALESCE defaults, and the NVL2 branch are
+    counted — the exact places naive predicates silently drop rows
+    (NULL = x is UNKNOWN, not false). All counts of exact integers;
+    any divergence in null handling between the engines would shift a
+    count."""
+    o = load_table(spark, sf_dir, "orders")
+    ms = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    t = o.select("o_orderkey", ms.alias("maybe_status"))
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("maybe_status").alias("n_nonnull"),
+        F.count_if(F.col("maybe_status").eqNullSafe(F.lit(None))).alias(
+            "n_null_safe_eq_null"
+        ),
+        F.count_if(~F.col("maybe_status").eqNullSafe(F.lit("O"))).alias(
+            "n_distinct_from_o"
+        ),
+        F.count_if(
+            F.coalesce("maybe_status", F.lit("PENDING")) == "PENDING"
+        ).alias("n_coalesced"),
+        F.count_if(
+            F.nvl2(F.col("maybe_status"), F.lit("seen"), F.lit("missing"))
+            == "missing"
+        ).alias("n_nvl2_missing"),
+    )
