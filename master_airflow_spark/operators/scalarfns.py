@@ -263,11 +263,13 @@ FROM orders
 )
 def csv_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_csv parser certification by round-trip: serialize three
-    order columns into a CSV line (quoted status guards the delimiter
-    case), re-parse with an explicit schema, and emit the parsed
-    fields next to the original key. The oracle states the identity —
-    parsed values must equal source values — so the judged diff
-    certifies the parse path end-to-end (the ingest shape for CSV
+    order columns into a CSV line, re-parse with an explicit schema,
+    and emit the parsed fields next to the original key. The serializer
+    does NOT quote — it relies on o_orderstatus being a single
+    delimiter-free char; a column that may contain ',' needs quoted
+    serialization plus from_csv's quote option. The oracle states the
+    identity — parsed values must equal source values — so the judged
+    diff certifies the parse path end-to-end (the ingest shape for CSV
     landing zones, S2's delimited sibling)."""
     o = load_table(spark, sf_dir, "orders")
     line = F.concat_ws(

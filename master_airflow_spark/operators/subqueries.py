@@ -169,10 +169,19 @@ def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-summed and broadcast back). Ids depend only on the unique
     total order (o_orderdate, o_orderkey), not on where the sampled
     range boundaries land, so the result is bit-stable across cluster
-    sizes while the sort stays fully parallel."""
+    sizes while the sort stays fully parallel.
+
+    The numbered frame is persisted (track_cache) before fanning into
+    the offsets aggregate and the join probe: both branches MUST see
+    one materialization of the range exchange — repartitionByRange
+    samples its boundaries, so two independent physical executions
+    (exchange reuse off, or future plan divergence) could place rows
+    in different partitions on each side and silently corrupt the
+    offset arithmetic."""
     from pyspark.sql import Window
 
     from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.registry import track_cache
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     n_parts = spark.sparkContext.defaultParallelism
@@ -180,7 +189,7 @@ def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pid", F.spark_partition_id()
     )
     local_w = Window.partitionBy("pid").orderBy("o_orderdate", "o_orderkey")
-    local = ranged.withColumn("rn", F.row_number().over(local_w))
+    local = track_cache(ranged.withColumn("rn", F.row_number().over(local_w)))
     offsets_w = Window.orderBy("pid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow - 1
     )

@@ -769,13 +769,53 @@ def collapse_repeated_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- shared char-8-gram shingle expansion -------------------------------------
+#
+# One definition for the three shingle-based operators (containment,
+# internal repetition, split leakage) and their oracles: a semantic
+# change to gram width or unicode handling edits exactly these two
+# definitions, not six call sites.
+
+from master_airflow_spark.operators.sampling import _sql_bucket as _sampling_sql_bucket
+
+#: the train/test split rule as its DuckDB fragment — single source
+#: shared with operators/sampling.py (train_test_split)
+_sql_split_bucket = _sampling_sql_bucket("CAST(doc_id AS VARCHAR)")
+
+#: DuckDB fragment: the DISTINCT 8-gram list of `text` (1-based substr).
+_SQL_SHINGLES8 = (
+    "list_distinct(list_transform(range(1, greatest(length(text) - 6, 1)),"
+    " i -> substr(text, i, 8)))"
+)
+
+
+def _char_shingle_rows(df: DataFrame, *extra_cols: str) -> DataFrame:
+    """One row per (doc_id, *extra_cols, g): the document's DISTINCT
+    8-char shingles via position explode + substring (codegen-friendly;
+    the array higher-order form runs interpreted). Docs shorter than 8
+    chars produce no rows — the oracle's empty-list case."""
+    return (
+        df.select(
+            "doc_id",
+            *extra_cols,
+            F.explode(
+                F.expr("sequence(1, greatest(length(text) - 7, 1))")
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id", *extra_cols, F.expr("substring(text, i, 8)").alias("g")
+        )
+        .where(F.length("g") == 8)
+        .dropDuplicates(["doc_id", "g"])
+    )
+
+
 @register(
     "containment_pairs",
-    oracle=r"""
+    oracle=f"""
 WITH sh AS (
-    SELECT doc_id, source,
-           list_distinct(list_transform(range(1, greatest(length(text) - 6, 1)),
-                                        i -> substr(text, i, 8))) AS s
+    SELECT doc_id, source, {_SQL_SHINGLES8} AS s
     FROM documents
 )
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -803,25 +843,12 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
     g_rows = track_cache(
-        docs.select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.expr("sequence(1, greatest(length(text) - 7, 1))")
-            ).alias("i"),
-            "text",
-        )
-        .select(
-            "doc_id",
-            "source",
-            F.expr("substring(text, i, 8)").alias("g"),
-        )
-        .where(F.length("g") == 8)
-        .dropDuplicates(["doc_id", "g"])
         # 8-byte integer gram ids: xxhash64 collisions at charset^8
         # cardinality are negligible for counting and keep the
         # self-join shuffle narrow
-        .select("doc_id", "source", F.xxhash64("g").alias("gid"))
+        _char_shingle_rows(docs, "source").select(
+            "doc_id", "source", F.xxhash64("g").alias("gid")
+        )
     )
     sizes = g_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     b = g_rows.select(
@@ -930,7 +957,11 @@ def repeated_shingle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions (position explode → count vs count-distinct), no
     shuffle beyond the per-doc aggregate, so the filter runs at scan
     speed in the quality-gate stage of the corpus funnel. Ratios are
-    one IEEE division of exact integers."""
+    one IEEE division of exact integers.
+
+    Expands shingles inline rather than via _char_shingle_rows: this
+    operator needs shingle MULTIPLICITY (total vs distinct counts),
+    while the shared helper deduplicates per doc."""
     docs = load_table(spark, sf_dir, "documents")
     g = (
         docs.select(
@@ -969,17 +1000,15 @@ def repeated_shingle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "split_leakage_audit",
-    oracle=r"""
+    oracle=f"""
 WITH split AS (
     SELECT doc_id, text,
-           CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                     AS BIGINT) % 100 < 80 THEN 'train' ELSE 'eval' END AS split
+           CASE WHEN {_sql_split_bucket} < 80
+                THEN 'train' ELSE 'eval' END AS split
     FROM documents
 ),
 grams AS (
-    SELECT doc_id, split, unnest(list_distinct(
-               list_transform(range(1, greatest(length(text) - 6, 1)),
-                              i -> substr(text, i, 8)))) AS g
+    SELECT doc_id, split, unnest({_SQL_SHINGLES8}) AS g
     FROM split
 ),
 train_grams AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
@@ -1007,29 +1036,14 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the same cost as the dedup passes at 100 TB. Counting uses a
     LEFT join + null-flag so n_grams and n_shared come from ONE join
     pass, and the ratio is a single division of exact integers."""
+    from master_airflow_spark.operators.sampling import hash_bucket
+
     docs = load_table(spark, sf_dir, "documents")
-    split = F.when(
-        F.pmod(
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("long"),
-            F.lit(100),
-        )
-        < 80,
-        "train",
-    ).otherwise("eval")
-    grams = (
-        docs.select("doc_id", split.alias("split"), "text")
-        .select(
-            "doc_id",
-            "split",
-            F.explode(
-                F.expr("sequence(1, greatest(length(text) - 7, 1))")
-            ).alias("i"),
-            "text",
-        )
-        .select("doc_id", "split", F.expr("substring(text, i, 8)").alias("g"))
-        .where(F.length("g") == 8)
-        .dropDuplicates(["doc_id", "g"])
+    # the SAME doc_id-hash rule train_test_split uses (sampling.hash_bucket)
+    # — the audit must not drift from the split it audits
+    split = F.when(hash_bucket("doc_id") < 80, "train").otherwise("eval")
+    grams = _char_shingle_rows(
+        docs.select("doc_id", split.alias("split"), "text"), "split"
     )
     train_grams = (
         grams.where(F.col("split") == "train").select("g").distinct()
@@ -1089,10 +1103,10 @@ FROM fp
 )
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken '03,
-    the MOSS scheme): hash every {k}-token shingle, slide a window of
-    {w} consecutive hashes, keep each window's minimum — a robust
+    the MOSS scheme): hash every 3-token shingle (WINNOW_K), slide a
+    window of 4 consecutive hashes (WINNOW_W), keep each window's minimum — a robust
     LOCAL fingerprint set guaranteeing any shared token run of length
-    ≥ w+k−1 leaves at least one common fingerprint, which is what
+    ≥ WINNOW_W+WINNOW_K−1 leaves at least one common fingerprint, which is what
     partial-overlap detection needs and global schemes (MinHash:
     whole-doc similarity; doc_fingerprint: exact content) can't give.
     Judged output is the per-doc fingerprint count plus an

@@ -152,7 +152,7 @@ def udtf_fixed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     to certify the UDTF execution surface end-to-end, on a pruned 4%
     slice of the corpus (UDTFs are row-at-a-time Python, the slowest
     path in the engine)."""
-    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.functions import udtf
 
     @udtf(returnType="chunk_no int, chunk string, chunk_len int")
     class FixedChunks:
