@@ -342,3 +342,45 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             == "missing"
         ).alias("n_nvl2_missing"),
     )
+
+
+@register(
+    "array_hof_suite",
+    oracle=r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       len(list_filter(toks, x -> length(x) > 10)) > 0 AS has_long_token,
+       len(list_filter(toks, x -> NOT (length(x) < 25))) = 0 AS all_short,
+       CAST(len(list_filter(
+           list_transform(range(1, len(toks) + 1),
+                          i -> toks[i] = toks[len(toks) - i + 1]),
+           b -> b)) AS BIGINT) AS n_mirror_eq
+FROM t
+""",
+    tags=("X16",),
+)
+def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order array predicates array_functions leaves out:
+    EXISTS (any token longer than 10 chars), FORALL (every token under
+    25), and ZIP_WITH pairing the token list with its own reverse to
+    count positions equal to their mirror — the element-wise two-array
+    combine. All JVM-side lambdas; the oracle states the same three
+    via DuckDB's list comprehension forms (exists = filtered length >
+    0, forall = no counter-example, zip_with = indexed transform)."""
+    from master_airflow_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    mirror_eq = F.zip_with(
+        toks, F.reverse(toks), lambda x, y: x == y
+    )
+    return docs.select(
+        "doc_id",
+        F.exists(toks, lambda x: F.length(x) > 10).alias("has_long_token"),
+        F.forall(toks, lambda x: F.length(x) < 25).alias("all_short"),
+        F.size(F.filter(mirror_eq, lambda b: b)).alias("n_mirror_eq"),
+    )
