@@ -504,3 +504,29 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_dist") <= 1)
         .select("a_key", "b_key", "a_name", "b_name", "edit_dist")
     )
+
+
+@register("hll_sketch_users", oracle=None, tags=("X6",))
+def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL,
+    Spark 3.5+): per-event-type user sketches, unioned into a global
+    estimate — the re-aggregatable form approx_count_distinct (HLL++,
+    one-shot) can't give: partial sketches persist per partition/day
+    and roll up later without rescanning, the pattern daily uniques →
+    monthly uniques needs at 100 TB. HLL registers are max-merged, so
+    the estimate is insertion-order-independent — deterministic across
+    cluster layouts — but not SQL-expressible in DuckDB → rows-only
+    here; tests/test_round3_ops.py pins the ≤3% relative-error bound
+    and the union-vs-flat consistency law."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    ).unionByName(
+        per_type.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+        ).select(F.lit("__all__").alias("event_type"), "est_users")
+    )

@@ -229,3 +229,24 @@ def test_recursive_depth_law(spark, sf_dir):
     for key, depth in rows.items():
         expect = 0 if key == 0 else int(math.floor(math.log2(key)))
         assert depth == expect, (key, depth, expect)
+
+
+def test_hll_sketch_error_bound_and_union_law(spark, sf_dir):
+    """HLL estimates stay within 3% of exact distinct counts, and the
+    union-of-sketches estimate is consistent with the flat estimate
+    over the union of inputs (the re-aggregation law)."""
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.operators.relational import hll_sketch_users
+
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.d
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    exact["__all__"] = e.agg(F.count_distinct("user_id")).collect()[0][0]
+    est = {r.event_type: r.est_users for r in hll_sketch_users(spark, sf_dir).collect()}
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        assert abs(est[k] - v) <= max(1, 0.03 * v), (k, est[k], v)
