@@ -221,7 +221,7 @@ SELECT event_type,
        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
        CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
-       CAST(count(json_extract(props, '$.missing')) AS BIGINT) AS n_missing_path
+       CAST(count(json_extract(props, '$.missing')) AS BIGINT) AS n_path_present
 FROM events
 GROUP BY event_type
 """,
@@ -233,8 +233,10 @@ def variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths come out via variant_get — the open-schema alternative to
     from_json's fixed StructType, and the encoding that lets a lake
     store heterogeneous JSON without schema migration. Extraction of
-    an absent path yields NULL (counted here to pin that semantics);
-    aggregates run on the extracted long. The oracle reads the same
+    an absent path yields NULL, so COUNT over it — n_path_present —
+    counts the rows where the path EXISTS (0 here, pinning the
+    absent-path-yields-NULL semantics); aggregates run on the
+    extracted long. The oracle reads the same
     paths with DuckDB's JSON extraction — the judged values certify
     parse + typed-get + null-path behavior, not the storage format."""
     e = load_table(spark, sf_dir, "events")
@@ -246,7 +248,7 @@ def variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
-        F.count(missing).alias("n_missing_path"),
+        F.count(missing).alias("n_path_present"),
     )
 
 

@@ -163,44 +163,41 @@ def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible-build form).
 
     Distributed two-phase assignment, NOT a global window (which
-    funnels every row through one partition): range-partition on the
-    order key, number rows within each partition, then add the
-    partition-size prefix offsets (a #partitions-row aggregate,
-    window-summed and broadcast back). Ids depend only on the unique
-    total order (o_orderdate, o_orderkey), not on where the sampled
-    range boundaries land, so the result is bit-stable across cluster
-    sizes while the sort stays fully parallel.
-
-    The numbered frame is persisted (track_cache) before fanning into
-    the offsets aggregate and the join probe: both branches MUST see
-    one materialization of the range exchange — repartitionByRange
-    samples its boundaries, so two independent physical executions
-    (exchange reuse off, or future plan divergence) could place rows
-    in different partitions on each side and silently corrupt the
-    offset arithmetic."""
+    funnels every row through one partition): bucket on a DETERMINISTIC
+    function of the ordering key itself (year-month of o_orderdate —
+    a range bucketing whose boundaries are data values, not sampled
+    exchange boundaries), number rows within each bucket, then add the
+    bucket-size prefix offsets (a #buckets-row aggregate, window-summed
+    and broadcast back). Because the bucket id is a pure column
+    expression, the offsets branch and the probe branch can each
+    recompute from the scan with no shared-materialization contract —
+    unlike spark_partition_id over repartitionByRange, whose sampled
+    boundaries can differ between independent physical executions and
+    silently corrupt the offset arithmetic. Bucket count grows with the
+    date span (~84 months at TPC-H) and dates are uniform, so the sort
+    stays fully parallel and skew-bounded at any scale; a deployment
+    with a narrower key range picks a finer bucket expression."""
     from pyspark.sql import Window
 
     from master_airflow_spark.catalog import load_table
-    from master_airflow_spark.registry import track_cache
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    n_parts = spark.sparkContext.defaultParallelism
-    ranged = o.repartitionByRange(n_parts, "o_orderdate", "o_orderkey").withColumn(
-        "pid", F.spark_partition_id()
+    bucketed = o.withColumn(
+        "bkt", F.year("o_orderdate") * 12 + F.month("o_orderdate")
     )
-    local_w = Window.partitionBy("pid").orderBy("o_orderdate", "o_orderkey")
-    local = track_cache(ranged.withColumn("rn", F.row_number().over(local_w)))
-    offsets_w = Window.orderBy("pid").rowsBetween(
+    local_w = Window.partitionBy("bkt").orderBy("o_orderdate", "o_orderkey")
+    offsets_w = Window.orderBy("bkt").rowsBetween(
         Window.unboundedPreceding, Window.currentRow - 1
     )
     offsets = (
-        local.groupBy("pid")
+        bucketed.groupBy("bkt")
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("offset", F.coalesce(F.sum("n").over(offsets_w), F.lit(0)))
-        .select("pid", "offset")
+        .select("bkt", "offset")
     )
     return (
-        local.join(F.broadcast(offsets), "pid")
+        bucketed.withColumn("rn", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), "bkt")
         .select(
             (F.col("offset") + F.col("rn")).cast("int").alias("surrogate_id"),
             "o_orderkey",

@@ -836,30 +836,25 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     different scores. 8-char shingles are rare enough that the
     inverted-index equi-join on (gram, source) emits only truly
     overlapping candidate pairs — no all-pairs product, no prefix
-    filter needed — and the gram rows are integer-hashed before the
-    join so the shuffle carries 8-byte keys. Exactly the oracle's
+    filter needed. The join key is the raw 8-char gram (8 bytes, no
+    wider than a hashed id would be): the oracle intersects exact
+    strings, so hashing the gram first would open a silent collision
+    divergence channel for zero shuffle savings. Exactly the oracle's
     quadratic all-pairs result, at index-join cost."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
-    g_rows = track_cache(
-        # 8-byte integer gram ids: xxhash64 collisions at charset^8
-        # cardinality are negligible for counting and keep the
-        # self-join shuffle narrow
-        _char_shingle_rows(docs, "source").select(
-            "doc_id", "source", F.xxhash64("g").alias("gid")
-        )
-    )
+    g_rows = track_cache(_char_shingle_rows(docs, "source"))
     sizes = g_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     b = g_rows.select(
         F.col("doc_id").alias("b_id"),
         F.col("source").alias("b_source"),
-        F.col("gid").alias("b_gid"),
+        F.col("g").alias("b_g"),
     )
     common = (
         g_rows.join(
             b,
-            (F.col("gid") == F.col("b_gid"))
+            (F.col("g") == F.col("b_g"))
             & (F.col("source") == F.col("b_source"))
             & (F.col("doc_id") != F.col("b_id")),
         )
@@ -1116,9 +1111,32 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode, two windows keyed by doc — scan-speed, corpus-linear;
     pair generation over shared fingerprints would reuse the
     containment_pairs inverted-index join."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprint_rows(docs)
+    per_doc = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.bit_xor("fp").alias("fp_digest"),
+    )
+    # docs too short for any window keep a zero row (oracle's len=0 branch)
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
+            F.coalesce("fp_digest", F.lit(0)).cast("long").alias("fp_digest"),
+        )
+    )
+
+
+def winnow_fingerprint_rows(docs: DataFrame) -> DataFrame:
+    """The winnowing kernel: (doc_id, fp) rows — each doc's DISTINCT
+    window-min fingerprints, pre-digest. Shared by the judged query
+    (which folds to count + XOR digest) and by tests that need the
+    actual sets to assert the shared-run guarantee as a real set
+    intersection."""
     from master_airflow_spark.functions.hashing import portable_hash60 as ph
 
-    docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens().alias("toks"))
     # shingle hashes, one row per position (posexplode keeps the plan
     # in codegen; array higher-order fns would interpret)
@@ -1150,7 +1168,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(0, WINNOW_W - 1)
     )
     n_windows = Window.partitionBy("doc_id")
-    fps = (
+    return (
         # window min FIRST (each window needs its full W-hash span),
         # THEN drop the trailing positions whose window would run past
         # the end of the document
@@ -1159,18 +1177,4 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pos") <= F.col("n_pos") - (WINNOW_W - 1))
         .select("doc_id", "fp")
         .distinct()
-    )
-    per_doc = fps.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_fingerprints"),
-        F.bit_xor("fp").alias("fp_digest"),
-    )
-    # docs too short for any window keep a zero row (oracle's len=0 branch)
-    return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
-            F.coalesce("fp_digest", F.lit(0)).cast("long").alias("fp_digest"),
-        )
     )

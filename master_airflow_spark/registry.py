@@ -159,7 +159,17 @@ def queries() -> dict[str, QueryFn]:
     without this wrapper every track_cache()d frame in a 50-query
     certification loop would stay persisted and executor memory would
     ratchet. Bench and tests manage release explicitly via
-    registry.REGISTRY / release_caches()."""
+    registry.REGISTRY / release_caches().
+
+    Hazard (build-then-materialize): a caller that builds SEVERAL of
+    these plans before materializing any loses the persistence of all
+    but the last — an unpersisted frame silently recomputes, which is
+    only a perf hit because no registered query's CORRECTNESS depends
+    on single materialization (plans are deterministic column
+    expressions; the one operator that relied on a sampled exchange,
+    surrogate_keys, was rewritten to deterministic bucketing). Keep it
+    that way: never register a query whose correctness requires a
+    persist to stick."""
 
     def wrap(spec: QuerySpec) -> QueryFn:
         def fn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,11 +42,9 @@ def get_spark(
         # keep files from over-splitting at small SF, still fine at 100 TB
         # where maxPartitionBytes (128m default) governs split size.
         .config("spark.sql.parquet.filterPushdown", "true")
-        # Spark has no TIMESTAMP(NANOS) type: read such parquet columns
-        # as raw nanos-since-epoch longs; catalog.load_table converts
-        # them to TimestampType (micros, floor) — same truncation DuckDB
-        # applies, so oracle comparisons agree.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Parquet TIMESTAMP(NANOS) columns arrive as timestamp_ntz on
+        # this runtime (Spark 4.x); catalog.load_table owns the probe +
+        # normalization so oracle comparisons agree — see catalog.py.
         # local-mode executors all live in the driver JVM; at 8g the
         # 19-query bench sequence spends up to ~2s/query in GC churn
         # (measured: training_corpus_pipeline 2.4s at 8g → 0.9s at

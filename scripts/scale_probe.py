@@ -62,10 +62,23 @@ PROBE_QUERIES = (
 )
 
 
-def _copy(df, t: str, keys: tuple[str, ...], i: int):
+def _key_shift(df, keys: tuple[str, ...]) -> int:
+    """Per-table replica key shift: next power of 10 above max(key), so
+    replica keys can never collide with base keys at any base SF (a
+    fixed constant would silently alias keys once a base table's key
+    space outgrew it, flattening the very growth curve this script
+    measures)."""
+    hi = df.select(F.greatest(*[F.max(c) for c in keys])).first()[0] or 0
+    shift = 10
+    while shift <= hi:
+        shift *= 10
+    return shift
+
+
+def _copy(df, t: str, keys: tuple[str, ...], i: int, shift: int):
     out = df.select(
         *[
-            (F.col(c) + F.lit(i * 10_000_000)).alias(c) if c in keys else F.col(c)
+            (F.col(c) + F.lit(i * shift)).alias(c) if c in keys else F.col(c)
             for c in df.columns
         ]
     )
@@ -93,9 +106,10 @@ def build_scale(spark, k: int) -> str:
         if not keys:  # nation/region: fixed-cardinality dims
             out = df
         else:
-            out = _copy(df, t, keys, 0)
+            shift = _key_shift(df, keys)
+            out = _copy(df, t, keys, 0, shift)
             for i in range(1, k):
-                out = out.unionByName(_copy(df, t, keys, i))
+                out = out.unionByName(_copy(df, t, keys, i, shift))
         out.write.mode("overwrite").parquet(os.path.join(dst, f"{t}.parquet"))
     return dst
 

@@ -177,7 +177,7 @@ def test_winnowing_shared_run_guarantee(spark):
     from master_airflow_spark.operators.text import (
         WINNOW_K,
         WINNOW_W,
-        winnowing_fingerprints,
+        winnow_fingerprint_rows,
     )
 
     shared = " ".join(f"shared{i}" for i in range(WINNOW_W + WINNOW_K - 1))
@@ -190,32 +190,16 @@ def test_winnowing_shared_run_guarantee(spark):
         pd.DataFrame(
             rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
         ).to_parquet(f"{d}/documents.parquet")
-        # fingerprint SETS per doc: recompute with distinct kept (the
-        # judged query folds to a digest; the law needs the sets, so
-        # compare digests only for the shared-run pair inequality and
-        # assert via the digest xor trick: shared fp => sets intersect
-        # => counts can't both be tiny... instead just recompute counts
-        # with the query twice under doc filters. Simplest: XOR digest
-        # of doc3 differs from both, and doc1/doc2 share >= 1 fp, which
-        # we verify by checking the union bound:
-        out = {
-            r.doc_id: (r.n_fingerprints, r.fp_digest)
-            for r in winnowing_fingerprints(spark, d).collect()
-        }
-    # the guarantee is about set intersection; with the digest-only
-    # output we assert the strong observable consequence on this
-    # constructed corpus: all three docs produce fingerprints, and the
-    # two overlapping docs cannot have disjoint sets — verified by
-    # recomputing the min-hash of the shared run independently: the
-    # shared window (entirely inside `shared`) yields the same minimum
-    # in both docs, so n_fingerprints >= 1 for both and their digests
-    # are built over intersecting sets. Executable check: both docs
-    # contain the shared-run fingerprint, so removing it (XOR) changes
-    # both digests by the same value — i.e. digests are consistent
-    # with intersection. The practical regression signal: doc3's
-    # digest differs from doc1's and doc2's.
-    assert out[1][0] >= 1 and out[2][0] >= 1
-    assert out[3][1] != out[1][1] and out[3][1] != out[2][1]
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        fps: dict[int, set[int]] = {1: set(), 2: set(), 3: set()}
+        for r in winnow_fingerprint_rows(docs).collect():
+            fps[r.doc_id].add(r.fp)
+    # the guarantee, asserted as an actual set intersection on the
+    # pre-digest fingerprint sets: docs 1 and 2 share a token run of
+    # exactly w+k-1, so they MUST share >= 1 fingerprint; doc 3 shares
+    # no run with either, so (on this constructed vocab) shares none.
+    assert fps[1] & fps[2], "shared-run guarantee violated"
+    assert not (fps[3] & fps[1]) and not (fps[3] & fps[2])
 
 
 def test_recursive_depth_law(spark, sf_dir):
