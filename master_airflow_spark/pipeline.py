@@ -181,6 +181,30 @@ class DailySchedule:
             self.completed.add(d)
         return ctxs
 
+    def run_forever(
+        self,
+        spark: SparkSession,
+        clock: Callable[[], str],
+        sleep: Callable[[float], None] = time.sleep,
+        poll_seconds: float = 300.0,
+        until: Callable[[], bool] = lambda: False,
+        params: dict[str, Any] | None = None,
+    ) -> list[RunContext]:
+        """The timer loop itself — the reference's scheduler process
+        (Airflow's @daily tick, dags/get_prices_load_mongodb.py:78).
+        Clock and sleep are injected so the loop is unit-testable with
+        a fake clock and runs deterministically: each tick reads
+        ``clock()`` (ISO date/datetime), executes every due logical
+        date via run_pending (catchup included), then sleeps. ``until``
+        is checked per tick for a clean shutdown; returns every run's
+        context. Production: ``run_forever(spark, clock=lambda:
+        datetime.now(UTC).isoformat())``."""
+        ctxs: list[RunContext] = []
+        while not until():
+            ctxs.extend(self.run_pending(spark, clock(), params))
+            sleep(poll_seconds)
+        return ctxs
+
 
 def gas_prices_pipeline(pages_provider: Callable[[RunContext], DataFrame]) -> Pipeline:
     """The reference's four DAGs as ONE pipeline: DDL → extract →

@@ -94,3 +94,41 @@ def test_daily_schedule_catchup_and_idempotence(spark):
     # next day triggers exactly one more
     assert [c.run_date for c in sched.run_pending(spark, "2024-01-05")] == ["2024-01-04"]
     assert runs == ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+
+
+def test_run_forever_fake_clock(spark):
+    """The timer loop under a fully fake clock: advances a day per
+    tick, sleeps between ticks, runs exactly the due dates, and stops
+    cleanly when `until` fires."""
+    from master_airflow_spark.pipeline import DailySchedule
+
+    p = Pipeline("sched-loop")
+    runs: list[str] = []
+
+    @p.stage("record")
+    def record(ctx: RunContext) -> str:
+        runs.append(ctx.run_date)
+        return ctx.run_date
+
+    ticks = iter(["2024-01-02", "2024-01-02", "2024-01-04"])
+    seen: list[str] = []
+
+    def clock() -> str:
+        t = next(ticks)
+        seen.append(t)
+        return t
+
+    slept: list[float] = []
+    sched = DailySchedule(p, start_date="2024-01-01")
+    ctxs = sched.run_forever(
+        spark,
+        clock=clock,
+        sleep=slept.append,
+        poll_seconds=60.0,
+        until=lambda: len(seen) >= 3,
+    )
+    # tick 1 runs 01-01; tick 2 is a no-op (idempotent); tick 3 catches
+    # up 01-02 and 01-03; the loop slept after each of the 3 ticks
+    assert runs == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    assert [c.run_date for c in ctxs] == runs
+    assert slept == [60.0, 60.0, 60.0]
