@@ -197,6 +197,7 @@ def oracles() -> dict[str, str]:
 # driver memory flat across a long many-query session.
 _TRACKED_CACHES: list[DataFrame] = []
 _TRACKED_BROADCASTS: list = []
+_TRACKED_MEMORY_TABLES: list[tuple[SparkSession, str]] = []
 
 
 def track_cache(df: DataFrame) -> DataFrame:
@@ -210,6 +211,17 @@ def track_broadcast(bc):
     """Register a SparkContext broadcast for release_caches()."""
     _TRACKED_BROADCASTS.append(bc)
     return bc
+
+
+def track_memory_table(spark: SparkSession, name: str) -> None:
+    """Register a stream-drain memory-sink table for release_caches().
+    Memory sinks hold every drained row in driver memory behind a temp
+    view; without this, a 50-query certification loop or bench pass
+    accumulates one table per drain and driver heap ratchets. Dropping
+    the view is safe for the drain's already-returned DataFrame — it
+    was analyzed at creation, so its plan no longer goes through the
+    catalog — but frees the rows for GC once the caller discards it."""
+    _TRACKED_MEMORY_TABLES.append((spark, name))
 
 
 def release_caches() -> None:
@@ -227,6 +239,12 @@ def release_caches() -> None:
     while _TRACKED_BROADCASTS:
         try:
             _TRACKED_BROADCASTS.pop().unpersist()
+        except Exception:
+            pass
+    while _TRACKED_MEMORY_TABLES:
+        spark, name = _TRACKED_MEMORY_TABLES.pop()
+        try:
+            spark.catalog.dropTempView(name)
         except Exception:
             pass
 
