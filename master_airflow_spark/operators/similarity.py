@@ -276,6 +276,43 @@ def _with_lsh_tables(e: DataFrame, dim: int = DIM) -> DataFrame:
     )
 
 
+def _lsh_table_rows(e: DataFrame, dim: int = DIM) -> DataFrame:
+    """Arrow kernel form of _with_lsh_tables: per input row, all
+    N_TABLES (table_id, bucket) assignments in one numpy pass —
+    projections fold dimension-by-dimension (acc += A[:,i] * H[i,:]),
+    the same left-to-right reduction as lsh_bucket's interpreted
+    aggregate(), so bucket bits match the column expression and the
+    DuckDB oracle bit-for-bit. The interpreted higher-order-function
+    form costs ~N_TABLES*N_PLANES*dim expression-tree evaluations per
+    row; this is the corpus-scale path."""
+    import numpy as np
+    import pandas as pd
+
+    # dim x (N_TABLES*N_PLANES) hyperplane matrix, built once
+    H = np.array(
+        [_hyperplane(dim, t, p) for t in range(N_TABLES) for p in range(N_PLANES)]
+    ).T
+    weights = np.array([1 << p for p in range(N_PLANES)])
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _to_matrix(pdf["embedding"])
+            acc = np.zeros((A.shape[0], H.shape[1]))
+            for i in range(A.shape[1]):
+                acc = acc + A[:, i][:, None] * H[i, :][None, :]
+            bits = (acc >= 0).reshape(len(pdf), N_TABLES, N_PLANES)
+            buckets = (bits * weights[None, None, :]).sum(axis=2)
+            out = pdf.loc[pdf.index.repeat(N_TABLES)].reset_index(drop=True)
+            out["table_id"] = np.tile(np.arange(N_TABLES), len(pdf))
+            out["bucket"] = buckets.reshape(-1)
+            yield out
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in e.schema.fields)
+    return e.mapInPandas(run, f"{fields}, table_id int, bucket int")
+
+
 def _sql_proj(table: int, plane: int) -> str:
     """DuckDB projection of `embedding` onto one deterministic
     hyperplane — literal components, same left-to-right fold as
@@ -370,16 +407,19 @@ def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hyperplanes are hash-derived constants — so the ENTIRE
     bucket → candidate → re-rank chain replays exactly in DuckDB and
     carries an exact oracle. At 100 TB (table_id, bucket) becomes the
-    partition key so candidate generation is a co-located join."""
+    partition key so candidate generation is a co-located join.
+    Buckets come from the Arrow kernel (_lsh_table_rows); the query
+    side computes them on the bounded query rows only — never a second
+    pass over the corpus."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    banded = _with_lsh_tables(e)
+    banded = _lsh_table_rows(e)
     q_ids = (
         e.where(F.col("vec_id") % QUERY_STRIDE == 0)
         .select("vec_id")
         .orderBy("vec_id")
         .limit(MAX_QUERIES)  # bounded query side — broadcastable at any SF
     )
-    q = banded.join(F.broadcast(q_ids), "vec_id").select(
+    q = _lsh_table_rows(e.join(F.broadcast(q_ids), "vec_id")).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         "table_id",

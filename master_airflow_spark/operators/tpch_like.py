@@ -1015,44 +1015,45 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape: suppliers who were the sole late shipper in
     finished multi-supplier orders (late := shipped >90 days after the
     order date — the schema's receipt/commit proxy). The EXISTS /
-    NOT EXISTS pair collapses into per-order distinct counts computed
-    in ONE aggregate pass; flagged lines join back on the same
-    l_orderkey partitioning, so the exchange is reused rather than
-    re-shuffled. Both frames derive from one cached scan of the
-    F-order lineitems."""
-    from master_airflow_spark.registry import track_cache
-
+    NOT EXISTS pair collapses into a two-level aggregation over ONE
+    pass of the F-order lineitems: per (order, supplier) lateness,
+    then per order the supplier count / sole-late supplier / its late
+    line count — no join-back, no cache. Because all qualifying
+    orders' late lines belong to the single late supplier by
+    definition, the late-line count rolls up directly. At scale the
+    orderkey equi-join's partitioning satisfies BOTH groupBys (each
+    key list is a superset of the join key), so the whole aggregation
+    pipeline adds zero exchanges after the join; locally AQE broadcasts
+    the orders side instead and the two aggs shuffle 600k/300k rows."""
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     li = load_table(spark, sf_dir, "lineitem")
-    flagged = track_cache(
-        li.join(o, o.o_orderkey == li.l_orderkey).select(
-            "l_orderkey",
-            "l_suppkey",
-            F.when(
-                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
-                1,
-            )
-            .otherwise(0)
-            .alias("late"),
+    flagged = li.join(o, o.o_orderkey == li.l_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+            1,
         )
+        .otherwise(0)
+        .alias("late"),
     )
-    stats = (
-        flagged.groupBy("l_orderkey")
-        .agg(
-            F.count_distinct("l_suppkey").alias("n_supp"),
-            F.count_distinct(
-                F.when(F.col("late") == 1, F.col("l_suppkey"))
-            ).alias("n_late"),
-        )
-        .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    per_os = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("late").alias("n_late_lines"), F.max("late").alias("is_late")
     )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late_supp"),
+        F.sum(F.when(F.col("is_late") == 1, F.col("n_late_lines"))).alias(
+            "late_lines"
+        ),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    qual = per_o.where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
     return (
-        flagged.where(F.col("late") == 1)
-        .join(stats, "l_orderkey")
-        .join(s, s.s_suppkey == F.col("l_suppkey"))
+        qual.join(s, s.s_suppkey == F.col("late_supp"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(25)
     )
