@@ -177,3 +177,57 @@ def dataset_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+@register(
+    "weighted_sample_per_source",
+    oracle="""
+WITH pr AS (
+    SELECT doc_id, source, n_chars,
+           CAST(n_chars AS DOUBLE) /
+           (CAST(('0x' || substr(md5('wps|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 1099511627776 + 1 AS DOUBLE) / 1099511627776.0) AS priority
+    FROM documents
+)
+SELECT source, doc_id, n_chars, priority, rn
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY priority DESC, doc_id) AS rn
+      FROM pr)
+WHERE rn <= 5
+""",
+    tags=("sampling", "X10"),
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, deterministic: priority
+    sampling (Duffield/Lund/Thorup '07) with q_i = w_i / u_i where u_i
+    is a hash-derived uniform in (0,1] — the top-k priorities per
+    source are a weight-proportional sample, reproducible across runs,
+    engines, and partitionings (the property rand()-based weighted
+    sampling lacks). Weight = n_chars, so longer documents are
+    proportionally favored — the "sample tokens, not documents"
+    correction a training-mix builder needs. u derives from
+    portable_hash60 mod 2^40 (exact double divisions only, no RNG, no
+    log/pow), so DuckDB replays the identical arithmetic. Per-group
+    top-k via window rank: one shuffle on source; at 100 TB the
+    hash/priority computation is scan-local and only k rows per
+    source survive the exchange."""
+    from master_airflow_spark.functions.hashing import portable_hash60
+
+    M = 1_099_511_627_776  # 2^40
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash60(F.concat(F.lit("wps|"), F.col("doc_id").cast("string")))
+    u = ((h % F.lit(M)) + 1).cast("double") / F.lit(float(M))
+    pr = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("n_chars").cast("double") / u).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("priority").desc(), F.col("doc_id")
+    )
+    return (
+        pr.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("source", "doc_id", "n_chars", "priority", "rn")
+    )

@@ -113,6 +113,43 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(session_agg(_events_stream(spark, sf_dir)), "complete")
 
 
+@register(
+    "stream_ewma_per_user",
+    oracle="""
+WITH ord AS (
+    SELECT user_id,
+           list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       list_reduce(vals, (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma,
+       len(vals) AS n_events
+FROM ord
+""",
+    tags=("X22",),
+)
+def stream_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (X22's arbitrary-state form,
+    applyInPandasWithState): per-user EWMA drained as an update
+    stream; the judged result is each user's final state (the row
+    with the largest n_events — n is strictly increasing per update,
+    so max_by is the last emission). α=0.5 makes the fold exact, so
+    the value hash-matches DuckDB's ordered list_reduce over the same
+    (ts, event_id) order — a full-value oracle for a stateful
+    streaming operator, not just a rows-only check."""
+    from master_airflow_spark.streaming.events import ewma_per_user
+
+    drained = run_to_memory(
+        ewma_per_user(_events_stream(spark, sf_dir)), "update"
+    )
+    from pyspark.sql import functions as F
+
+    return drained.groupBy("user_id").agg(
+        F.max_by("ewma", "n_events").alias("ewma"),
+        F.max("n_events").alias("n_events"),
+    )
+
+
 @register("stream_dedup_watermark", oracle=None, tags=("X22",))
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful stream dedup within the watermark horizon: one row per

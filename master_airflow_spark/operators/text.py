@@ -1178,3 +1178,100 @@ def winnow_fingerprint_rows(docs: DataFrame) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+# bm25_lite query terms: common vocabulary of the synthetic corpus so
+# every source contributes scored docs; k1/b are the standard defaults.
+BM25_TERMS = ("spark", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n           ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS
+    )
+    df_cols = ",\n           ".join(
+        f"CAST(count_if(tf_{t} > 0) AS DOUBLE) AS df_{t}" for t in BM25_TERMS
+    )
+    score = " + ".join(
+        f"(((n_docs - df_{t} + 0.5) / (df_{t} + 0.5)) * "
+        f"(CAST(tf_{t} AS DOUBLE) * {BM25_K1 + 1}) / "
+        f"(CAST(tf_{t} AS DOUBLE) + {BM25_K1} * "
+        f"({1 - BM25_B} + {BM25_B} * (CAST(dl AS DOUBLE) / avgdl))))"
+        for t in BM25_TERMS
+    )
+    hits = " + ".join(f"CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END" for t in BM25_TERMS)
+    return f"""
+WITH t AS (
+    SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+),
+d AS (
+    SELECT doc_id, len(toks) AS dl,
+           {tf_cols}
+    FROM t
+),
+c AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+           {df_cols}
+    FROM d
+)
+SELECT doc_id, {score} AS bm25, {hits} AS n_terms_hit
+FROM d, c
+"""
+
+
+@register("bm25_lite_ranking", oracle=_bm25_sql(), tags=("X26",))
+def bm25_lite_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring of every document against a fixed query
+    term set — the lexical-retrieval half of a retrieval/dedup stack
+    (Robertson/Spärck Jones; the ranking function behind Lucene).
+    'Lite' = the idf is the raw Robertson odds ratio
+    (N − df + 0.5)/(df + 0.5) WITHOUT the log: log implementations
+    differ in the last ulp across engines, while +,×,÷ are IEEE-exact,
+    so this documented variant ranks identically to classic BM25 for a
+    single-term match profile and hash-matches DuckDB bit-for-bit.
+    Plan: one scan computes per-doc tf/dl; the corpus stats collapse
+    to ONE row (broadcast cross join — nothing per-doc shuffles); the
+    score is a pure column expression. At 100 TB this is scan-bound
+    with a scalar side input, the shape query-scoring jobs need."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens().alias("toks"))
+    d = t.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            F.size(F.expr(f"filter(toks, x -> x = '{term}')")).alias(f"tf_{term}")
+            for term in BM25_TERMS
+        ],
+    )
+    c = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+        *[
+            F.count_if(F.col(f"tf_{term}") > 0).cast("double").alias(f"df_{term}")
+            for term in BM25_TERMS
+        ],
+    )
+    def term_score(term: str):
+        tf = F.col(f"tf_{term}").cast("double")
+        df_ = F.col(f"df_{term}")
+        idf = (F.col("n_docs") - df_ + F.lit(0.5)) / (df_ + F.lit(0.5))
+        dl_norm = F.lit(1 - BM25_B) + F.lit(BM25_B) * (
+            F.col("dl").cast("double") / F.col("avgdl")
+        )
+        return idf * (tf * F.lit(BM25_K1 + 1)) / (tf + F.lit(BM25_K1) * dl_norm)
+
+    score = term_score(BM25_TERMS[0])
+    for term in BM25_TERMS[1:]:
+        score = score + term_score(term)
+    hits = sum(
+        (F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0) for t in BM25_TERMS[1:]),
+        F.when(F.col(f"tf_{BM25_TERMS[0]}") > 0, 1).otherwise(0),
+    )
+    return d.join(F.broadcast(c)).select(
+        "doc_id", score.alias("bm25"), hits.cast("int").alias("n_terms_hit")
+    )

@@ -79,6 +79,12 @@ PRIORITY: tuple[str, ...] = (
     "stream_session_window",
     "stream_interval_join",
     "stream_static_enrich",
+    # added this round: custom stateful streaming op (X22 arbitrary
+    # state, full-value oracle), BM25 ranking, weighted priority
+    # sampling — certified in their round of introduction.
+    "stream_ewma_per_user",
+    "bm25_lite_ranking",
+    "weighted_sample_per_source",
     # (1) never driver-certified, oracle-backed — the last 15 of the
     # backlog; after this round every oracle-backed query has been in
     # a window at least once.
@@ -132,9 +138,10 @@ PRIORITY: tuple[str, ...] = (
     "cube_priority_status",
     "pivot_priority_by_status",
     "stratified_sample",
-    "string_functions",
-    "date_functions",
-    "json_functions",
+    # (string_functions / date_functions / json_functions ceded their
+    # slots to the three round-4 additions: pure-builtin expression
+    # suites, the lowest-risk stamps in the r1 pool, still locally
+    # oracle-diffed every round.)
     "date_range_filter",
     "dedup_clusters",
 )

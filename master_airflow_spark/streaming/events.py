@@ -143,6 +143,52 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> 
     )
 
 
+# EWMA smoothing factor. 0.5 exactly halves the mantissa exponent —
+# every 0.5*x is exact in IEEE doubles — so the only rounding is the
+# addition, which both engines perform in the same (time) order:
+# the fold is bit-identical in Python, Spark SQL, and DuckDB.
+EWMA_ALPHA = 0.5
+
+
+def ewma_per_user(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState —
+    the arbitrary-state API the built-in windows can't express): a
+    per-user exponentially-weighted moving average over event values,
+    state = (current ewma, events seen), updated per micro-batch in
+    event-time order and emitted as an update stream. The recurrence
+    ewma' = α·x + (1−α)·ewma with α=0.5 makes the fold exact (see
+    EWMA_ALPHA), so a static replay equals the batch ordered fold the
+    oracle states. State is two scalars per user — bounded by user
+    cardinality, the 100 TB-safe shape; at scale user_id is the state
+    partition key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        ewma, n = state.get if state.exists else (None, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+            for x in rows["value"]:
+                x = float(x)
+                ewma = x if ewma is None else EWMA_ALPHA * x + (1 - EWMA_ALPHA) * ewma
+                n += 1
+            state.update((ewma, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "ewma": [ewma], "n_events": [n]}
+        )
+
+    return events.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        fold,
+        outputStructType="user_id bigint, ewma double, n_events bigint",
+        stateStructType="ewma double, n_events bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def _checkpoint_root() -> str:
     """Prefer tmpfs for drain checkpoints: the offset/commit/state-store
     files of a bounded AvailableNow drain are pure scratch — RAM-backed

@@ -193,3 +193,33 @@ def test_stream_static_enrich_across_batches(spark, tmp_path):
     got = {(r.c_mktsegment, r.n_events, r.sum_value) for r in out}
     assert got == {("BUILDING", 2, 7.0), ("MACHINERY", 1, 3.0)}
     assert all(r.window_start.minute == 0 for r in out)
+
+
+def test_ewma_state_continuity_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries (ewma, n) across micro-batches:
+    the final state after two batches equals the single ordered fold
+    over all events, and the update stream shows the intermediate
+    state after batch 0."""
+    from master_airflow_spark.streaming.events import ewma_per_user
+
+    d = _stage(
+        tmp_path,
+        [
+            [
+                (1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+                (2, "2024-01-01 10:01:00", 7, "click", 2.0, "{}"),
+            ],
+            [
+                (3, "2024-01-01 10:02:00", 7, "click", 3.0, "{}"),
+                (4, "2024-01-01 10:00:00", 8, "click", 5.0, "{}"),
+            ],
+        ],
+    )
+    out = run_to_memory(ewma_per_user(read_events_stream(spark, d)), "update")
+    rows = {(r.user_id, r.n_events): r.ewma for r in out.collect()}
+    # batch 0: user 7 folds 1.0 then 2.0 -> 0.5*2 + 0.5*1 = 1.5
+    assert rows[(7, 2)] == 1.5
+    # batch 1 continues FROM state 1.5: 0.5*3 + 0.5*1.5 = 2.25 — not a
+    # refold of batch 1 alone (which would give 3.0)
+    assert rows[(7, 3)] == 2.25
+    assert rows[(8, 1)] == 5.0
