@@ -85,3 +85,73 @@ class TestCanonDriverParity:
         res = testing.compare("t", sdf, con, "SELECT 1 AS k, 'X' AS v")
         con.close()
         assert not res.ok
+
+
+def test_bm25_tf_monotonicity(spark, tmp_path):
+    """BM25 law: at fixed document length, score is strictly increasing
+    in term frequency (the saturation curve rises toward k1+1)."""
+    import pandas as pd
+
+    from master_airflow_spark.operators.text import bm25_lite_ranking
+
+    rows = []
+    for k in range(1, 6):  # k 'spark' tokens padded to dl=10
+        text = " ".join(["spark"] * k + ["filler"] * (10 - k))
+        rows.append((k, text, "en", "s", len(text)))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+    scores = {
+        r.doc_id: r.bm25 for r in bm25_lite_ranking(spark, str(tmp_path)).collect()
+    }
+    assert all(scores[k] < scores[k + 1] for k in range(1, 5))
+
+
+def test_priority_sample_prefers_heavy_weights(spark, tmp_path):
+    """Priority sampling q = w/u with u in (0,1]: a document whose
+    weight exceeds the sum of all others times 1/min(u) is ALWAYS in
+    the top-k — weight-proportionality pinned deterministically (no
+    statistical flake: u >= 2^-40 bounds every competitor's priority)."""
+    import pandas as pd
+
+    from master_airflow_spark.operators.sampling import weighted_sample_per_source
+
+    rows = [(0, "x", "en", "s", 2**45)]  # heavier than any 1/u can lift
+    rows += [(i, "x", "en", "s", 1) for i in range(1, 30)]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+    picked = {
+        r.doc_id for r in weighted_sample_per_source(spark, str(tmp_path)).collect()
+    }
+    assert 0 in picked and len(picked) == 5
+
+
+def test_approx_percentiles_cross_engine(spark, sf_dir):
+    """approx_percentiles is rows-only at the driver (sketch estimates
+    are engine-specific); pin the ESTIMATES here against DuckDB's exact
+    continuous quantiles within 2% relative tolerance — with accuracy
+    10000 on sf-sized groups the KLL-style sketch is near-exact."""
+    from master_airflow_spark.operators.subqueries import approx_percentiles
+    from master_airflow_spark.testing import duckdb_connection
+
+    got = {
+        r.o_orderstatus: (r.p25, r.p50, r.p75)
+        for r in approx_percentiles(spark, sf_dir).collect()
+    }
+    con = duckdb_connection(sf_dir)
+    exact = {
+        r[0]: r[1:]
+        for r in con.execute(
+            "SELECT o_orderstatus,"
+            " quantile_cont(o_totalprice, 0.25),"
+            " quantile_cont(o_totalprice, 0.50),"
+            " quantile_cont(o_totalprice, 0.75)"
+            " FROM orders GROUP BY o_orderstatus"
+        ).fetchall()
+    }
+    con.close()
+    assert set(got) == set(exact)
+    for status, (e25, e50, e75) in exact.items():
+        for est, ex in zip(got[status], (e25, e50, e75)):
+            assert abs(est - ex) <= 0.02 * abs(ex), (status, est, ex)
