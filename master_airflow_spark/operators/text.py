@@ -696,12 +696,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     than its logarithm: monotone per-term, so per-term rankings agree
     with log-idf wherever df ties, and — unlike ln() — every engine
     computes it bit-identically (two exact int adds, one multiply,
-    one divide). Plan: token explode → (doc, tok) count → broadcast
-    the doc-frequency table (vocabulary-sized, not corpus-sized) back
-    onto the tf rows → per-doc top-3 window. The tf aggregate and the
-    window share the doc_id shuffle key."""
+    one divide). Plan: token explode → repartition on doc_id — ONE
+    corpus-sized exchange whose partitioning satisfies the (doc, tok)
+    count, is reused by the df branch, AND satisfies the final per-doc
+    window (groupBy (doc_id, tok) alone would hash on the pair and
+    force the window to re-shuffle corpus-sized rows on doc_id) →
+    broadcast the doc-frequency table (vocabulary-sized, not
+    corpus-sized) back onto the tf rows → per-doc top-3 window."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    toks = docs.select("doc_id", F.explode(tokens()).alias("tok")).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))

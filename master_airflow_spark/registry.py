@@ -85,6 +85,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_ewma_per_user",
     "bm25_lite_ranking",
     "weighted_sample_per_source",
+    "tfidf_top_terms",  # single-exchange rewrite (r4) — re-certify
     # (1) never driver-certified, oracle-backed — the last 15 of the
     # backlog; after this round every oracle-backed query has been in
     # a window at least once.
@@ -142,7 +143,9 @@ PRIORITY: tuple[str, ...] = (
     # slots to the three round-4 additions: pure-builtin expression
     # suites, the lowest-risk stamps in the r1 pool, still locally
     # oracle-diffed every round.)
-    "date_range_filter",
+    # (date_range_filter ceded its slot to the tfidf_top_terms
+    # re-certification: a two-predicate scan filter is the lowest-risk
+    # stamp left, still locally oracle-diffed every round.)
     "dedup_clusters",
 )
 

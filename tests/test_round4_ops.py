@@ -155,3 +155,26 @@ def test_approx_percentiles_cross_engine(spark, sf_dir):
     for status, (e25, e50, e75) in exact.items():
         for est, ex in zip(got[status], (e25, e50, e75)):
             assert abs(est - ex) <= 0.02 * abs(ex), (status, est, ex)
+
+
+def test_approx_distinct_cross_engine(spark, sf_dir):
+    """approx_distinct_users (HLL++, rsd=0.01) pinned against the exact
+    distinct count per event type — with rsd=0.01 the estimate must sit
+    within ~3% (3σ) of truth, same cross-engine posture as the
+    DataSketches HLL pin above."""
+    from master_airflow_spark.operators.relational import approx_distinct_users
+    from master_airflow_spark.testing import duckdb_connection
+
+    got = {
+        r.event_type: r.approx_users for r in approx_distinct_users(spark, sf_dir).collect()
+    }
+    con = duckdb_connection(sf_dir)
+    exact = dict(
+        con.execute(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY event_type"
+        ).fetchall()
+    )
+    con.close()
+    assert set(got) == set(exact)
+    for et, ex in exact.items():
+        assert abs(got[et] - ex) <= max(0.03 * ex, 3), (et, got[et], ex)
