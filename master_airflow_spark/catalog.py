@@ -44,11 +44,13 @@ def ensure_session_defaults(spark: SparkSession) -> None:
 
     Queries may run under a SparkSession the caller built (the driver
     constructs its own) — session.get_spark's build-time configuration
-    can't be assumed. Without nanosAsLong every events-table read dies
-    on PARQUET_TYPE_ILLEGAL; without a UTC session timezone,
-    timestamp-derived values shift against the oracle. Both are
-    runtime-settable; setting them per load is an idempotent no-op
-    when already configured."""
+    can't be assumed. On runtimes without a native parquet ns type
+    (Spark ≤4.0) the events-table read dies on PARQUET_TYPE_ILLEGAL
+    unless nanosAsLong is set (4.1+ reads TIMESTAMP(NANOS) natively as
+    TIMESTAMP_NTZ and ignores the flag — harmless); without a UTC
+    session timezone, timestamp-derived values shift against the
+    oracle. Both are runtime-settable; setting them per load is an
+    idempotent no-op when already configured."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 

@@ -65,14 +65,21 @@ PROBE_QUERIES = (
 )
 
 
-def _key_shift(df, keys: tuple[str, ...]) -> int:
-    """Per-table replica key shift: next power of 10 above max(key), so
-    replica keys can never collide with base keys at any base SF (a
-    fixed constant would silently alias keys once a base table's key
-    space outgrew it, flattening the very growth curve this script
-    measures)."""
-    maxes = [F.max(c) for c in keys]
-    hi = df.select(F.greatest(*maxes) if len(maxes) > 1 else maxes[0]).first()[0] or 0
+def _global_key_shift(spark) -> int:
+    """ONE replica key shift for every table: next power of 10 above
+    the max key across ALL shifted tables. It must be global — orders
+    replica i references customer replica i through o_custkey, so a
+    per-table shift (orders' max ≫ customer's max) would desynchronize
+    the foreign keys and silently empty every replica join, flattening
+    the very growth curve this script measures. Deriving it from the
+    data (not a fixed constant) keeps replicas collision-free at any
+    base SF."""
+    hi = 0
+    for t, keys in SHIFT_KEYS.items():
+        df = load_table(spark, BASE_SF, t)
+        maxes = [F.max(c) for c in keys]
+        v = df.select(F.greatest(*maxes) if len(maxes) > 1 else maxes[0]).first()[0]
+        hi = max(hi, v or 0)
     shift = 10
     while shift <= hi:
         shift *= 10
@@ -99,7 +106,7 @@ def _copy(df, t: str, keys: tuple[str, ...], i: int, shift: int):
     return out
 
 
-def build_scale(spark, k: int) -> str:
+def build_scale(spark, k: int, shift: int) -> str:
     dst = os.path.join(OUT_ROOT, f"x{k}")
     if os.path.isdir(dst):
         return dst
@@ -110,7 +117,6 @@ def build_scale(spark, k: int) -> str:
         if not keys:  # nation/region: fixed-cardinality dims
             out = df
         else:
-            shift = _key_shift(df, keys)
             out = _copy(df, t, keys, 0, shift)
             for i in range(1, k):
                 out = out.unionByName(_copy(df, t, keys, i, shift))
@@ -125,8 +131,9 @@ def main() -> None:
 
     results: dict[str, dict[int, float]] = {q: {} for q in PROBE_QUERIES}
     rows_at: dict[int, int] = {}
+    shift = _global_key_shift(spark)
     for k in FACTORS:
-        sf_dir = build_scale(spark, k)
+        sf_dir = build_scale(spark, k, shift)
         rows_at[k] = load_table(spark, sf_dir, "lineitem").count()
         for t in TABLES:  # warm file listing + footer cache
             load_table(spark, sf_dir, t).count()
