@@ -350,6 +350,71 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCREMENTAL_MINHASH_ORACLE = f"""
+WITH {SQL_MINHASH_CTES},
+xc AS (SELECT DISTINCT a.doc_id AS index_id, b.doc_id AS new_id
+       FROM bands a
+       JOIN bands b
+         ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+        AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+SELECT * FROM (
+    SELECT x.index_id, x.new_id, {_SQL_EST} AS est_jaccard
+    FROM xc x
+    JOIN sig sa ON sa.doc_id = x.index_id
+    JOIN sig sb ON sb.doc_id = x.new_id
+) WHERE est_jaccard >= 0.5
+"""
+
+
+@register("incremental_minhash_dedup", oracle=_INCREMENTAL_MINHASH_ORACLE, tags=("X24",))
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: today's incoming documents (odd doc_id)
+    checked against the standing corpus index (even doc_id — same
+    split convention as incremental_corpus_dedup, which is this
+    operator's EXACT-dup sibling). Only cross-side candidate pairs
+    are generated: the band join is index-side × incoming-side, never
+    incoming × incoming or a full self-join — the daily-ingest shape
+    where the index's band table is precomputed and persisted, so each
+    day re-hashes only the new partition and probes the (band_id,
+    band_hash) index. Same portable MinHash family as
+    minhash_near_dup, so the whole pipeline replays exactly in
+    DuckDB."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
+    banded = with_bands(minhash_signatures(docs))
+    index_side = banded.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("index_id"),
+        F.col("sig").alias("a_sig"),
+        "band_id",
+        "band_hash",
+    )
+    new_side = banded.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("sig").alias("b_sig"),
+        "band_id",
+        "band_hash",
+    )
+    pairs = (
+        index_side.join(new_side, ["band_id", "band_hash"])
+        .select("index_id", "new_id", "a_sig", "b_sig")
+        .dropDuplicates(["index_id", "new_id"])
+    )
+    est = (
+        F.size(
+            F.filter(F.zip_with("a_sig", "b_sig", lambda a, b: a == b), lambda x: x)
+        )
+        / F.lit(N_HASHES)
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= 0.5)
+        .select("index_id", "new_id", "est_jaccard")
+    )
+
+
 _SIMHASH_BITS = 60
 
 _SIMHASH_CTES = f"""

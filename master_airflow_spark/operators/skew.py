@@ -98,3 +98,74 @@ GROUP BY event_type
 
 
 _register_salted_query()
+
+
+def _register_skew_profile() -> None:
+    from pyspark.sql import SparkSession
+
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.registry import register
+
+    @register(
+        "skew_key_profile",
+        oracle="""
+WITH per_key AS (
+    SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+),
+tot AS (
+    SELECT CAST(SUM(cnt) AS DOUBLE) AS n_rows,
+           CAST(count(*) AS DOUBLE) AS n_keys,
+           CAST(max(cnt) AS DOUBLE) AS max_cnt
+    FROM per_key
+)
+SELECT key, cnt,
+       CAST(cnt AS DOUBLE) / n_rows AS share,
+       max_cnt / (n_rows / n_keys) AS skew_factor,
+       rn
+FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, key) AS rn FROM per_key)
+CROSS JOIN tot
+WHERE rn <= 10
+""",
+        tags=("X5", "diagnostics"),
+    )
+    def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Join-key skew diagnosis — the measurement that decides
+        whether a key needs salting (salted_hot_key_agg) or AQE skew
+        handling BEFORE the join melts a reducer: per-key row counts on
+        the prospective join key, the top-10 heaviest keys with their
+        row share, and the corpus-wide skew factor (max key count over
+        mean key count; ~1 = uniform, ≫1 = salt it). One hash
+        aggregate plus a 10-row top-k — the per-key frame never leaves
+        the cluster, and the scalar stats collapse to a broadcast
+        1-row frame. Exact integer counts + fixed-order double
+        division, so DuckDB replays it bit-for-bit."""
+        per_key = (
+            load_table(spark, sf_dir, "lineitem")
+            .groupBy(F.col("l_suppkey").alias("key"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        tot = per_key.agg(
+            F.sum("cnt").cast("double").alias("n_rows"),
+            F.count(F.lit(1)).cast("double").alias("n_keys"),
+            F.max("cnt").cast("double").alias("max_cnt"),
+        )
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("cnt").desc(), "key")
+        return (
+            per_key.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 10)
+            .join(F.broadcast(tot))
+            .select(
+                "key",
+                "cnt",
+                (F.col("cnt").cast("double") / F.col("n_rows")).alias("share"),
+                (F.col("max_cnt") / (F.col("n_rows") / F.col("n_keys"))).alias(
+                    "skew_factor"
+                ),
+                "rn",
+            )
+        )
+
+
+_register_skew_profile()
