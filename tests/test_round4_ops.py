@@ -178,3 +178,28 @@ def test_approx_distinct_cross_engine(spark, sf_dir):
     assert set(got) == set(exact)
     for et, ex in exact.items():
         assert abs(got[et] - ex) <= max(0.03 * ex, 3), (et, got[et], ex)
+
+
+def test_incremental_minhash_consistency_with_full(spark, sf_dir):
+    """Cross-operator law: the incremental (index x incoming) pair set
+    must equal the full self-join's pairs restricted to mixed parity —
+    same signatures, same bands, same threshold, only the candidate
+    sides differ."""
+    from master_airflow_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_near_dup,
+    )
+
+    full = {
+        frozenset((r.a_id, r.b_id))
+        for r in minhash_near_dup(spark, sf_dir).collect()
+        if (r.a_id % 2) != (r.b_id % 2)
+    }
+    from master_airflow_spark import registry
+
+    registry.release_caches()
+    inc = {
+        frozenset((r.index_id, r.new_id))
+        for r in incremental_minhash_dedup(spark, sf_dir).collect()
+    }
+    assert inc == full
