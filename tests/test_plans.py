@@ -6,6 +6,7 @@ results, catastrophic at scale."""
 from __future__ import annotations
 
 from master_airflow_spark.plans.explain import (
+    formatted,
     has_operator,
     has_pushed_filter,
     join_kinds,
@@ -264,3 +265,35 @@ def test_runtime_bloom_filter_injects(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_q21_single_lineitem_scan_no_cache(spark, sf_dir):
+    """The one-pass rewrite: lineitem is scanned exactly once (the old
+    join-back shape scanned the cached join twice), and nothing in the
+    plan depends on a persisted intermediate."""
+    plan = formatted(_q(spark, sf_dir, "q21_waiting_suppliers"))
+    assert plan.count("lineitem.parquet") == 1
+    assert "InMemoryTableScan" not in plan
+    # two-level agg: exactly the three shuffle exchanges (pair agg,
+    # order agg, final s_name agg) besides the dim broadcasts
+    shuffles = sum(
+        1 for line in plan.splitlines() if line.strip().startswith("(") is False
+        and "Exchange (" in line and "BroadcastExchange" not in line
+    )
+    assert shuffles <= 3, plan
+
+
+def test_tfidf_window_reuses_doc_partitioning(spark, sf_dir):
+    """The single-exchange rewrite: the per-doc top-3 window must sit
+    directly on the join output (Sort, no Exchange in between) —
+    the explicit doc_id repartition satisfies it."""
+    plan = formatted(_q(spark, sf_dir, "tfidf_top_terms"))
+    lines = [l.strip() for l in plan.splitlines() if "+-" in l or l.strip().startswith("Window")]
+    # find the tree lines: Window -> Sort -> (no Exchange) -> join
+    tree = [l for l in lines if any(k in l for k in ("Window (", "Sort (", "Exchange (", "Join"))]
+    wi = next(i for i, l in enumerate(tree) if "Window (" in l)
+    below = tree[wi + 1 : wi + 3]
+    assert any("Sort (" in l for l in below), tree
+    assert not any(
+        "Exchange (" in l and "BroadcastExchange" not in l for l in below
+    ), tree
