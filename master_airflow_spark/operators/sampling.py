@@ -231,3 +231,65 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("source", "doc_id", "n_chars", "priority", "rn")
     )
+
+
+@register(
+    "token_budget_mix",
+    oracle="""
+WITH per_src AS (
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total,
+           CAST(count(*) AS DOUBLE) AS n_sources
+    FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / total AS token_share,
+       least(1.0, (1.0 / n_sources) / (CAST(n_tokens AS DOUBLE) / total))
+           AS sample_rate
+FROM per_src CROSS JOIN tot
+""",
+    tags=("sampling", "X5"),
+)
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planning in TOKEN space: per-source token counts,
+    each source's share of the corpus token budget, and the
+    downsampling rate that flattens the mix to the uniform target
+    (rate = min(1, target_share / actual_share); over-represented
+    sources get rate < 1, under-represented keep everything — the
+    upsampling side is an epoch-count decision, not a sampling rate).
+    A real planner swaps the uniform target for a weight map; the plan
+    is identical. Composes with weighted_sample_per_source /
+    hash_sample_10pct to EXECUTE the computed rates deterministically.
+    One map-side-combinable aggregate over the scan; the per-source
+    frame is sources-sized, so the totals row is a broadcast scalar.
+    Exact integer token sums; fixed-order double divisions — DuckDB
+    replays it bit-for-bit."""
+    from master_airflow_spark.operators.text import tokens
+
+    per_src = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens())).cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total")
+    return per_src.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        F.least(F.lit(1.0), (F.lit(1.0) / F.col("n_sources")) / share).alias(
+            "sample_rate"
+        ),
+    )

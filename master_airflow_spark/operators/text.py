@@ -1071,10 +1071,11 @@ WINNOW_K = 3
 WINNOW_W = 4
 
 
-@register(
-    "winnowing_fingerprints",
-    oracle=f"""
-WITH t AS (
+# shared winnowing CTE chain: documents → shingle hashes → per-doc
+# DISTINCT window-min fingerprint lists. Mirrors winnow_fingerprint_rows
+# value-for-value; reused by the pair query below.
+_SQL_WINNOW_CTES = f"""
+t AS (
     SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
 ),
 h AS (
@@ -1094,6 +1095,13 @@ fp AS (
            )) AS fps
     FROM h
 )
+"""
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+WITH {_SQL_WINNOW_CTES}
 SELECT doc_id,
        len(fps) AS n_fingerprints,
        CAST(coalesce(list_aggregate(fps, 'bit_xor'), 0) AS BIGINT) AS fp_digest
@@ -1279,4 +1287,43 @@ def bm25_lite_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.join(F.broadcast(c)).select(
         "doc_id", score.alias("bm25"), hits.cast("int").alias("n_terms_hit")
+    )
+
+
+@register(
+    "winnowing_shared_pairs",
+    oracle=f"""
+WITH {_SQL_WINNOW_CTES},
+rows_fp AS (SELECT doc_id, unnest(fps) AS fp FROM fp)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       count(*) AS n_shared
+FROM rows_fp a JOIN rows_fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+""",
+    tags=("X24", "X26"),
+)
+def winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate pairs from winnowing fingerprints —
+    the pair half of the MOSS scheme: documents sharing ≥2 window-min
+    fingerprints share at least one token run of ≥ WINNOW_W+WINNOW_K−1
+    (per fingerprint, by the winnowing guarantee), which catches
+    copied PASSAGES that whole-document MinHash dilutes below its
+    Jaccard threshold. Same inverted-index shape as containment_pairs:
+    equi-join on the fingerprint value — candidates only where an
+    actual fingerprint collides, never all-pairs; fingerprint density
+    is ~2/(WINNOW_W+1) of shingles, so the index is sparser than a
+    shingle index at the same recall target. The ≥2 cutoff is the
+    standard MOSS noise floor for isolated hash collisions."""
+    fps = winnow_fingerprint_rows(
+        load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+    )
+    b = fps.select(F.col("doc_id").alias("b_id"), F.col("fp").alias("b_fp"))
+    return (
+        fps.join(b, (F.col("fp") == F.col("b_fp")) & (F.col("doc_id") < F.col("b_id")))
+        .groupBy(F.col("doc_id").alias("a_id"), "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
     )
