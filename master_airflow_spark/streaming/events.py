@@ -160,7 +160,15 @@ def ewma_per_user(events: DataFrame) -> DataFrame:
     EWMA_ALPHA), so a static replay equals the batch ordered fold the
     oracle states. State is two scalars per user — bounded by user
     cardinality, the 100 TB-safe shape; at scale user_id is the state
-    partition key."""
+    partition key.
+
+    API note: transformWithStateInPandas (Spark 4's successor
+    arbitrary-state API) is the forward path for new code, but its
+    Python state server requires protobuf, which this container lacks
+    (ImportError: google.protobuf.descriptor — verified empirically);
+    applyInPandasWithState carries the same semantics over the Arrow
+    channel with no extra runtime dependency, so it is the API used
+    here."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
