@@ -139,3 +139,63 @@ def xml_extract_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("station").alias("station"),
         parsed.getField("city").alias("city"),
     )
+
+
+def _register_quarantine() -> None:
+    from pyspark.sql import functions as F
+
+    from master_airflow_spark.catalog import load_table
+
+    @register(
+        "corrupt_record_quarantine",
+        oracle="""
+WITH mangled AS (
+    SELECT event_id, event_type,
+           CASE WHEN event_id % 7 = 0
+                THEN substr(props, 1, length(props) - 1)
+                ELSE props END AS payload
+    FROM events
+)
+SELECT event_type,
+       CAST(count_if(json_valid(payload)) AS BIGINT) AS n_valid,
+       CAST(count_if(NOT json_valid(payload)) AS BIGINT) AS n_quarantined,
+       CAST(SUM(CASE WHEN json_valid(payload)
+                     THEN CAST(json_extract(payload, '$.k') AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS sum_k_valid
+FROM mangled
+GROUP BY event_type
+""",
+        tags=("S2", "X17", "dq"),
+    )
+    def corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Corrupt-record routing — the quarantine half of a landing
+        pipeline (reference ingest assumes clean pages; a real feed
+        does not): parse each payload leniently, route rows whose JSON
+        fails to parse into a quarantine count instead of failing the
+        job, and aggregate only the valid side. Corruption is
+        synthesized deterministically (every 7th event loses its last
+        byte — an unterminated object both engines agree is invalid);
+        validity = from_json null-ness, DuckDB's json_valid in the
+        oracle. The quarantine pattern at scale: validity is a pure
+        column predicate, so valid/quarantine split is one scan with
+        no Python and the quarantine side writes to its own sink for
+        replay (sinks.fan_out)."""
+        e = load_table(spark, sf_dir, "events")
+        payload = F.when(
+            F.col("event_id") % 7 == 0,
+            F.expr("substring(props, 1, length(props) - 1)"),
+        ).otherwise(F.col("props"))
+        parsed = F.from_json(payload, "map<string,int>")
+        valid = parsed.isNotNull()
+        return e.select("event_type", payload.alias("payload"), parsed.alias("m"), valid.alias("v")).groupBy(
+            "event_type"
+        ).agg(
+            F.count_if(F.col("v")).alias("n_valid"),
+            F.count_if(~F.col("v")).alias("n_quarantined"),
+            F.sum(
+                F.when(F.col("v"), F.coalesce(F.col("m").getItem("k"), F.lit(0))).otherwise(0)
+            ).cast("long").alias("sum_k_valid"),
+        )
+
+
+_register_quarantine()
