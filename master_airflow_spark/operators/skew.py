@@ -135,10 +135,14 @@ WHERE rn <= 10
         the prospective join key, the top-10 heaviest keys with their
         row share, and the corpus-wide skew factor (max key count over
         mean key count; ~1 = uniform, ≫1 = salt it). One hash
-        aggregate plus a 10-row top-k — the per-key frame never leaves
-        the cluster, and the scalar stats collapse to a broadcast
-        1-row frame. Exact integer counts + fixed-order double
-        division, so DuckDB replays it bit-for-bit."""
+        aggregate plus a 10-row top-k — the top-k is orderBy().limit()
+        (TakeOrderedAndProject: per-partition top-10 then a 10-row
+        merge, never a global row_number window that would funnel the
+        whole per-key frame through one partition at 10⁹ keys), rank
+        numbers are assigned on the surviving 10-row frame, and the
+        scalar stats collapse to a broadcast 1-row frame. Exact
+        integer counts + fixed-order double division, so DuckDB
+        replays it bit-for-bit."""
         per_key = (
             load_table(spark, sf_dir, "lineitem")
             .groupBy(F.col("l_suppkey").alias("key"))
@@ -151,10 +155,10 @@ WHERE rn <= 10
         )
         from pyspark.sql import Window
 
-        w = Window.orderBy(F.col("cnt").desc(), "key")
+        top10 = per_key.orderBy(F.col("cnt").desc(), "key").limit(10)
+        w = Window.orderBy(F.col("cnt").desc(), "key")  # 10-row frame
         return (
-            per_key.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= 10)
+            top10.withColumn("rn", F.row_number().over(w))
             .join(F.broadcast(tot))
             .select(
                 "key",
