@@ -87,8 +87,13 @@ PRIORITY: tuple[str, ...] = (
     "weighted_sample_per_source",
     "tfidf_top_terms",  # single-exchange rewrite (r4) — re-certify
     # (1) never driver-certified, oracle-backed — the last 15 of the
-    # backlog; after this round every oracle-backed query has been in
-    # a window at least once.
+    # pre-round-4 backlog; after this round every oracle-backed query
+    # registered before round 4 has been in a window at least once.
+    # (The round-4 additions that did NOT fit this window —
+    # incremental_minhash_dedup, skew_key_profile,
+    # winnowing_shared_pairs, token_budget_mix,
+    # corrupt_record_quarantine — are round 5's first promotions; all
+    # pass the local differential harness.)
     "xml_extract_golden",
     "csv_parse_roundtrip",
     "null_semantics",
@@ -116,7 +121,8 @@ PRIORITY: tuple[str, ...] = (
     "ppm_decode_resize",
     "video_frame_sample",
     "ivf_ann_topk",
-    # (3) re-certification, 20 slots. First the round-3-touched paths
+    # (3) re-certification, 16 slots (4 ceded to round-4 additions
+    # above). First the round-3-touched paths
     # a regression could hide in behind an old stamp (minhash's r3
     # signature-path swap; train_test_split's shared shingle/split
     # helpers), then the oldest (round-1) stamps chosen to cover the
