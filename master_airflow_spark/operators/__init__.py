@@ -5,6 +5,7 @@ from master_airflow_spark.operators import (  # noqa: F401
     clusters,
     dedup,
     embeddings,
+    graph,
     ingest,
     multimodal,
     outer_joins,

@@ -793,3 +793,153 @@ def interpolate_sparse_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
     )
     return ctx.select("day", "revenue", interp.alias("revenue_interp"))
+
+
+@register(
+    "last_touch_attribution",
+    oracle="""
+WITH ce AS (
+    SELECT event_id, user_id, ts, event_type FROM events
+    WHERE event_type IN ('click', 'purchase')
+),
+marked AS (
+    SELECT event_id, user_id, ts, event_type,
+           last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER w AS last_click_ts,
+           last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER w AS last_click_id
+    FROM ce
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       CASE WHEN last_click_ts >= ts - INTERVAL 7 DAY
+            THEN last_click_id END AS click_id,
+       CASE WHEN last_click_ts >= ts - INTERVAL 7 DAY
+            THEN epoch_us(ts) - epoch_us(last_click_ts) END AS gap_us
+FROM marked
+WHERE event_type = 'purchase'
+""",
+    tags=("X9",),
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent click within a 7-day lookback (clicks at
+    the purchase's own timestamp count — they sort before the purchase
+    in the window). Expressed as the UNION-scan as-of pattern, not a
+    range self-join: one window over the interleaved click+purchase
+    stream with last_value(... IGNORE NULLS) carries the latest click
+    forward, so the whole operator is ONE shuffle keyed by user_id and
+    never builds the clicks×purchases candidate space — at 100 TB the
+    range join explodes quadratically per hot user while this stays
+    linear in events per user. Unattributed purchases (no click in
+    window) survive with NULL credit, preserving denominator
+    semantics for conversion-rate math."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    is_click = F.col("event_type") == "click"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.when(is_click, 0).otherwise(1), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_ts"),
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_id"),
+    )
+    in_window = F.col("last_click_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")
+    return marked.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_window, F.col("last_click_id")).alias("click_id"),
+        F.when(
+            # ts loads as timestamp_ntz; UTC session tz makes the cast exact
+            in_window,
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("last_click_ts").cast("timestamp")),
+        ).alias("gap_us"),
+    )
+
+
+@register(
+    "equi_depth_price_buckets",
+    oracle=f"""
+WITH tiled AS (
+    SELECT o_totalprice,
+           ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+    FROM orders
+)
+SELECT bucket,
+       count(*) AS n_orders,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       {sql_dsum('o_totalprice')} AS sum_price
+FROM tiled
+GROUP BY bucket
+""",
+    tags=("X8", "X5"),
+)
+def equi_depth_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (NTILE) histogram of order prices — the
+    boundary-discovery primitive behind range-partitioner planning and
+    quantile-bucketed length normalization. Semantically ntile(10)
+    over a global total order, but NOT executed as a global window
+    (which funnels every row through one partition): rows are bucketed
+    by a deterministic value-range expression (price div 10000 — data
+    values, not sampled exchange boundaries), row-numbered within each
+    value bucket, and offset by the broadcast prefix-sum of bucket
+    sizes — the same two-phase distributed ranking as surrogate_keys.
+    The exact NTILE fill rule (first total%10 tiles get one extra row)
+    is then pure arithmetic on the global row number. The final
+    aggregate is 10 groups; everything before it is fully parallel."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bucketed = o.withColumn("vbkt", F.expr("CAST(o_totalprice AS BIGINT) div 10000"))
+    local_w = Window.partitionBy("vbkt").orderBy("o_totalprice", "o_orderkey")
+    offsets_w = Window.orderBy("vbkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    sizes = bucketed.groupBy("vbkt").agg(F.count(F.lit(1)).alias("n"))
+    offsets = sizes.withColumn(
+        "offset", F.coalesce(F.sum("n").over(offsets_w), F.lit(0))
+    ).select("vbkt", "offset")
+    total_df = sizes.agg(F.sum("n").alias("total"))
+    rn = (
+        bucketed.withColumn("prn", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), "vbkt")
+        .crossJoin(F.broadcast(total_df))
+        .withColumn("rownum", F.col("offset") + F.col("prn"))
+    )
+    # ntile(10) fill rule: q = total div 10, r = total % 10; the first
+    # r tiles have q+1 rows.
+    tiled = rn.withColumn(
+        "bucket",
+        F.expr(
+            """
+            CASE WHEN rownum <= (total % 10) * (total div 10 + 1)
+                 THEN (rownum - 1) div (total div 10 + 1) + 1
+                 ELSE (total % 10)
+                      + (rownum - (total % 10) * (total div 10 + 1) - 1)
+                        div (total div 10) + 1
+            END
+            """
+        ).cast("int"),
+    )
+    return tiled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        dsum("o_totalprice").alias("sum_price"),
+    )

@@ -1327,3 +1327,95 @@ def winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= 2)
     )
+
+
+@register(
+    "token_simpson_diversity",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+),
+cnt AS (
+    SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_toks,
+       count(*) AS n_distinct_toks,
+       CAST(SUM(c * c) AS DOUBLE)
+           / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+           AS simpson_index
+FROM cnt
+GROUP BY doc_id
+""",
+    tags=("X26", "quality"),
+)
+def token_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signal: the Simpson concentration
+    index sum(p_i^2) per document — the exact-arithmetic stand-in for
+    token entropy (both rank repetitive/boilerplate docs high; Simpson
+    needs no log(), so Spark's parallel partial sums and DuckDB's
+    serial fold agree bit-for-bit: integer sums, then ONE IEEE double
+    division of exactly-represented integers). A doc of one repeated
+    token scores 1.0; all-distinct tokens score 1/n. Two map-side
+    combinable hash aggregates keyed by (doc_id, tok) then doc_id —
+    no join, no window; partitions by doc hash, so 100 TB scales
+    linearly with zero skew (a doc's token set is bounded)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return cnt.groupBy("doc_id").agg(
+        n.alias("n_toks"),
+        F.count(F.lit(1)).alias("n_distinct_toks"),
+        (
+            F.sum(F.col("c") * F.col("c")).cast("double")
+            / (n.cast("double") * n.cast("double"))
+        ).alias("simpson_index"),
+    )
+
+
+@register(
+    "inverted_index_postings",
+    oracle=f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+)
+SELECT term,
+       count(*) AS doc_freq,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+FROM tok
+GROUP BY term
+HAVING count(*) >= 3
+""",
+    tags=("X26", "X5"),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the retrieval-side core of a corpus
+    pipeline (term → sorted posting list + document frequency; df≥3
+    drops the hapax tail that bloats the index without aiding
+    retrieval). One distinct on (doc_id, term) then one hash aggregate
+    keyed by term: at 100 TB both shuffles key on the term hash, the
+    Zipf head is exactly the salted-hot-key situation AQE's skew
+    handling splits, and posting lists ship as strings (a real
+    deployment writes array<bigint> parquet; the CSV form here is the
+    oracle-comparable serialization). collect_list is
+    partition-order-dependent → array_sort makes it deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("term")).distinct()
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("doc_freq") >= 3)
+    )

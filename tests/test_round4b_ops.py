@@ -1,0 +1,144 @@
+"""Semantic-law tests for the round-4 second batch: PageRank,
+Simpson diversity, inverted index, last-touch attribution, equi-depth
+buckets. The exact-value certification lives in the DuckDB
+differential harness (test_oracle.py); these pin the semantics the
+hash comparison can't express (invariants, cross-column laws,
+join-back consistency)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_pagerank_laws(spark, sf_dir):
+    from master_airflow_spark.operators.graph import _SCALE, pagerank_trade_graph
+    from master_airflow_spark.registry import release_caches
+
+    rows = pagerank_trade_graph(spark, sf_dir).collect()
+    release_caches()
+    assert len(rows) == 25
+    nodes = [r.node for r in rows]
+    assert len(set(nodes)) == 25
+    # every rank carries at least the teleport term (base > 0.15/N
+    # scaled, minus floor-division slack)
+    assert all(r.rank_scaled > 0 for r in rows)
+    # ranks sorted desc with node tiebreaker — the output total order
+    pairs = [(-r.rank_scaled, r.node) for r in rows]
+    assert pairs == sorted(pairs)
+    # on the bipartite trade graph suppliers are the hubs (every
+    # customer links to many suppliers, few suppliers total), so the
+    # top of the ranking must be supplier-dominated
+    assert rows[0].kind == "supplier"
+    sup = [r.rank_scaled for r in rows if r.kind == "supplier"]
+    cus = [r.rank_scaled for r in rows if r.kind == "customer"]
+    if sup and cus:
+        assert min(sup) > max(cus)
+
+
+def test_pagerank_mass_approximately_conserved(spark, sf_dir):
+    """Total rank mass stays ~= _SCALE across iterations: damping
+    redistributes 15% to teleport and floor division only ever loses
+    mass (≤1 unit per edge/node op), never creates it."""
+    from master_airflow_spark.operators.graph import _SCALE, pagerank_trade_graph
+    from master_airflow_spark.registry import release_caches
+
+    df = pagerank_trade_graph(spark, sf_dir)
+    total_top25 = sum(r.rank_scaled for r in df.collect())
+    release_caches()
+    assert 0 < total_top25 <= _SCALE
+
+
+def test_simpson_diversity_bounds(spark, sf_dir):
+    from master_airflow_spark.operators.text import token_simpson_diversity
+
+    bad = (
+        token_simpson_diversity(spark, sf_dir)
+        .where(
+            (F.col("n_distinct_toks") > F.col("n_toks"))
+            | (F.col("simpson_index") > 1.0)
+            # sum p_i^2 is minimized by the uniform distribution:
+            # >= 1/n_distinct always
+            | (F.col("simpson_index") * F.col("n_distinct_toks") < 1.0 - 1e-12)
+            | (F.col("simpson_index") <= 0.0)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_inverted_index_postings_consistent(spark, sf_dir):
+    from master_airflow_spark.operators.text import inverted_index_postings
+
+    rows = inverted_index_postings(spark, sf_dir).collect()
+    assert rows, "df>=3 terms must exist"
+    for r in rows:
+        ids = [int(x) for x in r.postings.split(",")]
+        assert len(ids) == r.doc_freq >= 3
+        assert ids == sorted(ids)
+        assert len(set(ids)) == len(ids), "postings must be distinct docs"
+
+
+def test_last_touch_attribution_joins_back(spark, sf_dir):
+    """Every attributed click must be a real click event by the same
+    user at last_click_ts == purchase_ts - gap, inside the 7-day
+    window; unattributed purchases carry NULL in both columns."""
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.operators.stats import last_touch_attribution
+
+    att = last_touch_attribution(spark, sf_dir)
+    # null columns move together
+    assert (
+        att.where(F.col("click_id").isNull() != F.col("gap_us").isNull()).count() == 0
+    )
+    attributed = att.where(F.col("click_id").isNotNull())
+    assert attributed.where(
+        (F.col("gap_us") < 0) | (F.col("gap_us") > 7 * 24 * 3600 * 1_000_000)
+    ).count() == 0
+    clicks = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("cu"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = attributed.join(clicks, "click_id", "left")
+    assert joined.where(F.col("cu").isNull()).count() == 0, "click_id not a click"
+    assert joined.where(F.col("cu") != F.col("user_id")).count() == 0
+    # gap arithmetic consistent with the click's actual timestamp
+    bad_gap = joined.where(
+        F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+        - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        != F.col("gap_us")
+    ).count()
+    assert bad_gap == 0
+
+
+def test_last_touch_attribution_covers_all_purchases(spark, sf_dir):
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.operators.stats import last_touch_attribution
+
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert last_touch_attribution(spark, sf_dir).count() == n_purchases
+
+
+def test_equi_depth_buckets_laws(spark, sf_dir):
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.operators.stats import equi_depth_price_buckets
+
+    rows = sorted(equi_depth_price_buckets(spark, sf_dir).collect(), key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(1, 11))
+    total = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == total
+    # equi-depth: tile sizes differ by at most one, big tiles first
+    sizes = [r.n_orders for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True)
+    # value ranges are non-overlapping and ordered
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_price <= b.min_price
