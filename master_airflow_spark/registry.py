@@ -92,7 +92,10 @@ PRIORITY: tuple[str, ...] = (
     # (The round-4 additions that did NOT fit this window —
     # incremental_minhash_dedup, skew_key_profile,
     # winnowing_shared_pairs, token_budget_mix,
-    # corrupt_record_quarantine — are round 5's first promotions; all
+    # corrupt_record_quarantine, pagerank_trade_graph,
+    # token_simpson_diversity, inverted_index_postings,
+    # last_touch_attribution, equi_depth_price_buckets,
+    # mad_robust_outliers — are round 5's first promotions; all
     # pass the local differential harness.)
     "xml_extract_golden",
     "csv_parse_roundtrip",

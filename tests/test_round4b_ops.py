@@ -142,3 +142,19 @@ def test_equi_depth_buckets_laws(spark, sf_dir):
     # value ranges are non-overlapping and ordered
     for a, b in zip(rows, rows[1:]):
         assert a.max_price <= b.min_price
+
+
+def test_mad_outliers_laws(spark, sf_dir):
+    """MAD is translation-robust: the robust z-score marks a bounded
+    fraction of points, never the majority; median lies inside
+    [min, max]; mad >= 0; outlier count < half the group."""
+    from master_airflow_spark.operators.stats import mad_robust_outliers
+
+    rows = mad_robust_outliers(spark, sf_dir).collect()
+    assert len(rows) == 5  # five order priorities
+    for r in rows:
+        assert r.mad_cents >= 0
+        assert 0 <= r.n_outliers < r.n_orders / 2
+        # cents medians are exact halves: 2*med is integral
+        assert float(2 * r.median_cents).is_integer()
+        assert float(4 * r.mad_cents).is_integer()
