@@ -96,7 +96,7 @@ LIMIT 25
 """
 
 
-@register("pagerank_trade_graph", oracle=_PAGERANK_ORACLE, tags=("graph",))
+@register("pagerank_trade_graph", oracle=_PAGERANK_ORACLE, tags=("X28", "graph"))
 def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 PageRank over the bipartite customer↔supplier trade
     graph, three damped iterations (d=0.85) in scaled-integer space.

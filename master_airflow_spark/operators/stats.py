@@ -823,7 +823,7 @@ SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
 FROM marked
 WHERE event_type = 'purchase'
 """,
-    tags=("X9",),
+    tags=("X31", "X9"),
 )
 def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch marketing attribution: each purchase is credited to
@@ -890,7 +890,7 @@ SELECT bucket,
 FROM tiled
 GROUP BY bucket
 """,
-    tags=("X8", "X5"),
+    tags=("X32", "X8", "X5"),
 )
 def equi_depth_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (NTILE) histogram of order prices — the
@@ -974,7 +974,7 @@ SELECT d.o_orderpriority,
 FROM dev d JOIN mad m USING (o_orderpriority)
 GROUP BY d.o_orderpriority
 """,
-    tags=("X5", "quality"),
+    tags=("X29", "X5", "quality"),
 )
 def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection per priority group: median absolute

@@ -153,7 +153,7 @@ SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS surrogate_id,
        o_orderkey, o_orderdate
 FROM orders
 """,
-    tags=("X8",),
+    tags=("X32", "X8"),
 )
 def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SERIAL-pk parity (reference test_dag_postgres.py:18): surrogate

@@ -688,7 +688,7 @@ FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
       FROM scored)
 WHERE rank <= 3
 """,
-    tags=("X26", "X5", "X8"),
+    tags=("X30", "X26", "X5", "X8"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 most characteristic terms per document by a tf-idf-style
@@ -1235,7 +1235,7 @@ FROM d, c
 """
 
 
-@register("bm25_lite_ranking", oracle=_bm25_sql(), tags=("X26",))
+@register("bm25_lite_ranking", oracle=_bm25_sql(), tags=("X30", "X26"))
 def bm25_lite_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance scoring of every document against a fixed query
     term set — the lexical-retrieval half of a retrieval/dedup stack
@@ -1390,7 +1390,7 @@ FROM tok
 GROUP BY term
 HAVING count(*) >= 3
 """,
-    tags=("X26", "X5"),
+    tags=("X30", "X26", "X5"),
 )
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build — the retrieval-side core of a corpus

@@ -63,7 +63,12 @@ ROWS: dict[str, str] = {
     "quirk": "Reference lexicographic-price quirk (documented variant)",
     "sampling": "Deterministic sampling / train-test split / stratified",
     "quality": "Data-quality expectation checks",
-    "graph": "Graph analytics (fixed-iteration PageRank)",
+    "X28": "Graph analytics (fixed-iteration PageRank)",
+    "X29": "Robust statistics (exact median / MAD outliers)",
+    "X30": "Retrieval index build (inverted postings / BM25 / tf-idf)",
+    "X31": "Attribution (last-touch, as-of union-scan form)",
+    "X32": "Distributed total-order ranking (equi-depth NTILE / surrogate keys)",
+    # ("graph" is an alias tag on pagerank_trade_graph; X28 is its row)
 }
 
 # Non-query coverage delivered as modules + tests rather than registry rows
