@@ -66,16 +66,26 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in headline:
         spec = registry.REGISTRY[name]
-        best, n = float("inf"), 0
-        for _ in range(REPS):
+
+        def run_once() -> tuple[float, int]:
             t0 = time.perf_counter()
             df = plans.get(name)
             if df is None:  # drains / self-persisting queries: rerun fully
                 df = spec.fn(spark, sf_dir)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
             registry.release_caches()
-        timings[name] = round(best, 4)
+            return dt, n
+
+        times, n = [], 0
+        while True:
+            dt, n = run_once()
+            times.append(dt)
+            if len(times) >= REPS and sorted(times)[1] <= 1.15 * min(times):
+                break  # two runs agree → steady state reached
+            if len(times) >= REPS_MAX:
+                break
+        timings[name] = round(min(times), 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
     total = round(sum(timings.values()), 4)
 
@@ -114,12 +124,16 @@ def main() -> None:
             spec = registry.REGISTRY[name]
             if spec.oracle is None:
                 continue
-            best = float("inf")
-            for _ in range(REPS):
+            times: list[float] = []
+            while True:
                 t0 = time.perf_counter()
                 con.execute(spec.oracle).fetchall()
-                best = min(best, time.perf_counter() - t0)
-            oracle_timings[name] = round(best, 4)
+                times.append(time.perf_counter() - t0)
+                if len(times) >= REPS and sorted(times)[1] <= 1.15 * min(times):
+                    break
+                if len(times) >= REPS_MAX:
+                    break
+            oracle_timings[name] = round(min(times), 4)
         out["oracle_queries"] = oracle_timings
         out["speedup_vs_oracle"] = {
             n: round(oracle_timings[n] / timings[n], 2)
@@ -142,11 +156,16 @@ def main() -> None:
 # prepared plan would exclude that work from the measurement.
 REBUILD = {"stream_tumbling_agg", "stream_session_window", "cosine_topk"}
 
-# Timed repetitions per query (min reported) — see the methodology
-# note in main(). 3 keeps the whole bench under ~3 min while defusing
-# single-run noisy-neighbor stalls (measured: 1-2 random queries per
-# pass absorb a 1-2s stall even on an idle box).
-REPS = 3
+# Timed repetitions per query (min reported): at least REPS runs,
+# continuing up to REPS_MAX until the two fastest agree within 15% —
+# on this box 1-2 random queries per pass absorb multi-second
+# noisy-neighbor stalls (measured: the same query at 1.3s and 9.1s
+# minutes apart), and a stall can span several back-to-back reps, so
+# fixed best-of-N still reports stalled numbers. Convergence of two
+# independent runs is the steady-state signal. Applied identically to
+# Spark and the DuckDB oracle.
+REPS = 2
+REPS_MAX = 6
 
 # The rounds-1-3 headline set, kept intact for cross-round totals.
 HEADLINE_LEGACY = [

@@ -1016,3 +1016,68 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@register(
+    "nation_revenue_trend",
+    oracle=f"""
+WITH daily AS (
+    SELECT n.n_name,
+           date_diff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE))
+               AS day_x,
+           {sql_dsum('o.o_totalprice')} AS rev
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, day_x
+)
+SELECT n_name,
+       count(*) AS n_days,
+       (count(*) * {sql_dsum_prod('day_x', 'rev')}
+        - {sql_dsum('day_x')} * {sql_dsum('rev')})
+       / (count(*) * {sql_dsum_prod('day_x', 'day_x')}
+          - {sql_dsum('day_x')} * {sql_dsum('day_x')}) AS slope_per_day
+FROM daily
+GROUP BY n_name
+""",
+    tags=("X5", "X1"),
+)
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: OLS slope of daily order revenue vs
+    day number (days since 1992-01-01) — the drift/trend monitor shape
+    (is this source growing or decaying?) as a pure two-level
+    aggregate. Level 1 groups to (nation, day) with exact decimal
+    revenue sums; level 2 folds the OLS sufficient statistics (n, Σx,
+    Σy, Σxy, Σx²) through the same decimal-exact path as
+    stats_moments/corr_qty_price, then ONE shared double expression
+    computes the slope — identical operand order in both engines, so
+    the result is bit-identical despite double rounding. Customer and
+    nation dims broadcast; the two groupBys shuffle once each and the
+    second input (nations × days) is tiny."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).alias(
+                "day_x"
+            ),
+        )
+        .agg(dsum("o_totalprice", "rev"))
+    )
+    x, y = F.col("day_x"), F.col("rev")
+    agg = daily.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        dsum(x, "sx"),
+        dsum(y, "sy"),
+        F.sum(dmul(x, y)).cast("double").alias("sxy"),
+        F.sum(dmul(x, x)).cast("double").alias("sx2"),
+    )
+    nn = F.col("n_days")
+    slope = (nn * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nn * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    return agg.select("n_name", "n_days", slope.alias("slope_per_day"))

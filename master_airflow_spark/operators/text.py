@@ -1419,3 +1419,93 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("doc_freq") >= 3)
     )
+
+
+@register(
+    "source_token_divergence",
+    oracle=f"""
+WITH tok AS (
+    SELECT source, unnest({_SQL_TOKS}) AS tok FROM documents
+),
+per_src AS (
+    SELECT source, tok, count(*) AS c FROM tok GROUP BY source, tok
+),
+corpus AS (
+    SELECT tok, CAST(SUM(c) AS BIGINT) AS ct FROM per_src GROUP BY tok
+),
+totals AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM per_src GROUP BY source
+),
+n_all AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM corpus),
+-- |p_t - q_t| summed over the FULL vocabulary: tokens absent from a
+-- source still contribute q_t, handled by summing the present-token
+-- part and adding the missing-token mass analytically:
+-- sum_absent q_t = 1 - sum_present q_t.
+present AS (
+    SELECT t.source,
+           CAST(SUM(abs(p.c * n.n - c2.ct * t.ns)) AS BIGINT) AS num_present,
+           CAST(SUM(c2.ct) AS BIGINT) AS ct_present
+    FROM per_src p
+    JOIN totals t ON t.source = p.source
+    JOIN corpus c2 ON c2.tok = p.tok
+    CROSS JOIN n_all n
+    GROUP BY t.source, t.ns
+)
+SELECT p.source,
+       t.ns AS n_tokens,
+       CAST(p.num_present + (n.n - p.ct_present) * t.ns AS DOUBLE)
+           / (2.0 * t.ns * n.n) AS tv_divergence
+FROM present p JOIN totals t ON t.source = p.source CROSS JOIN n_all n
+""",
+    tags=("X26", "X5", "quality"),
+)
+def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection: total-variation distance between
+    each source's token distribution and the whole-corpus distribution
+    — the deterministic stand-in for the KL-divergence drift monitors
+    a training-mix pipeline runs per source/shard. TV = ½·Σ|p_t−q_t|
+    over the full vocabulary; tokens a source never emits contribute
+    their corpus mass, folded in analytically (Σ_absent q = 1 −
+    Σ_present q) so no vocab×source dense join is needed. Exactness:
+    everything stays in integer space over the common denominator
+    n_source·n_corpus (|c_ts·N − C_t·n_s| is a BIGINT), and the ONE
+    double division at the end is correctly rounded — Spark's partial
+    sums and DuckDB agree bit-for-bit. Two hash aggregates plus a
+    vocabulary-sized broadcast join; at 100 TB the corpus-frequency
+    table is Zipf-bounded ≪ corpus and broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.explode(tokens()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_src = track_cache(per_src)
+    corpus = per_src.groupBy("tok").agg(F.sum("c").alias("ct"))
+    totals = per_src.groupBy("source").agg(F.sum("c").alias("ns"))
+    n_all = corpus.agg(F.sum("ct").alias("n"))
+    present = (
+        per_src.join(F.broadcast(corpus), "tok")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(n_all))
+        .groupBy("source", "ns")
+        .agg(
+            F.sum(F.abs(F.col("c") * F.col("n") - F.col("ct") * F.col("ns"))).alias(
+                "num_present"
+            ),
+            F.sum("ct").alias("ct_present"),
+        )
+    )
+    return (
+        present.crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            F.col("ns").alias("n_tokens"),
+            (
+                (
+                    F.col("num_present")
+                    + (F.col("n") - F.col("ct_present")) * F.col("ns")
+                ).cast("double")
+                / (F.lit(2.0) * F.col("ns") * F.col("n"))
+            ).alias("tv_divergence"),
+        )
+    )

@@ -158,3 +158,52 @@ def test_mad_outliers_laws(spark, sf_dir):
         # cents medians are exact halves: 2*med is integral
         assert float(2 * r.median_cents).is_integer()
         assert float(4 * r.mad_cents).is_integer()
+
+
+def test_source_token_divergence_laws(spark, sf_dir):
+    """TV distance is a metric on distributions: 0 <= tv <= 1; a
+    source identical to the corpus scores 0; sources partition the
+    corpus, so sum over sources of ns*tv relates to total variation
+    mass but each individual tv is strictly < 1 here (every source
+    shares some tokens with the corpus)."""
+    from master_airflow_spark.operators.text import source_token_divergence
+    from master_airflow_spark.registry import release_caches
+
+    rows = source_token_divergence(spark, sf_dir).collect()
+    release_caches()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.tv_divergence < 1.0
+        assert r.n_tokens > 0
+
+
+def test_nation_revenue_trend_matches_numpy(spark, sf_dir):
+    """Cross-check one nation's slope against an independent numpy
+    polyfit on the same daily aggregates."""
+    import numpy as np
+
+    from master_airflow_spark.operators.stats import nation_revenue_trend
+    from master_airflow_spark.testing import duckdb_connection
+
+    rows = {r.n_name: r for r in nation_revenue_trend(spark, sf_dir).collect()}
+    assert len(rows) == 25
+    con = duckdb_connection(sf_dir)
+    name = sorted(rows)[0]
+    daily = con.execute(
+        """
+        SELECT date_diff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE)) AS x,
+               SUM(o.o_totalprice) AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE n.n_name = ?
+        GROUP BY x
+        """,
+        [name],
+    ).fetchall()
+    con.close()
+    xs = np.array([r[0] for r in daily], dtype=float)
+    ys = np.array([r[1] for r in daily], dtype=float)
+    slope = np.polyfit(xs, ys, 1)[0]
+    got = rows[name].slope_per_day
+    assert abs(got - slope) <= max(1e-6, 1e-6 * abs(slope)), (got, slope)
+    assert rows[name].n_days == len(daily)
