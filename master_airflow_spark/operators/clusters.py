@@ -138,3 +138,71 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+def _keep_longest_oracle() -> str:
+    from master_airflow_spark.operators.dedup import (
+        SQL_MINHASH_CTES,
+        SQL_MINHASH_PAIRS,
+    )
+
+    return f"""
+WITH RECURSIVE {SQL_MINHASH_CTES},
+pairs AS (SELECT a_id, b_id FROM ({SQL_MINHASH_PAIRS})),
+sym AS (SELECT a_id AS a, b_id AS b FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+verts AS (SELECT DISTINCT a AS id FROM sym),
+reach AS (SELECT id AS a, id AS b FROM verts
+          UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+SELECT comp.cluster_id,
+       arg_max(d.doc_id, d.n_chars * 1000000000 - d.doc_id) AS kept_doc_id,
+       max(d.n_chars) AS kept_n_chars,
+       count(*) - 1 AS n_dropped
+FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+GROUP BY comp.cluster_id
+"""
+
+
+@register("cluster_keep_longest", oracle=_keep_longest_oracle(), tags=("X24", "iterative"))
+def cluster_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based cluster representative selection — the keep-rule
+    real dedup pipelines apply (keep the LONGEST member of each
+    near-dup cluster, the one most likely to be the complete
+    document, rather than an arbitrary min-id): per cluster, the
+    argmax document by (n_chars, −doc_id) plus how many members get
+    dropped. Composes the certified connected-components labels with
+    one broadcast-size join back to the documents table and a single
+    max_by aggregate — cluster count ≪ corpus, so at 100 TB the
+    label table is the small side everywhere. The (n_chars, −doc_id)
+    struct ordering makes the winner total-ordered (no length-tie
+    nondeterminism)."""
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.operators.dedup import minhash_near_dup
+
+    pairs = minhash_near_dup(spark, sf_dir).select("a_id", "b_id")
+    vertices = (
+        pairs.select(F.col("a_id").alias("id"))
+        .unionByName(pairs.select(F.col("b_id").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")), vertices
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        comp.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            # composite argmax key packed numerically ((len, -id)
+            # lexicographic == len*1e9 - id while id < 1e9): DuckDB's
+            # arg_max can't order by ROW, so both engines use the
+            # packed form
+            F.max_by(
+                "doc_id", F.col("n_chars") * F.lit(1_000_000_000) - F.col("doc_id")
+            ).alias("kept_doc_id"),
+            F.max("n_chars").alias("kept_n_chars"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+    )

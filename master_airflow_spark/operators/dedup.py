@@ -578,3 +578,84 @@ def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     yesterday = docs.where(F.col("doc_id") % 2 == 0).select(fp)
     today = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "source", fp)
     return today.join(yesterday, "fp", "left_anti").select("doc_id", "source", "fp")
+
+
+# state = purchases before Jan-10; changes = final week. The gap plus
+# the decile value bucket make all three MERGE branches non-empty on
+# the synthetic data (users first seen late -> INSERT; same decile ->
+# NOOP).
+_MERGE_STATE_END = "TIMESTAMP '2024-01-10 00:00:00'"
+_MERGE_CHANGES_START = "TIMESTAMP '2024-01-24 00:00:00'"
+
+_MERGE_ORACLE = f"""
+WITH state AS (
+    SELECT user_id, value
+    FROM events WHERE event_type = 'purchase' AND ts < {_MERGE_STATE_END}
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+),
+changes AS (
+    SELECT user_id, value
+    FROM events WHERE event_type = 'purchase' AND ts >= {_MERGE_CHANGES_START}
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT
+    CASE WHEN s.user_id IS NULL THEN 'INSERT'
+         WHEN CAST(floor(c.value / 10) AS BIGINT)
+              <> CAST(floor(s.value / 10) AS BIGINT) THEN 'UPDATE'
+         ELSE 'NOOP' END AS action,
+    count(*) AS n_keys,
+    {{dsum_c}} AS sum_new_value
+FROM changes c LEFT JOIN state s ON s.user_id = c.user_id
+GROUP BY action
+""".format(dsum_c="CAST(SUM(CAST(c.value AS DECIMAL(28,4))) AS DOUBLE)")
+
+
+@register("merge_changes_classify", oracle=_MERGE_ORACLE, tags=("W4", "X1", "X5"))
+def merge_changes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (SCD-1 upsert) classification — the change-data-
+    capture shape: a per-key LWW state table (purchases before the
+    state cutoff) merged with a per-key LWW changes batch (final-week
+    purchases), each incoming key classified as INSERT (new key),
+    UPDATE (value decile moved) or NOOP (same decile) with per-action
+    counts and exact value sums — exactly the matched/not-matched
+    branches of SQL MERGE, audited rather than applied so the result
+    is a verifiable DataFrame. Plan: two pre-aggregations (map-side
+    combinable LWW argmax per key) then ONE equi-join on the key —
+    both sides shuffle-partition on user_id, and at 100 TB the state
+    side would be the bucketed table so the join is exchange-free."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    state_end = F.lit("2024-01-10 00:00:00").cast("timestamp_ntz")
+    changes_start = F.lit("2024-01-24 00:00:00").cast("timestamp_ntz")
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+
+    def lww(df):
+        return df.groupBy("user_id").agg(F.max_by("value", ord_key).alias("value"))
+
+    state = (
+        lww(e.where(F.col("ts") < state_end))
+        .withColumnRenamed("value", "old_value")
+        .withColumn("in_state", F.lit(True))
+    )
+    changes = lww(e.where(F.col("ts") >= changes_start))
+    action = (
+        F.when(F.col("in_state").isNull(), F.lit("INSERT"))
+        .when(
+            F.floor(F.col("value") / 10).cast("bigint")
+            != F.floor(F.col("old_value") / 10).cast("bigint"),
+            F.lit("UPDATE"),
+        )
+        .otherwise(F.lit("NOOP"))
+    )
+    return (
+        changes.join(state, "user_id", "left")
+        .select(action.alias("action"), "value")
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias(
+                "sum_new_value"
+            ),
+        )
+    )

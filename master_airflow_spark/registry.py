@@ -96,7 +96,8 @@ PRIORITY: tuple[str, ...] = (
     # token_simpson_diversity, inverted_index_postings,
     # last_touch_attribution, equi_depth_price_buckets,
     # mad_robust_outliers, source_token_divergence,
-    # nation_revenue_trend — are round 5's first promotions; all
+    # nation_revenue_trend, cluster_keep_longest,
+    # merge_changes_classify — are round 5's first promotions; all
     # pass the local differential harness.)
     "xml_extract_golden",
     "csv_parse_roundtrip",

@@ -207,3 +207,45 @@ def test_nation_revenue_trend_matches_numpy(spark, sf_dir):
     got = rows[name].slope_per_day
     assert abs(got - slope) <= max(1e-6, 1e-6 * abs(slope)), (got, slope)
     assert rows[name].n_days == len(daily)
+
+
+def test_cluster_keep_longest_laws(spark, sf_dir):
+    """The kept doc must be a member of its cluster with the maximal
+    n_chars; n_dropped = cluster size - 1 >= 1 (singletons excluded)."""
+    from master_airflow_spark.operators.clusters import (
+        cluster_keep_longest,
+        dedup_clusters,
+    )
+    from master_airflow_spark.registry import release_caches
+
+    kept = {r.cluster_id: r for r in cluster_keep_longest(spark, sf_dir).collect()}
+    release_caches()
+    members = {}
+    for r in dedup_clusters(spark, sf_dir).collect():
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    release_caches()
+    assert set(kept) == set(members)
+    from master_airflow_spark.catalog import load_table
+
+    n_chars = dict(
+        load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    )
+    for cid, r in kept.items():
+        assert r.kept_doc_id in members[cid]
+        assert r.n_dropped == len(members[cid]) - 1 >= 1
+        best = max(members[cid], key=lambda d: (n_chars[d], -d))
+        assert r.kept_doc_id == best
+        assert r.kept_n_chars == n_chars[best]
+
+
+def test_merge_changes_classify_laws(spark, sf_dir):
+    """Action classes partition the changes keyset; INSERT keys must
+    not exist in the state window; counts are positive."""
+    from master_airflow_spark.operators.dedup import merge_changes_classify
+
+    rows = {r.action: r for r in merge_changes_classify(spark, sf_dir).collect()}
+    assert set(rows) <= {"INSERT", "UPDATE", "NOOP"}
+    assert rows, "changes batch must be non-empty"
+    for r in rows.values():
+        assert r.n_keys > 0
+        assert r.sum_new_value is not None
