@@ -53,10 +53,20 @@ class RunContext:
 
 @dataclass(frozen=True)
 class Stage:
+    """``retries``/``retry_delay_s`` mirror the reference DAGs'
+    ``default_args`` (every reference DAG sets ``'retries': 0`` —
+    dags/get_prices_load_postgres.py:70 — so 0 is the parity default;
+    the knob exists because a real deployment turns it on for flaky
+    sources like the HTTP scrape). A stage that raises is re-run up to
+    ``retries`` extra times; the delay goes through the pipeline's
+    injectable ``sleep`` so tests drive it with a fake clock."""
+
     name: str
     fn: Callable[[RunContext], Any]
     depends_on: tuple[str, ...] = ()
     doc: str = ""
+    retries: int = 0
+    retry_delay_s: float = 0.0
 
 
 class Pipeline:
@@ -70,10 +80,23 @@ class Pipeline:
         self._stages: list[Stage] = []
 
     def stage(
-        self, name: str, depends_on: tuple[str, ...] = ()
+        self,
+        name: str,
+        depends_on: tuple[str, ...] = (),
+        retries: int = 0,
+        retry_delay_s: float = 0.0,
     ) -> Callable[[Callable[[RunContext], Any]], Callable[[RunContext], Any]]:
         def deco(fn: Callable[[RunContext], Any]) -> Callable[[RunContext], Any]:
-            self.add(Stage(name, fn, depends_on, (fn.__doc__ or "").strip()))
+            self.add(
+                Stage(
+                    name,
+                    fn,
+                    depends_on,
+                    (fn.__doc__ or "").strip(),
+                    retries=retries,
+                    retry_delay_s=retry_delay_s,
+                )
+            )
             return fn
 
         return deco
@@ -110,15 +133,31 @@ class Pipeline:
         spark: SparkSession,
         run_date: str,
         params: dict[str, Any] | None = None,
+        sleep: Callable[[float], None] | None = None,
     ) -> RunContext:
         """Execute one logical-date run; returns the context with every
-        stage's output (a backfill is a loop over run_dates)."""
+        stage's output (a backfill is a loop over run_dates). A stage
+        with ``retries > 0`` is re-attempted on exception, sleeping
+        ``retry_delay_s`` between attempts via the injectable ``sleep``
+        (defaults to ``time.sleep``; tests pass a recorder). The
+        attempt count lands in ``__attempts__`` next to
+        ``__timings__``."""
+        do_sleep = sleep if sleep is not None else time.sleep
         ctx = RunContext(spark=spark, run_date=run_date, params=params or {})
         for s in self._topo_order():
             t0 = time.perf_counter()
-            ctx.outputs[s.name] = s.fn(ctx)
+            for attempt in range(s.retries + 1):
+                try:
+                    ctx.outputs[s.name] = s.fn(ctx)
+                    break
+                except Exception:
+                    if attempt == s.retries:
+                        raise
+                    if s.retry_delay_s:
+                        do_sleep(s.retry_delay_s)
             elapsed = time.perf_counter() - t0
             ctx.outputs.setdefault("__timings__", {})[s.name] = elapsed  # type: ignore[index]
+            ctx.outputs.setdefault("__attempts__", {})[s.name] = attempt + 1  # type: ignore[index]
         return ctx
 
     def backfill(

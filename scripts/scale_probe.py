@@ -62,6 +62,14 @@ PROBE_QUERIES = (
     "sessionize_events",
     "lsh_bucketed_ann",
     "bm25_lite_ranking",
+    # round-4 additions: iterative graph (per-iteration join+agg),
+    # union-scan attribution window, inverted-index build, TV
+    # divergence (two-level agg + broadcast join), distributed NTILE
+    "pagerank_trade_graph",
+    "last_touch_attribution",
+    "inverted_index_postings",
+    "source_token_divergence",
+    "equi_depth_price_buckets",
 )
 
 

@@ -132,3 +132,50 @@ def test_run_forever_fake_clock(spark):
     assert runs == ["2024-01-01", "2024-01-02", "2024-01-03"]
     assert [c.run_date for c in ctxs] == runs
     assert slept == [60.0, 60.0, 60.0]
+
+
+def test_stage_retries_with_injected_sleep(spark):
+    """default_args-retries parity: a flaky stage succeeds on attempt
+    N <= retries+1; the injected sleep records the backoff; a stage
+    that keeps failing re-raises after exhausting retries."""
+    p = Pipeline("retry-demo")
+    calls = {"n": 0}
+
+    @p.stage("flaky", retries=2, retry_delay_s=1.5)
+    def flaky(ctx):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    slept: list[float] = []
+    ctx = p.run(spark, "2024-01-01", sleep=slept.append)
+    assert ctx["flaky"] == "ok"
+    assert calls["n"] == 3
+    assert slept == [1.5, 1.5]
+    assert ctx.outputs["__attempts__"]["flaky"] == 3
+
+    p2 = Pipeline("retry-exhausted")
+
+    @p2.stage("doomed", retries=1)
+    def doomed(ctx):
+        raise RuntimeError("permanent")
+
+    with pytest.raises(RuntimeError, match="permanent"):
+        p2.run(spark, "2024-01-01", sleep=lambda s: None)
+
+
+def test_zero_retries_is_default_parity(spark):
+    """Reference DAGs set retries=0 — one attempt, failure propagates
+    immediately."""
+    p = Pipeline("no-retry")
+    calls = {"n": 0}
+
+    @p.stage("once")
+    def once(ctx):
+        calls["n"] += 1
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        p.run(spark, "2024-01-01")
+    assert calls["n"] == 1
