@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from master_airflow_spark.catalog import load_table
 from master_airflow_spark.functions.exact import dmul, dsum, sql_dsum, sql_dsum_prod
-from master_airflow_spark.registry import register
+from master_airflow_spark.registry import register, track_cache
 
 
 @register(
@@ -1081,3 +1081,141 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         nn * F.col("sx2") - F.col("sx") * F.col("sx")
     )
     return agg.select("n_name", "n_days", slope.alias("slope_per_day"))
+
+
+@register(
+    "event_type_association",
+    oracle="""
+WITH ut AS (
+    SELECT DISTINCT user_id, event_type FROM events
+),
+n_users AS (
+    SELECT count(DISTINCT user_id) AS n FROM events
+),
+singles AS (
+    SELECT event_type, count(*) AS n_et FROM ut GROUP BY event_type
+),
+pairs AS (
+    SELECT a.event_type AS antecedent, b.event_type AS consequent,
+           count(*) AS n_both
+    FROM ut a JOIN ut b
+      ON b.user_id = a.user_id AND a.event_type <> b.event_type
+    GROUP BY antecedent, consequent
+)
+SELECT p.antecedent, p.consequent, p.n_both,
+       CAST(p.n_both AS DOUBLE) / sa.n_et AS confidence,
+       CAST(p.n_both AS DOUBLE) * n.n / (sa.n_et * sb.n_et) AS lift
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.antecedent
+JOIN singles sb ON sb.event_type = p.consequent
+CROSS JOIN n_users n
+""",
+    tags=("X5", "X1"),
+)
+def event_type_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over per-user event-type baskets (the
+    market-basket shape: antecedent→consequent support, confidence,
+    lift). The itemset universe is the event-type vocabulary — tiny —
+    so the pair space is bounded (|types|²) even at 100 TB: one
+    distinct on (user, type) keyed by user, a user-keyed self-join
+    whose per-user row count is ≤|types|, and broadcast joins of the
+    two vocabulary-sized frequency tables. The only corpus-scale
+    shuffle is the initial distinct. Confidence/lift are single
+    double divisions of exact integer counts — bit-identical across
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+    ut = track_cache(e.select("user_id", "event_type").distinct())
+    n_users = ut.select(F.countDistinct("user_id").alias("n"))
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_et"))
+    a = ut.select(F.col("user_id"), F.col("event_type").alias("antecedent"))
+    b = ut.select(F.col("user_id"), F.col("event_type").alias("consequent"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("antecedent"), F.col("n_et").alias("na")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("consequent"), F.col("n_et").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sb), "consequent")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            (F.col("n_both").cast("double") / F.col("na")).alias("confidence"),
+            (
+                F.col("n_both").cast("double") * F.col("n")
+                / (F.col("na") * F.col("nb"))
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "twap_user_value",
+    oracle="""
+WITH seq AS (
+    SELECT user_id,
+           CAST(round(value * 100) AS BIGINT) AS v_c,
+           epoch_us(ts) AS t_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_us
+    FROM events
+),
+weighted AS (
+    SELECT user_id,
+           v_c * (next_us - t_us) AS vw_c,
+           next_us - t_us AS w
+    FROM seq WHERE next_us IS NOT NULL
+)
+SELECT user_id,
+       count(*) AS n_intervals,
+       CAST(SUM(w) AS BIGINT) AS total_us,
+       CAST(CAST(SUM(vw_c) AS BIGINT) AS DOUBLE)
+           / (100.0 * CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE)) AS twap
+FROM weighted
+GROUP BY user_id
+""",
+    tags=("X9", "X5"),
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (the TWAP/financial form
+    of mean: each observation weighted by how long it was the current
+    value, i.e. until the user's next event). lead() over a user-keyed
+    window supplies interval ends — one shuffle on user_id; the last
+    (open-ended) observation drops, standard TWAP-to-last-tick.
+    Exactness: values become integer CENTS and weights are integer
+    microseconds, so value·weight and both sums stay in exact BIGINT
+    space; the final division is one double op on identical exact
+    operands — engine-order independent (the decimal-cast variant
+    tripped on Spark-vs-DuckDB double→DECIMAL rounding-mode
+    differences)."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+        us.alias("t_us"),
+        F.lead(us).over(w).alias("next_us"),
+    ).where(F.col("next_us").isNotNull())
+    weighted = seq.select(
+        "user_id",
+        (F.col("v_c") * (F.col("next_us") - F.col("t_us"))).alias("vw_c"),
+        (F.col("next_us") - F.col("t_us")).alias("w"),
+    )
+    return weighted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("w").alias("total_us"),
+        (
+            F.sum("vw_c").cast("double")
+            / (F.lit(100.0) * F.sum("w").cast("double"))
+        ).alias("twap"),
+    )

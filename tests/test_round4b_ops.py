@@ -249,3 +249,53 @@ def test_merge_changes_classify_laws(spark, sf_dir):
     for r in rows.values():
         assert r.n_keys > 0
         assert r.sum_new_value is not None
+
+
+def test_event_type_association_laws(spark, sf_dir):
+    """Support symmetry (n_both(a,b) == n_both(b,a)), confidence in
+    (0,1], and the lift identity lift(a,b) == lift(b,a)."""
+    from master_airflow_spark.operators.stats import event_type_association
+    from master_airflow_spark.registry import release_caches
+
+    rows = {(r.antecedent, r.consequent): r for r in
+            event_type_association(spark, sf_dir).collect()}
+    release_caches()
+    assert rows
+    for (a, b), r in rows.items():
+        assert a != b
+        assert 0 < r.confidence <= 1
+        mirror = rows[(b, a)]
+        assert mirror.n_both == r.n_both
+        assert abs(mirror.lift - r.lift) < 1e-12
+
+
+def test_twap_bounds_and_weights(spark, sf_dir):
+    """TWAP lies within [min value, max value] per user; total_us
+    equals the user's observed time span; interval count = events-1."""
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.operators.stats import twap_user_value
+
+    got = {r.user_id: r for r in twap_user_value(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            ).alias("span_us"),
+        )
+        .collect()
+    )
+    for r in ev:
+        if r.n < 2:
+            assert r.user_id not in got
+            continue
+        g = got[r.user_id]
+        assert g.n_intervals == r.n - 1
+        assert g.total_us == r.span_us
+        # integer-cents rounding can nudge twap 0.005 past the extremes
+        assert r.lo - 0.01 <= g.twap <= r.hi + 0.01
