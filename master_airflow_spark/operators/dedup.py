@@ -659,3 +659,62 @@ def merge_changes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PREFIX_PROBE = 64  # candidate bucket: first K chars must match exactly
+
+
+_PREFIX_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, text, n_chars,
+           substr(text, 1, {_PREFIX_PROBE}) AS probe
+    FROM documents
+)
+SELECT a.doc_id AS short_id, b.doc_id AS long_id,
+       a.n_chars AS short_chars, b.n_chars AS long_chars
+FROM d a JOIN d b
+  ON b.probe = a.probe
+ AND a.n_chars < b.n_chars
+ AND substr(b.text, 1, a.n_chars) = a.text
+"""
+
+
+@register("prefix_containment_pairs", oracle=_PREFIX_ORACLE, tags=("X24", "X23"))
+def prefix_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate detection: document A is a strict PREFIX
+    of document B (the crawl-era failure mode exact hashing misses —
+    re-crawls cut at different byte limits — and whole-document
+    MinHash under-scores when the length ratio is large). Candidate
+    generation is an equi-join on the first {_PREFIX_PROBE} characters
+    (any true prefix pair shares them, since shorter docs below the
+    probe length are either boilerplate or dropped upstream), so the
+    corpus never all-pairs: the probe is the shuffle key, and the full
+    prefix check runs only inside a bucket. At 100 TB the probe key
+    is as selective as a hash bucket; skew (many docs sharing one
+    boilerplate head) is the salted-hot-key situation AQE splits."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars", F.substring("text", 1, _PREFIX_PROBE).alias("probe")
+    )
+    a = d.select(
+        F.col("doc_id").alias("short_id"),
+        F.col("text").alias("a_text"),
+        F.col("n_chars").alias("short_chars"),
+        "probe",
+    )
+    b = d.select(
+        F.col("doc_id").alias("long_id"),
+        F.col("text").alias("b_text"),
+        F.col("n_chars").alias("long_chars"),
+        F.col("probe").alias("b_probe"),
+    )
+    return (
+        a.join(b, (F.col("probe") == F.col("b_probe")))
+        .where(
+            (F.col("short_chars") < F.col("long_chars"))
+            & (
+                F.expr("substring(b_text, 1, CAST(short_chars AS INT))")
+                == F.col("a_text")
+            )
+        )
+        .select("short_id", "long_id", "short_chars", "long_chars")
+    )

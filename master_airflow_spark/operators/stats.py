@@ -1219,3 +1219,64 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(100.0) * F.sum("w").cast("double"))
         ).alias("twap"),
     )
+
+
+@register(
+    "winsorized_mean_price",
+    oracle="""
+WITH cents AS (
+    SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders
+),
+bounds AS (
+    SELECT o_orderpriority,
+           quantile_cont(price_c, 0.05) AS lo,
+           quantile_cont(price_c, 0.95) AS hi
+    FROM cents GROUP BY o_orderpriority
+)
+SELECT c.o_orderpriority,
+       count(*) AS n_orders,
+       CAST(count_if(c.price_c < b.lo) AS BIGINT) AS n_floor_clipped,
+       CAST(count_if(c.price_c > b.hi) AS BIGINT) AS n_ceil_clipped,
+       CAST(SUM(CAST(greatest(least(CAST(c.price_c AS DOUBLE), b.hi), b.lo)
+                     AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS winsorized_mean_c
+FROM cents c JOIN bounds b USING (o_orderpriority)
+GROUP BY c.o_orderpriority
+""",
+    tags=("X29", "X5"),
+)
+def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clipped) mean order price per priority — the
+    robust location estimate that tames heavy tails without discarding
+    rows (trimming changes the denominator; winsorizing clamps). Same
+    exactness recipe as mad_robust_outliers: integer cents make the
+    interpolated percentile boundaries exactly-representable doubles,
+    clamped values are quarters at worst, and the clamped sum goes
+    through DECIMAL so parallel combine order cannot perturb it. Two
+    passes over the group (boundary discovery, then clamp+mean), both
+    shuffling on the same key; the boundary table broadcasts."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(price_c, 0.05)").alias("lo"),
+        F.expr("percentile(price_c, 0.95)").alias("hi"),
+    )
+    clamped = F.greatest(
+        F.least(F.col("price_c").cast("double"), F.col("hi")), F.col("lo")
+    )
+    return (
+        o.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_if(F.col("price_c") < F.col("lo")).alias("n_floor_clipped"),
+            F.count_if(F.col("price_c") > F.col("hi")).alias("n_ceil_clipped"),
+            (
+                F.sum(clamped.cast("decimal(28,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("winsorized_mean_c"),
+        )
+    )

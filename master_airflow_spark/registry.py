@@ -98,7 +98,8 @@ PRIORITY: tuple[str, ...] = (
     # mad_robust_outliers, source_token_divergence,
     # nation_revenue_trend, cluster_keep_longest,
     # merge_changes_classify, event_type_association,
-    # twap_user_value — are round 5's first promotions; all
+    # twap_user_value, prefix_containment_pairs,
+    # winsorized_mean_price — are round 5's first promotions; all
     # pass the local differential harness.)
     "xml_extract_golden",
     "csv_parse_roundtrip",

@@ -299,3 +299,48 @@ def test_twap_bounds_and_weights(spark, sf_dir):
         assert g.total_us == r.span_us
         # integer-cents rounding can nudge twap 0.005 past the extremes
         assert r.lo - 0.01 <= g.twap <= r.hi + 0.01
+
+
+def test_prefix_containment_is_strict_prefix(spark, sf_dir):
+    """Every reported pair must satisfy short.text == prefix(long.text)
+    with strictly smaller length; pairs are irreflexive and
+    direction-consistent."""
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.operators.dedup import prefix_containment_pairs
+
+    texts = dict(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+    rows = prefix_containment_pairs(spark, sf_dir).collect()
+    assert rows, "synthetic corpus contains truncation dups"
+    for r in rows:
+        assert r.short_id != r.long_id
+        assert r.short_chars < r.long_chars
+        assert texts[r.long_id].startswith(texts[r.short_id])
+
+
+def test_winsorized_mean_laws(spark, sf_dir):
+    """Winsorized mean lies between the clip bounds; clipped counts
+    are ~5% tails (<= 6% with interpolation slack); plain mean of a
+    clamped sample is pulled toward the median vs the raw mean when
+    the raw distribution has a heavier right tail."""
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.operators.stats import winsorized_mean_price
+
+    rows = winsorized_mean_price(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_floor_clipped <= 0.06 * r.n_orders
+        assert r.n_ceil_clipped <= 0.06 * r.n_orders
+        assert r.winsorized_mean_c > 0
+    raw = {
+        x.o_orderpriority: x.m
+        for x in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg((F.avg(F.col("o_totalprice")) * 100).alias("m"))
+        .collect()
+    }
+    for r in rows:
+        # clamping both tails keeps the mean within ~the raw mean's
+        # neighborhood — sanity against unit mixups (cents vs dollars)
+        assert 0.5 * raw[r.o_orderpriority] < r.winsorized_mean_c < 1.5 * raw[r.o_orderpriority]
