@@ -48,3 +48,25 @@ def test_corrupt_json_surfaces(spark, tmp_path):
     assert df.count() == 3
     bad = df.where(f"{CORRUPT_COL} IS NOT NULL").collect()
     assert len(bad) == 1 and bad[0][CORRUPT_COL] == "THIS IS NOT JSON"
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC is the second Spark-native columnar format (predicate
+    pushdown + column pruning like parquet); a lakehouse migration
+    must read either. Values must round-trip bit-exactly."""
+    p = str(tmp_path / "o")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    src.write.orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, src.collect())) == sorted(map(tuple, back.collect()))
+    # pushdown reaches the ORC scan like parquet
+    plan = (
+        back.where("o_totalprice > 100000")
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
