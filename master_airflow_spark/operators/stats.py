@@ -1280,3 +1280,100 @@ def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean_c"),
         )
     )
+
+
+@register(
+    "multi_touch_window_count",
+    oracle="""
+WITH ce AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us, ts
+    FROM events WHERE event_type IN ('click', 'purchase')
+),
+counted AS (
+    SELECT event_id, user_id, event_type, ts,
+           count(*) FILTER (event_type = 'click') OVER (
+               PARTITION BY user_id ORDER BY t_us
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+           ) AS n_touches_7d
+    FROM ce
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       CAST(n_touches_7d AS BIGINT) AS n_touches_7d
+FROM counted WHERE event_type = 'purchase'
+""",
+    tags=("X9", "X31"),
+)
+def multi_touch_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution denominator: for every purchase, how
+    many clicks the user made in the trailing 7 days (the linear-
+    credit model divides by exactly this). A RANGE frame over the
+    microsecond event-time key — the physical-time sliding window X9
+    calls for — so the whole operator is ONE user-keyed shuffle; no
+    purchase×click join exists at any scale. Clicks at the purchase's
+    own timestamp land inside the frame (RANGE is value-inclusive),
+    matching last_touch_attribution's tie rule."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(t_us)
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
+    )
+    counted = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.count(F.when(F.col("event_type") == "click", 1)).over(w).alias(
+            "n_touches_7d"
+        ),
+    )
+    return counted.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "n_touches_7d",
+    )
+
+
+@register(
+    "weekly_revenue_wow",
+    oracle=f"""
+WITH weekly AS (
+    SELECT date_trunc('week', CAST(o_orderdate AS DATE)) AS week_start,
+           {sql_dsum('o_totalprice')} AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY week_start
+)
+SELECT CAST(week_start AS DATE) AS week_start, n_orders, revenue,
+       lag(revenue) OVER (ORDER BY week_start) AS prev_revenue,
+       (revenue - lag(revenue) OVER (ORDER BY week_start))
+           / lag(revenue) OVER (ORDER BY week_start) AS wow_change
+FROM weekly
+""",
+    tags=("X9", "X14", "X5"),
+)
+def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue change — the reporting-layer lag()
+    pattern over an already-aggregated series. The corpus-scale work
+    is the first hash aggregate (one shuffle on the week key); the
+    window then runs over #weeks rows, so its single-partition global
+    sort is bounded by the calendar, not the data (~400 weeks at any
+    SF — the documented exception to the no-global-window rule).
+    Exact decimal revenue; the ratio is one shared double division."""
+    o = load_table(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate").cast("date")).alias("week_ts")
+    ).agg(dsum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders"))
+    w = Window.orderBy("week_ts")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        F.col("week_ts").cast("date").alias("week_start"),
+        "n_orders",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("wow_change"),
+    )

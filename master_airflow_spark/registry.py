@@ -99,7 +99,8 @@ PRIORITY: tuple[str, ...] = (
     # nation_revenue_trend, cluster_keep_longest,
     # merge_changes_classify, event_type_association,
     # twap_user_value, prefix_containment_pairs,
-    # winsorized_mean_price — are round 5's first promotions; all
+    # winsorized_mean_price, multi_touch_window_count,
+    # weekly_revenue_wow — are round 5's first promotions; all
     # pass the local differential harness.)
     "xml_extract_golden",
     "csv_parse_roundtrip",

@@ -344,3 +344,45 @@ def test_winsorized_mean_laws(spark, sf_dir):
         # clamping both tails keeps the mean within ~the raw mean's
         # neighborhood — sanity against unit mixups (cents vs dollars)
         assert 0.5 * raw[r.o_orderpriority] < r.winsorized_mean_c < 1.5 * raw[r.o_orderpriority]
+
+
+def test_multi_touch_consistent_with_last_touch(spark, sf_dir):
+    """Cross-operator law: a purchase has an attributed last-touch
+    click IFF its trailing-7d click count is >= 1 — the two
+    attribution operators must agree on the candidate window."""
+    from master_airflow_spark.operators.stats import (
+        last_touch_attribution,
+        multi_touch_window_count,
+    )
+
+    last = {
+        r.purchase_id: r.click_id
+        for r in last_touch_attribution(spark, sf_dir).collect()
+    }
+    multi = {
+        r.purchase_id: r.n_touches_7d
+        for r in multi_touch_window_count(spark, sf_dir).collect()
+    }
+    assert set(last) == set(multi)
+    for pid, click in last.items():
+        assert (click is not None) == (multi[pid] >= 1), pid
+
+
+def test_weekly_revenue_wow_laws(spark, sf_dir):
+    """First week has NULL prev/wow; revenue identity holds: sum of
+    weekly revenue equals total; wow ratios reconstruct revenue."""
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.operators.stats import weekly_revenue_wow
+
+    rows = sorted(weekly_revenue_wow(spark, sf_dir).collect(), key=lambda r: r.week_start)
+    assert rows[0].prev_revenue is None and rows[0].wow_change is None
+    for a, b in zip(rows, rows[1:]):
+        assert b.prev_revenue == a.revenue
+        assert abs(b.wow_change - (b.revenue - a.revenue) / a.revenue) < 1e-12
+    total = sum(r.revenue for r in rows)
+    orders_total = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,4)")).cast("double"))
+        .first()[0]
+    )
+    assert abs(total - orders_total) < 1e-6 * abs(orders_total)
