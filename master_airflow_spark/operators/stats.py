@@ -1,6 +1,11 @@
 """Statistical & reshaping operators — exact moments, grouped
 correlation, conditional aggregates, ordered string aggregation,
-gaps-and-islands sessionization, distribution windows, unpivot/melt.
+gaps-and-islands sessionization, distribution windows, unpivot/melt;
+plus the round-4 analytics layer: last-touch / multi-touch
+attribution (union-scan + RANGE frames, never a range join),
+time-weighted averages, robust statistics (exact MAD / winsorized
+mean over integer cents), equi-depth NTILE via distributed two-phase
+ranking, association rules, OLS trend, week-over-week reporting.
 
 Extends the reference's aggregate surface (SURVEY.md §2 X5/X8/X9/X18)
 with the descriptive-statistics layer a pretraining-data pipeline logs
