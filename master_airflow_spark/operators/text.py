@@ -1509,3 +1509,51 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tv_divergence"),
         )
     )
+
+
+@register(
+    "sentence_segmentation",
+    oracle=r"""
+WITH sents AS (
+    SELECT doc_id,
+           generate_subscripts(ss, 1) - 1 AS pos,
+           unnest(ss) AS sentence
+    FROM (SELECT doc_id, string_split_regex(text, '[.!?]\s+') AS ss
+          FROM documents)
+)
+SELECT doc_id, pos, sentence,
+       length(sentence) AS n_chars,
+       len(string_split(trim(sentence), ' ')) AS n_words
+FROM sents
+WHERE length(trim(sentence)) > 0
+""",
+    tags=("X26", "X16"),
+)
+def sentence_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation with stable ordinals — the unit-of-work
+    split for sentence-level dedup, quality scoring, and parallel-
+    corpus alignment. posexplode keeps each sentence's ORIGINAL index
+    (empties filtered after numbering, so positions don't shift), the
+    property downstream reassembly depends on. Pure column expressions
+    (regex split + posexplode) — scan-speed, no Python; at 100 TB the
+    explode multiplies rows ~30× but carries no shuffle: sentence rows
+    stay in their document's partition until something keys them
+    elsewhere. (The synthetic corpus carries no sentence punctuation,
+    so on the driver tables this yields one segment per document; the
+    multi-sentence path is pinned by
+    tests/test_round4b_ops.py::test_sentence_segmentation_crafted.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", r"[.!?]\s+")).alias("pos", "sentence"),
+        )
+        .where(F.length(F.trim(F.col("sentence"))) > 0)
+        .select(
+            "doc_id",
+            "pos",
+            "sentence",
+            F.length("sentence").alias("n_chars"),
+            F.size(F.split(F.trim(F.col("sentence")), " ")).alias("n_words"),
+        )
+    )

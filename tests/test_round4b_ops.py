@@ -386,3 +386,32 @@ def test_weekly_revenue_wow_laws(spark, sf_dir):
         .first()[0]
     )
     assert abs(total - orders_total) < 1e-6 * abs(orders_total)
+
+
+def test_sentence_segmentation_crafted(spark):
+    """Multi-sentence splitting with stable ordinals on crafted text
+    (the driver corpus has no punctuation, so the registry query only
+    certifies the plumbing; this pins the semantics)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "One two. Three four! Five?  Six."),
+            (2, "NoPunctuationHere"),
+            (3, "Trailing dot."),
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        df.select("doc_id", F.posexplode(F.split("text", r"[.!?]\s+")).alias("pos", "sentence"))
+        .where(F.length(F.trim(F.col("sentence"))) > 0)
+        .collect()
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.pos, r.sentence))
+    assert by_doc[1] == [(0, "One two"), (1, "Three four"), (2, "Five"), (3, "Six.")]
+    assert by_doc[2] == [(0, "NoPunctuationHere")]
+    # terminal punctuation with no following whitespace does not split:
+    # the delimiter is punctuation + whitespace (end-of-string keeps it)
+    assert by_doc[3] == [(0, "Trailing dot.")]
