@@ -665,3 +665,46 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(right.groupby("bi", "bj"))
         .applyInPandas(kern, "a_id long, b_id long, cosine double")
     )
+
+
+def _recall_oracle() -> str:
+    return f"""
+WITH exact AS ({_COSINE_TOPK_ORACLE}),
+lsh AS ({_lsh_oracle()}),
+hits AS (
+    SELECT l.q_id, count(*) AS n_hits
+    FROM lsh l JOIN exact e ON e.q_id = l.q_id AND e.n_id = l.n_id
+    GROUP BY l.q_id
+),
+qs AS (SELECT DISTINCT q_id FROM exact)
+SELECT qs.q_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM qs LEFT JOIN hits h ON h.q_id = qs.q_id
+"""
+
+
+@register("ann_recall_eval", oracle=_recall_oracle(), tags=("X25", "quality"))
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH ANN index against the exact cosine ground
+    truth, per query — the evaluation harness an ANN deployment runs
+    after every index build (recall drift = rebuild signal). Composes
+    the two certified operators and reduces their outputs with one
+    (q_id, n_id) equi-join + a query-sized aggregate, so the eval
+    costs one extra join over the index queries themselves. Both
+    sides are deterministic (hash-derived hyperplanes; total-ordered
+    top-k), so even this quality METRIC carries an exact oracle —
+    recall is reproducible, not a point estimate."""
+    exact = cosine_topk(spark, sf_dir).select("q_id", "n_id")
+    lsh = lsh_bucketed_ann(spark, sf_dir).select("q_id", "n_id")
+    hits = lsh.join(exact, ["q_id", "n_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    qs = exact.select("q_id").distinct()
+    return qs.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(TOP_K)).alias(
+            "recall_at_k"
+        ),
+    )

@@ -415,3 +415,24 @@ def test_sentence_segmentation_crafted(spark):
     # terminal punctuation with no following whitespace does not split:
     # the delimiter is punctuation + whitespace (end-of-string keeps it)
     assert by_doc[3] == [(0, "Trailing dot.")]
+
+
+def test_ann_recall_eval_bounds(spark, sf_dir):
+    """Recall in [0,1]; one row per exact-ground-truth query; mean
+    recall is positive (the LSH index must find SOMETHING at these
+    parameters)."""
+    from master_airflow_spark.operators.similarity import (
+        MAX_QUERIES,
+        TOP_K,
+        ann_recall_eval,
+    )
+    from master_airflow_spark.registry import release_caches
+
+    rows = ann_recall_eval(spark, sf_dir).collect()
+    release_caches()
+    assert 0 < len(rows) <= MAX_QUERIES
+    assert len({r.q_id for r in rows}) == len(rows)
+    for r in rows:
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_hits == round(r.recall_at_k * TOP_K)
+    assert sum(r.recall_at_k for r in rows) > 0
