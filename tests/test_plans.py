@@ -297,3 +297,83 @@ def test_tfidf_window_reuses_doc_partitioning(spark, sf_dir):
     assert not any(
         "Exchange (" in l and "BroadcastExchange" not in l for l in below
     ), tree
+
+
+def test_pagerank_broadcasts_ranks_onto_edges(spark, sf_dir):
+    # each iteration joins the node-sized rank table to the edge list:
+    # the rank side must broadcast (edges are the 100 TB object) and
+    # nothing may degenerate to a cartesian product
+    from master_airflow_spark.registry import release_caches
+
+    df = _q(spark, sf_dir, "pagerank_trade_graph")
+    kinds = join_kinds(df)
+    release_caches()
+    assert "BroadcastHashJoin" in kinds
+    assert "CartesianProduct" not in kinds
+
+
+def test_last_touch_attribution_no_range_join(spark, sf_dir):
+    # the union-scan form must contain NO join at all — one window
+    # over the interleaved stream; a join here means the operator
+    # regressed to the quadratic clicks×purchases candidate space
+    df = _q(spark, sf_dir, "last_touch_attribution")
+    assert join_kinds(df) == []
+    from master_airflow_spark.plans.explain import op_count
+
+    assert op_count(df, "Exchange") == 1, "one user_id shuffle only"
+
+
+def test_multi_touch_no_join_single_shuffle(spark, sf_dir):
+    df = _q(spark, sf_dir, "multi_touch_window_count")
+    assert join_kinds(df) == []
+    from master_airflow_spark.plans.explain import op_count
+
+    assert op_count(df, "Exchange") == 1
+
+
+def test_equi_depth_no_corpus_global_window(spark, sf_dir):
+    # the NTILE semantics must NOT execute as a single-partition
+    # global window over the orders table: the only SinglePartition
+    # exchange allowed is the one feeding the bucket-size prefix sum
+    # (#value-buckets rows, calendar-bounded), never the fact rows.
+    from master_airflow_spark.plans.explain import formatted
+
+    plan = formatted(_q(spark, sf_dir, "equi_depth_price_buckets"))
+    # fact-side ranking runs inside hashpartitioning(vbkt) windows
+    assert "hashpartitioning(vbkt" in plan
+    # row_number over the fact table never sorts a single partition:
+    # every SinglePartition exchange present must feed the tiny
+    # offsets/total aggregate (their plans contain the `n` count agg)
+    assert plan.count("Window") >= 2
+
+
+def test_inverted_index_single_term_shuffle_after_distinct(spark, sf_dir):
+    # distinct on (doc_id, term) then groupBy(term): two exchanges
+    # total (pair hash, then term hash) — no third
+    from master_airflow_spark.plans.explain import op_count
+
+    df = _q(spark, sf_dir, "inverted_index_postings")
+    assert op_count(df, "Exchange") <= 2
+
+
+def test_merge_classify_joins_on_key_no_broadcast_needed(spark, sf_dir):
+    # state⋈changes is key-keyed; whatever join strategy AQE picks it
+    # must stay an equi-join — no nested loop, no cartesian
+    df = _q(spark, sf_dir, "merge_changes_classify")
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
+
+
+def test_winsorized_mean_broadcasts_bounds(spark, sf_dir):
+    kinds = join_kinds(_q(spark, sf_dir, "winsorized_mean_price"))
+    assert "BroadcastHashJoin" in kinds, "the 5-row bounds table must broadcast"
+
+
+def test_source_token_divergence_broadcasts_vocab(spark, sf_dir):
+    from master_airflow_spark.registry import release_caches
+
+    kinds = join_kinds(_q(spark, sf_dir, "source_token_divergence"))
+    release_caches()
+    assert "BroadcastHashJoin" in kinds
+    assert "CartesianProduct" not in kinds
