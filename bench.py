@@ -64,6 +64,7 @@ def main() -> None:
     # minutes apart), so best-of-N is the steady-state throughput
     # number. Applied identically to the DuckDB oracle below.
     timings: dict[str, float] = {}
+    reps_used: dict[str, int] = {}
     for name in headline:
         spec = registry.REGISTRY[name]
 
@@ -86,7 +87,11 @@ def main() -> None:
             if len(times) >= REPS_MAX:
                 break
         timings[name] = round(min(times), 4)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        reps_used[name] = len(times)
+        print(
+            f"# {name}: {timings[name]:.3f}s rows={n} reps={len(times)}",
+            file=sys.stderr,
+        )
     total = round(sum(timings.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -110,7 +115,7 @@ def main() -> None:
         # per-query time is the min of REPS back-to-back runs (Spark
         # and oracle alike) and totals are sums of those minima —
         # single runs on this box swing 2-3× with neighbor load.
-        "reps": REPS,
+        "reps": {"min": REPS, "max": REPS_MAX, "used": reps_used},
         "rebuilt": sorted(REBUILD),
         "legacy_total": round(sum(timings[n] for n in legacy), 4),
     }

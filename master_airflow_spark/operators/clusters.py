@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from master_airflow_spark.catalog import load_table
 from master_airflow_spark.registry import register, track_cache
 
 MAX_ITERATIONS = 20
@@ -83,21 +84,45 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     return labels
 
 
-def _clusters_oracle() -> str:
+def _sql_components_ctes() -> str:
+    """Shared recursive-CTE transitive closure over the MinHash pair
+    graph: defines pairs/sym/verts/reach/comp (comp = doc_id →
+    cluster_id) for every cluster-level oracle, so the labeling rule
+    lives in exactly one place (mirrors _doc_components below)."""
     from master_airflow_spark.operators.dedup import (
         SQL_MINHASH_CTES,
         SQL_MINHASH_PAIRS,
     )
 
-    return f"""
-WITH RECURSIVE {SQL_MINHASH_CTES},
+    return f"""{SQL_MINHASH_CTES},
 pairs AS (SELECT a_id, b_id FROM ({SQL_MINHASH_PAIRS})),
 sym AS (SELECT a_id AS a, b_id AS b FROM pairs
         UNION SELECT b_id, a_id FROM pairs),
 verts AS (SELECT DISTINCT a AS id FROM sym),
 reach AS (SELECT id AS a, id AS b FROM verts
           UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)"""
+
+
+def _doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Spark twin of _sql_components_ctes: MinHash pairs →
+    hash-min connected components as (id, component)."""
+    from master_airflow_spark.operators.dedup import minhash_near_dup
+
+    pairs = minhash_near_dup(spark, sf_dir).select("a_id", "b_id")
+    vertices = (
+        pairs.select(F.col("a_id").alias("id"))
+        .unionByName(pairs.select(F.col("b_id").alias("id")))
+        .distinct()
+    )
+    return connected_components(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")), vertices
+    )
+
+
+def _clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_sql_components_ctes()},
 sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
 SELECT comp.doc_id, comp.cluster_id,
        comp.doc_id = comp.cluster_id AS is_canonical,
@@ -117,17 +142,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same semantics as a recursive-CTE transitive closure (feasible at
     oracle scale, where cluster diameters are tiny) — so even the
     iterative algorithm is exactly diff-checked, not just row-counted."""
-    from master_airflow_spark.operators.dedup import minhash_near_dup
-
-    pairs = minhash_near_dup(spark, sf_dir).select("a_id", "b_id")
-    vertices = (
-        pairs.select(F.col("a_id").alias("id"))
-        .unionByName(pairs.select(F.col("b_id").alias("id")))
-        .distinct()
-    )
-    comp = connected_components(
-        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")), vertices
-    )
+    comp = _doc_components(spark, sf_dir)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         comp.join(sizes, "component")
@@ -141,26 +156,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _keep_longest_oracle() -> str:
-    from master_airflow_spark.operators.dedup import (
-        SQL_MINHASH_CTES,
-        SQL_MINHASH_PAIRS,
-    )
-
     return f"""
-WITH RECURSIVE {SQL_MINHASH_CTES},
-pairs AS (SELECT a_id, b_id FROM ({SQL_MINHASH_PAIRS})),
-sym AS (SELECT a_id AS a, b_id AS b FROM pairs
-        UNION SELECT b_id, a_id FROM pairs),
-verts AS (SELECT DISTINCT a AS id FROM sym),
-reach AS (SELECT id AS a, id AS b FROM verts
-          UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
-SELECT comp.cluster_id,
-       arg_max(d.doc_id, d.n_chars * 1000000000 - d.doc_id) AS kept_doc_id,
-       max(d.n_chars) AS kept_n_chars,
-       count(*) - 1 AS n_dropped
-FROM comp JOIN documents d ON d.doc_id = comp.doc_id
-GROUP BY comp.cluster_id
+WITH RECURSIVE {_sql_components_ctes()},
+members AS (
+    SELECT comp.cluster_id, d.doc_id, d.n_chars
+    FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+),
+winner AS (
+    SELECT cluster_id, doc_id AS kept_doc_id, n_chars AS kept_n_chars
+    FROM members
+    QUALIFY row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, doc_id ASC) = 1
+),
+sizes AS (SELECT cluster_id, count(*) AS n FROM members GROUP BY cluster_id)
+SELECT w.cluster_id, w.kept_doc_id, w.kept_n_chars, s.n - 1 AS n_dropped
+FROM winner w JOIN sizes s USING (cluster_id)
 """
 
 
@@ -180,29 +190,23 @@ def cluster_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from master_airflow_spark.catalog import load_table
     from master_airflow_spark.operators.dedup import minhash_near_dup
 
-    pairs = minhash_near_dup(spark, sf_dir).select("a_id", "b_id")
-    vertices = (
-        pairs.select(F.col("a_id").alias("id"))
-        .unionByName(pairs.select(F.col("b_id").alias("id")))
-        .distinct()
-    )
-    comp = connected_components(
-        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")), vertices
-    )
+    comp = _doc_components(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    return (
-        comp.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
-        .join(docs, "doc_id")
-        .groupBy("cluster_id")
-        .agg(
-            # composite argmax key packed numerically ((len, -id)
-            # lexicographic == len*1e9 - id while id < 1e9): DuckDB's
-            # arg_max can't order by ROW, so both engines use the
-            # packed form
-            F.max_by(
-                "doc_id", F.col("n_chars") * F.lit(1_000_000_000) - F.col("doc_id")
-            ).alias("kept_doc_id"),
-            F.max("n_chars").alias("kept_n_chars"),
-            (F.count(F.lit(1)) - 1).alias("n_dropped"),
-        )
+    members = comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).join(docs, "doc_id")
+    # struct argmax: lexicographic (n_chars DESC via max, -doc_id for
+    # the ASC tiebreak) — a true composite ordering with no numeric
+    # packing, so no doc_id magnitude bound
+    return members.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")))
+        .getField("neg_id")
+        .alias("_neg"),
+        F.max("n_chars").alias("kept_n_chars"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    ).select(
+        "cluster_id",
+        (-F.col("_neg")).alias("kept_doc_id"),
+        "kept_n_chars",
+        "n_dropped",
     )

@@ -669,6 +669,7 @@ WITH d AS (
     SELECT doc_id, text, n_chars,
            substr(text, 1, {_PREFIX_PROBE}) AS probe
     FROM documents
+    WHERE n_chars >= {_PREFIX_PROBE}
 )
 SELECT a.doc_id AS short_id, b.doc_id AS long_id,
        a.n_chars AS short_chars, b.n_chars AS long_chars
@@ -691,9 +692,21 @@ def prefix_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus never all-pairs: the probe is the shuffle key, and the full
     prefix check runs only inside a bucket. At 100 TB the probe key
     is as selective as a hash bucket; skew (many docs sharing one
-    boilerplate head) is the salted-hot-key situation AQE splits."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "n_chars", F.substring("text", 1, _PREFIX_PROBE).alias("probe")
+    boilerplate head) is the salted-hot-key situation AQE splits.
+    Documents shorter than the probe are EXCLUDED by contract (their
+    probe would be their whole text and could never equal a longer
+    doc's fixed-width head, so reporting them would need a per-length
+    key — the standard trade: near-empty docs are dropped upstream by
+    the quality gate anyway)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("n_chars") >= _PREFIX_PROBE)
+        .select(
+            "doc_id",
+            "text",
+            "n_chars",
+            F.substring("text", 1, _PREFIX_PROBE).alias("probe"),
+        )
     )
     a = d.select(
         F.col("doc_id").alias("short_id"),

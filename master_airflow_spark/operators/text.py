@@ -1442,8 +1442,11 @@ n_all AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM corpus),
 -- part and adding the missing-token mass analytically:
 -- sum_absent q_t = 1 - sum_present q_t.
 present AS (
+    -- products in DECIMAL(38,0): c·N and C_t·n_s stay exact far past
+    -- BIGINT range (c·N ~ 1e22 at 100 TB corpora)
     SELECT t.source,
-           CAST(SUM(abs(p.c * n.n - c2.ct * t.ns)) AS BIGINT) AS num_present,
+           SUM(abs(CAST(p.c AS DECIMAL(38,0)) * n.n
+                   - CAST(c2.ct AS DECIMAL(38,0)) * t.ns)) AS num_present,
            CAST(SUM(c2.ct) AS BIGINT) AS ct_present
     FROM per_src p
     JOIN totals t ON t.source = p.source
@@ -1453,7 +1456,8 @@ present AS (
 )
 SELECT p.source,
        t.ns AS n_tokens,
-       CAST(p.num_present + (n.n - p.ct_present) * t.ns AS DOUBLE)
+       CAST(p.num_present + (CAST(n.n AS DECIMAL(38,0)) - p.ct_present) * t.ns
+            AS DOUBLE)
            / (2.0 * t.ns * n.n) AS tv_divergence
 FROM present p JOIN totals t ON t.source = p.source CROSS JOIN n_all n
 """,
@@ -1468,7 +1472,8 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     their corpus mass, folded in analytically (Σ_absent q = 1 −
     Σ_present q) so no vocab×source dense join is needed. Exactness:
     everything stays in integer space over the common denominator
-    n_source·n_corpus (|c_ts·N − C_t·n_s| is a BIGINT), and the ONE
+    n_source·n_corpus (|c_ts·N − C_t·n_s| in DECIMAL(38,0) — exact
+    far beyond BIGINT, c·N reaches ~1e22 at 100 TB corpora), and the ONE
     double division at the end is correctly rounded — Spark's partial
     sums and DuckDB agree bit-for-bit. Two hash aggregates plus a
     vocabulary-sized broadcast join; at 100 TB the corpus-frequency
@@ -1489,9 +1494,12 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_all))
         .groupBy("source", "ns")
         .agg(
-            F.sum(F.abs(F.col("c") * F.col("n") - F.col("ct") * F.col("ns"))).alias(
-                "num_present"
-            ),
+            F.sum(
+                F.abs(
+                    F.col("c").cast("decimal(38,0)") * F.col("n")
+                    - F.col("ct").cast("decimal(38,0)") * F.col("ns")
+                )
+            ).alias("num_present"),
             F.sum("ct").alias("ct_present"),
         )
     )
@@ -1503,7 +1511,8 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (
                     F.col("num_present")
-                    + (F.col("n") - F.col("ct_present")) * F.col("ns")
+                    + (F.col("n").cast("decimal(38,0)") - F.col("ct_present"))
+                    * F.col("ns")
                 ).cast("double")
                 / (F.lit(2.0) * F.col("ns") * F.col("n"))
             ).alias("tv_divergence"),

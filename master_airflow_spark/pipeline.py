@@ -20,9 +20,11 @@ distribution (O6). The Spark-native mapping collapses most of it:
   driver only sequences stages, it never moves data (the reference
   ships every batch through the metadata DB via XCom).
 
-Retries with exponential state are deliberately absent: stages are
-idempotent by construction (parameterized dates + keyed upserts), so
-the rerun policy is "run it again".
+Per-stage retries mirror the reference's ``default_args`` knob (all
+reference DAGs set ``'retries': 0``, the parity default here); because
+stages are idempotent by construction (parameterized dates + keyed
+upserts), a retry is always safe — the delay routes through an
+injectable ``sleep`` so tests never block on real time.
 """
 
 from __future__ import annotations
@@ -165,11 +167,14 @@ class Pipeline:
         spark: SparkSession,
         run_dates: list[str],
         params: dict[str, Any] | None = None,
+        sleep: Callable[[float], None] | None = None,
     ) -> list[RunContext]:
         """O4 rerun/backfill semantics: one deterministic run per
         logical date. Idempotent stages (keyed upserts, IF NOT EXISTS
-        DDL) make re-running a date a no-op."""
-        return [self.run(spark, d, params) for d in run_dates]
+        DDL) make re-running a date a no-op. ``sleep`` forwards to
+        run() so retry backoff stays fake-clock-testable in long
+        backfills too."""
+        return [self.run(spark, d, params, sleep=sleep) for d in run_dates]
 
 
 class DailySchedule:
@@ -210,13 +215,16 @@ class DailySchedule:
         spark: SparkSession,
         now: str,
         params: dict[str, Any] | None = None,
+        sleep: Callable[[float], None] | None = None,
     ) -> list[RunContext]:
         """Execute every due logical date (one tick of the trigger
         loop). Re-invoking with the same ``now`` is a no-op —
-        idempotent like the stages themselves."""
+        idempotent like the stages themselves. ``sleep`` forwards to
+        run() for retry backoff (run_forever passes its own injected
+        sleep, so a fake-clock loop never blocks on real time)."""
         ctxs = []
         for d in self.due(now):
-            ctxs.append(self.pipeline.run(spark, d, params))
+            ctxs.append(self.pipeline.run(spark, d, params, sleep=sleep))
             self.completed.add(d)
         return ctxs
 
@@ -240,7 +248,7 @@ class DailySchedule:
         datetime.now(UTC).isoformat())``."""
         ctxs: list[RunContext] = []
         while not until():
-            ctxs.extend(self.run_pending(spark, clock(), params))
+            ctxs.extend(self.run_pending(spark, clock(), params, sleep=sleep))
             sleep(poll_seconds)
         return ctxs
 

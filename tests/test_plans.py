@@ -334,17 +334,19 @@ def test_multi_touch_no_join_single_shuffle(spark, sf_dir):
 def test_equi_depth_no_corpus_global_window(spark, sf_dir):
     # the NTILE semantics must NOT execute as a single-partition
     # global window over the orders table: the only SinglePartition
-    # exchange allowed is the one feeding the bucket-size prefix sum
-    # (#value-buckets rows, calendar-bounded), never the fact rows.
+    # exchanges allowed are the two feeding the bucket-size prefix sum
+    # and the total count (#value-buckets rows each), never the fact
+    # rows — an added global ntile/row_number over orders would
+    # introduce a third.
     from master_airflow_spark.plans.explain import formatted
 
     plan = formatted(_q(spark, sf_dir, "equi_depth_price_buckets"))
     # fact-side ranking runs inside hashpartitioning(vbkt) windows
     assert "hashpartitioning(vbkt" in plan
-    # row_number over the fact table never sorts a single partition:
-    # every SinglePartition exchange present must feed the tiny
-    # offsets/total aggregate (their plans contain the `n` count agg)
-    assert plan.count("Window") >= 2
+    assert plan.count("SinglePartition") <= 2, (
+        "a SinglePartition exchange beyond the offsets/total aggregates "
+        "means the fact table is being globally sorted"
+    )
 
 
 def test_inverted_index_single_term_shuffle_after_distinct(spark, sf_dir):

@@ -388,25 +388,25 @@ def test_weekly_revenue_wow_laws(spark, sf_dir):
     assert abs(total - orders_total) < 1e-6 * abs(orders_total)
 
 
-def test_sentence_segmentation_crafted(spark):
+def test_sentence_segmentation_crafted(spark, tmp_path):
     """Multi-sentence splitting with stable ordinals on crafted text
     (the driver corpus has no punctuation, so the registry query only
-    certifies the plumbing; this pins the semantics)."""
-    from pyspark.sql import functions as F
+    certifies the plumbing; this runs the REAL operator against a
+    crafted documents table so a regex change in the operator fails
+    HERE, not just in a copied expression)."""
+    from master_airflow_spark.operators.text import sentence_segmentation
 
-    df = spark.createDataFrame(
+    crafted = spark.createDataFrame(
         [
-            (1, "One two. Three four! Five?  Six."),
-            (2, "NoPunctuationHere"),
-            (3, "Trailing dot."),
+            (1, "One two. Three four! Five?  Six.", "en", "a", 33),
+            (2, "NoPunctuationHere", "en", "a", 17),
+            (3, "Trailing dot.", "en", "a", 13),
         ],
-        "doc_id long, text string",
+        "doc_id long, text string, lang string, source string, n_chars long",
     )
-    out = (
-        df.select("doc_id", F.posexplode(F.split("text", r"[.!?]\s+")).alias("pos", "sentence"))
-        .where(F.length(F.trim(F.col("sentence"))) > 0)
-        .collect()
-    )
+    sf_dir = str(tmp_path)
+    crafted.write.parquet(f"{sf_dir}/documents.parquet")
+    out = sentence_segmentation(spark, sf_dir).collect()
     by_doc = {}
     for r in out:
         by_doc.setdefault(r.doc_id, []).append((r.pos, r.sentence))
