@@ -731,3 +731,36 @@ def prefix_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("short_id", "long_id", "short_chars", "long_chars")
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT sha256(text)) AS n_distinct,
+       CAST(count(*) - count(DISTINCT sha256(text)) AS DOUBLE) / count(*)
+           AS dup_rate
+FROM documents
+GROUP BY source
+""",
+    tags=("X23", "X6", "quality"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate — the dedup dashboard number
+    that decides which crawl/source needs upstream fixing. Content
+    hash (sha2-256) as the distinct key: COUNT(DISTINCT hash) per
+    source is a two-phase exact distinct aggregate (partial sets
+    map-side, merged on the source key); the rate is one double
+    division of exact counts. At 100 TB the hash makes the distinct
+    key fixed-width regardless of document size."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.sha2(F.col("text"), 256)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h).alias("n_distinct"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct(h)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dup_rate"),
+    )

@@ -1382,3 +1382,54 @@ def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         ((F.col("revenue") - prev) / prev).alias("wow_change"),
     )
+
+
+@register(
+    "shipping_latency_percentiles",
+    oracle="""
+WITH lat AS (
+    SELECT o.o_orderpriority,
+           date_diff('day', CAST(o.o_orderdate AS DATE),
+                     CAST(l.l_shipdate AS DATE)) AS latency_days
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       quantile_cont(latency_days, 0.5) AS p50_latency_days,
+       quantile_cont(latency_days, 0.75) AS p75_latency_days,
+       max(latency_days) AS max_latency_days,
+       CAST(count_if(latency_days > 60) AS DOUBLE) / count(*) AS slow_frac
+FROM lat
+GROUP BY o_orderpriority
+""",
+    tags=("X29", "X14", "X5", "X1"),
+)
+def shipping_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-latency SLO report per order priority: exact
+    p50/p75 of order→ship latency plus the slow-shipment fraction
+    (>60 days). Latencies are integer DAYS and the quantile fractions
+    are dyadic (1/2, 3/4), so interpolated percentiles are exact
+    multiples of 1/4 — representable doubles that both engines hit
+    bit-identically REGARDLESS of interpolation formula (lower+frac·Δ
+    vs (1−frac)·lower+frac·upper agree exactly on exact operands; an
+    inexact fraction like 0.9 would reopen ulp divergence). One
+    fact-fact join on the order key, one shuffle on the 5-value
+    priority key; exact percentile needs the per-group sort, same
+    posture note as mad_robust_outliers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lat = li.join(o, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("latency_days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr("percentile(latency_days, 0.5)").alias("p50_latency_days"),
+        F.expr("percentile(latency_days, 0.75)").alias("p75_latency_days"),
+        F.max("latency_days").alias("max_latency_days"),
+        (F.count_if(F.col("latency_days") > 60).cast("double") / F.count(F.lit(1))).alias(
+            "slow_frac"
+        ),
+    )

@@ -100,8 +100,9 @@ PRIORITY: tuple[str, ...] = (
     # merge_changes_classify, event_type_association,
     # twap_user_value, prefix_containment_pairs,
     # winsorized_mean_price, multi_touch_window_count,
-    # weekly_revenue_wow, sentence_segmentation, ann_recall_eval —
-    # are round 5's first promotions; all
+    # weekly_revenue_wow, sentence_segmentation, ann_recall_eval,
+    # shipping_latency_percentiles, dedup_rate_by_source — are round
+    # 5's first promotions; all
     # pass the local differential harness.)
     "xml_extract_golden",
     "csv_parse_roundtrip",

@@ -436,3 +436,35 @@ def test_ann_recall_eval_bounds(spark, sf_dir):
         assert 0.0 <= r.recall_at_k <= 1.0
         assert r.n_hits == round(r.recall_at_k * TOP_K)
     assert sum(r.recall_at_k for r in rows) > 0
+
+
+def test_shipping_latency_percentile_laws(spark, sf_dir):
+    from master_airflow_spark.operators.stats import shipping_latency_percentiles
+
+    rows = shipping_latency_percentiles(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.p50_latency_days <= r.p75_latency_days <= r.max_latency_days
+        assert 0.0 <= r.slow_frac <= 1.0
+        # dyadic interpolation: quarters exactly
+        assert float(4 * r.p50_latency_days).is_integer()
+        assert float(4 * r.p75_latency_days).is_integer()
+
+
+def test_dedup_rate_consistent_with_dedup_exact(spark, sf_dir):
+    """Sum of per-source distinct counts >= global distinct count
+    (same content can appear in two sources); per-source dup_rate
+    reproduces from the counts; rates in [0,1)."""
+    from master_airflow_spark.operators.dedup import (
+        dedup_exact,
+        dedup_rate_by_source,
+    )
+
+    rows = dedup_rate_by_source(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_distinct <= r.n_docs
+        assert abs(r.dup_rate - (r.n_docs - r.n_distinct) / r.n_docs) < 1e-12
+    global_distinct = dedup_exact(spark, sf_dir).count()
+    assert sum(r.n_distinct for r in rows) >= global_distinct
+    assert sum(r.n_docs for r in rows) >= global_distinct
