@@ -223,3 +223,23 @@ def test_ewma_state_continuity_across_batches(spark, tmp_path):
     # refold of batch 1 alone (which would give 3.0)
     assert rows[(7, 3)] == 2.25
     assert rows[(8, 1)] == 5.0
+
+
+def test_idempotent_batch_writer_replay_is_exactly_once(spark, sf_dir, tmp_path):
+    """Simulate the at-least-once replay foreachBatch is subject to:
+    delivering the same batch_id twice (even with different content,
+    as a failed-then-replayed batch would) must leave exactly one
+    committed copy; a NEW batch_id appends normally."""
+    from master_airflow_spark.sinks.writers import idempotent_batch_writer
+
+    target = str(tmp_path / "sink")
+    write = idempotent_batch_writer(target)
+    b0 = spark.range(10).withColumnRenamed("id", "v")
+    write(b0, 0)
+    write(b0, 0)  # replay: no-op
+    write(spark.range(5).withColumnRenamed("id", "v"), 0)  # replay after "crash"
+    write(spark.range(7).withColumnRenamed("id", "v"), 1)  # next batch
+    out = spark.read.parquet(target)
+    assert out.where("batch_id = 0").count() == 10, "replays must not re-write"
+    assert out.where("batch_id = 1").count() == 7
+    assert out.count() == 17
