@@ -86,7 +86,9 @@ MODULE_ROWS = [
     ("—", "Bucketed co-located joins", "sinks/bucketed.py", "tests/test_bucketing.py (Exchange-free plan)"),
     ("—", "Skew salting", "operators/skew.py", "tests/test_skew.py"),
     ("—", "Custom stateful streaming", "streaming/stateful.py (applyInPandasWithState)", "tests/test_stateful.py"),
-    ("—", "JSON/CSV sources with corrupt-record surfacing", "sources/readers.py", "tests/test_readers.py"),
+    ("—", "JSON/CSV/ORC sources with corrupt-record surfacing", "sources/readers.py; ORC round-trip", "tests/test_readers.py"),
+    ("—", "Exactly-once streaming sink (batch-id ledger)", "sinks/writers.py idempotent_batch_writer", "tests/test_streaming.py (replay test)"),
+    ("O4", "Per-stage retries (default_args parity, injectable clock)", "pipeline.py Stage.retries", "tests/test_pipeline.py"),
 ]
 
 
