@@ -1433,3 +1433,34 @@ def shipping_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slow_frac"
         ),
     )
+
+
+@register(
+    "daily_event_type_pivot",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(count_if(event_type = 'click') AS BIGINT) AS click,
+       CAST(count_if(event_type = 'view') AS BIGINT) AS view,
+       CAST(count_if(event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count_if(event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count_if(event_type = 'error') AS BIGINT) AS error
+FROM events
+GROUP BY day
+""",
+    tags=("X18", "X14", "X5"),
+)
+def daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily wide-format event matrix — pivot on a LOW-CARDINALITY
+    explicit value list (the monitoring-dashboard shape). The value
+    list is pinned (pivot('event_type', [...]) not the discover-values
+    two-pass form), so the plan is a single hash aggregate with five
+    conditional counters — one shuffle on the day key, map-side
+    combinable, no second job to enumerate distinct values; at 100 TB
+    the discovery pass is the difference between one scan and two."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+    )

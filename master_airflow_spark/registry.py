@@ -101,8 +101,8 @@ PRIORITY: tuple[str, ...] = (
     # twap_user_value, prefix_containment_pairs,
     # winsorized_mean_price, multi_touch_window_count,
     # weekly_revenue_wow, sentence_segmentation, ann_recall_eval,
-    # shipping_latency_percentiles, dedup_rate_by_source — are round
-    # 5's first promotions; all
+    # shipping_latency_percentiles, dedup_rate_by_source,
+    # daily_event_type_pivot — are round 5's first promotions; all
     # pass the local differential harness.)
     "xml_extract_golden",
     "csv_parse_roundtrip",
