@@ -1,7 +1,13 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and prints ONE JSON line:
+(default /root/testdata/sf0.1) and prints ONE compact JSON line:
     {"metric": ..., "value": total_sec, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ...}
+
+The final stdout line is kept under ~1500 characters so the driver's
+2000-char stdout tail always captures it whole (round 4's line grew
+past the tail and the round recorded parsed:null). Everything that
+doesn't fit — per-query oracle timings, speedup ratios, reps used —
+goes to stderr and to BENCH_DETAIL.json next to this script.
 
 Each query is forced to full materialization with a count() over the
 result (cheap, no driver transfer) after a warm-up of the input scans.
@@ -96,28 +102,33 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     legacy = [n for n in HEADLINE_LEGACY if n in timings]
+    # Methodology notes (stable across rounds; "methodology" versions
+    # them so cross-round tooling can detect changes mechanically):
+    # v2 (round 4): per-query time is the min of REPS back-to-back runs
+    # (Spark and DuckDB oracle alike, adaptive up to REPS_MAX until the
+    # two fastest agree within 15%) and totals are sums of those minima
+    # — single runs on this box swing 2-3× with neighbor load. Queries
+    # in "rebuilt" re-run fn() inside the timed pass (their fn performs
+    # Spark work); the rest re-execute a prepared plan (count() repeats
+    # the full scan/join/agg; only py4j plan construction is
+    # amortized). The headline set is 26 queries since round 4;
+    # "legacy_total" is the round-1-3 19-query set for cross-round
+    # comparability. v3 (round 5): identical timing; the stdout line is
+    # compacted (<1500 chars) and per-query oracle/speedup/reps detail
+    # moved to BENCH_DETAIL.json + stderr.
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {n: round(t, 3) for n, t in timings.items()},
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-        # Methodology: queries in "rebuilt" re-run fn() inside the
-        # timed pass (their fn performs Spark work); the rest re-execute
-        # a prepared plan (count() repeats the full scan/join/agg; only
-        # py4j plan construction is amortized). Changed in round 3:
-        # cosine_topk moved to rebuilt, so its timings are not
-        # comparable to rounds 1-2. Changed in round 4: the headline
-        # set grew from 19 to 26 queries (TPC-H q5/q8/q9/q18/q21,
-        # tfidf_top_terms, lsh_bucketed_ann) so the gate measures the
-        # engine's current surface; "legacy_total" is the round-1-3
-        # 19-query set for cross-round comparability. Also round 4:
-        # per-query time is the min of REPS back-to-back runs (Spark
-        # and oracle alike) and totals are sums of those minima —
-        # single runs on this box swing 2-3× with neighbor load.
+        "methodology": "v3-min-of-reps",
+        "legacy_total": round(sum(timings[n] for n in legacy), 4),
+    }
+    detail = {
         "reps": {"min": REPS, "max": REPS_MAX, "used": reps_used},
         "rebuilt": sorted(REBUILD),
-        "legacy_total": round(sum(timings[n] for n in legacy), 4),
+        "queries": timings,
     }
 
     if with_oracle:
@@ -139,17 +150,31 @@ def main() -> None:
                 if len(times) >= REPS_MAX:
                     break
             oracle_timings[name] = round(min(times), 4)
-        out["oracle_queries"] = oracle_timings
-        out["speedup_vs_oracle"] = {
+        detail["oracle_queries"] = oracle_timings
+        detail["speedup_vs_oracle"] = {
             n: round(oracle_timings[n] / timings[n], 2)
             for n in oracle_timings
             if timings.get(n)
         }
+        out["oracle_total"] = round(sum(oracle_timings.values()), 4)
         out["oracle_legacy_total"] = round(
             sum(t for n, t in oracle_timings.items() if n in set(legacy)), 4
         )
 
-    print(json.dumps(out))
+    detail.update({k: v for k, v in out.items() if k != "queries"})
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
+
+    line = json.dumps(out)
+    if len(line) > 1500:  # driver tail is 2000 chars — never exceed it
+        out.pop("queries", None)
+        line = json.dumps(out)
+    print(line)
 
 
 # Names of headline queries (filtered to what's registered, so bench

@@ -187,9 +187,6 @@ def cluster_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     label table is the small side everywhere. The (n_chars, −doc_id)
     struct ordering makes the winner total-ordered (no length-tie
     nondeterminism)."""
-    from master_airflow_spark.catalog import load_table
-    from master_airflow_spark.operators.dedup import minhash_near_dup
-
     comp = _doc_components(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     members = comp.select(

@@ -86,7 +86,11 @@ SELECT * FROM (VALUES
 _SCRAPE_GOLDEN = _SCRAPE_GOLDEN_TEMPLATE.replace("@RUN_DATE@", RUN_DATE)
 
 
-@register("html_scrape_pipeline", oracle=_SCRAPE_GOLDEN, tags=("S2", "P1-P9"))
+@register(
+    "html_scrape_pipeline",
+    oracle=_SCRAPE_GOLDEN,
+    tags=("S2", "P1-P9", "P5", "P11"),
+)
 def html_scrape_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw HTML pages → typed gas_prices rows (mapInPandas parse,
     arrays_zip alignment, P2/P3 derivations, P8 doc, P9 key).

@@ -91,7 +91,7 @@ UNION ALL
 (SELECT 'lowest' AS which, l_extendedprice AS price, l_orderkey, l_linenumber
    FROM scoped ORDER BY l_extendedprice ASC, l_orderkey, l_linenumber LIMIT 1)
 """,
-    tags=("T1", "T2", "T4", "F1"),
+    tags=("T1", "T2", "T4", "F1", "P11"),
 )
 def top1_price_today(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Today's highest & lowest price row (reference api/mongo/main.py:63-77).

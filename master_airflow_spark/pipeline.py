@@ -143,12 +143,14 @@ class Pipeline:
         ``retry_delay_s`` between attempts via the injectable ``sleep``
         (defaults to ``time.sleep``; tests pass a recorder). The
         attempt count lands in ``__attempts__`` next to
-        ``__timings__``."""
+        ``__timings__``; a stage's timing covers only its SUCCESSFUL
+        attempt (failed attempts and retry backoff sleeps are
+        excluded), so it measures stage compute, not waiting."""
         do_sleep = sleep if sleep is not None else time.sleep
         ctx = RunContext(spark=spark, run_date=run_date, params=params or {})
         for s in self._topo_order():
-            t0 = time.perf_counter()
             for attempt in range(s.retries + 1):
+                t0 = time.perf_counter()
                 try:
                     ctx.outputs[s.name] = s.fn(ctx)
                     break

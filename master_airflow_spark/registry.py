@@ -54,116 +54,76 @@ def register(
 
 # Exposure order for the driver contract. The driver samples the
 # FIRST 50 registry entries each round, so ordering is the lever that
-# decides which queries get externally certified. Round-4 policy (per
-# the round-3 verdict): with round 3's 50/50 green and no new-operator
-# backlog, the window drains the remaining never-certified entries and
-# spends everything left on RE-certification, oldest stamps first —
-# target: every oracle-backed query green in CORRECTNESS_r04 ∪ r03 ∪
-# r02 with no implementation change since its stamp (150/150).
+# decides which queries get externally certified. Round-5 policy (per
+# the round-4 verdict's #1 item): (0) the 27 queries that have NEVER
+# been in a driver window — all round-4 late additions, all green in
+# scripts/driver_sim.py and pytest — closing the last three §2 rows
+# with no external evidence (X28 pagerank, X29 robust stats, X31
+# attribution); (1) queries whose implementation was touched THIS
+# round (stale stamps otherwise); (2) remaining slots re-certify the
+# oldest (round-1) stamps, widest-distinct code paths first.
 PRIORITY: tuple[str, ...] = (
-    # (0) implementation touched THIS round — certify the new code:
-    # surrogate_keys (deterministic bucketing rewrite), containment
-    # (raw-gram join), variant (column rename), winnowing (kernel
-    # extraction), q21 (one-pass two-level aggregation), lsh (Arrow
-    # bucket kernel + query-side bucket computation), and every stream
-    # drain (run_to_memory: state_partitions 8->4, memory-sink table
-    # lifecycle now released via registry).
-    "surrogate_keys",
-    "containment_pairs",
-    "variant_semistructured",
-    "winnowing_fingerprints",
-    "q21_waiting_suppliers",
+    # (0) never driver-certified — rows X28/X29/X31 first, then the
+    # LLM-pipeline stragglers, then the rest of the round-4 backlog.
+    "pagerank_trade_graph",
+    "mad_robust_outliers",
+    "winsorized_mean_price",
+    "shipping_latency_percentiles",
+    "last_touch_attribution",
+    "multi_touch_window_count",
+    "incremental_minhash_dedup",
+    "inverted_index_postings",
+    "ann_recall_eval",
+    "cluster_keep_longest",
+    "merge_changes_classify",
+    "winnowing_shared_pairs",
+    "prefix_containment_pairs",
+    "equi_depth_price_buckets",
+    "skew_key_profile",
+    "corrupt_record_quarantine",
+    "token_budget_mix",
+    "token_simpson_diversity",
+    "source_token_divergence",
+    "sentence_segmentation",
+    "event_type_association",
+    "twap_user_value",
+    "nation_revenue_trend",
+    "weekly_revenue_wow",
+    "daily_event_type_pivot",
+    "dedup_rate_by_source",
+    "hll_sketch_users",  # rows-only by design (estimate pinned in tests)
+    # (1) implementation touched in round 5 — certify the new code
+    # (filled in as the round's perf work lands; see end-of-round
+    # commit for the final list):
     "lsh_bucketed_ann",
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_session_window",
-    "stream_interval_join",
-    "stream_static_enrich",
-    # added this round: custom stateful streaming op (X22 arbitrary
-    # state, full-value oracle), BM25 ranking, weighted priority
-    # sampling — certified in their round of introduction.
-    "stream_ewma_per_user",
-    "bm25_lite_ranking",
-    "weighted_sample_per_source",
-    "tfidf_top_terms",  # single-exchange rewrite (r4) — re-certify
-    # (1) never driver-certified, oracle-backed — the last 15 of the
-    # pre-round-4 backlog; after this round every oracle-backed query
-    # registered before round 4 has been in a window at least once.
-    # (The round-4 additions that did NOT fit this window —
-    # incremental_minhash_dedup, skew_key_profile,
-    # winnowing_shared_pairs, token_budget_mix,
-    # corrupt_record_quarantine, pagerank_trade_graph,
-    # token_simpson_diversity, inverted_index_postings,
-    # last_touch_attribution, equi_depth_price_buckets,
-    # mad_robust_outliers, source_token_divergence,
-    # nation_revenue_trend, cluster_keep_longest,
-    # merge_changes_classify, event_type_association,
-    # twap_user_value, prefix_containment_pairs,
-    # winsorized_mean_price, multi_touch_window_count,
-    # weekly_revenue_wow, sentence_segmentation, ann_recall_eval,
-    # shipping_latency_percentiles, dedup_rate_by_source,
-    # daily_event_type_pivot — are round 5's first promotions; all
-    # pass the local differential harness.)
-    "xml_extract_golden",
-    "csv_parse_roundtrip",
-    "null_semantics",
-    "array_hof_suite",
-    "fuzzy_customer_pairs",
-    "interpolate_sparse_series",
-    "udtf_fixed_chunks",
-    "repeated_shingle_ratio",
-    "split_leakage_audit",
-    "sql_api_top1_alltime",
-    "sql_api_grouping_sets",
-    "zip_align_arrays",
-    "stats_moments",
-    "corr_qty_price",
-    "listagg_nation_customers",
-    # (2) never driver-seen rows-only entries whose rows CAN be
-    # externally checked (weakest check level, but nonzero): the
-    # stream dedup drain (also exercises the run_to_memory change),
-    # the two real multimodal kernels, and the recall<1 IVF probe
-    # (its machinery is exactly certified by ivf_ann_exhaustive).
-    # approx_distinct_users / approx_percentiles / hll_sketch_users /
-    # multimodal_features stay out: estimates pinned locally
-    # (tests/test_round4_ops.py pins HLL against DuckDB's own sketch).
-    "stream_dedup_watermark",
-    "ppm_decode_resize",
-    "video_frame_sample",
-    "ivf_ann_topk",
-    # (3) re-certification, 16 slots (4 ceded to round-4 additions
-    # above). First the round-3-touched paths
-    # a regression could hide in behind an old stamp (minhash's r3
-    # signature-path swap; train_test_split's shared shingle/split
-    # helpers), then the oldest (round-1) stamps chosen to cover the
-    # widest distinct code paths: scalar/date/string/json function
-    # suites, set ops, rollup/cube/pivot, semi-anti, range join,
-    # sampling, simhash pair + fingerprint, exact dedup + clustering,
-    # argmax variants, and the headline aggregates.
-    "minhash_near_dup",
-    "train_test_split",
-    "revenue_by_nation",
-    "dedup_exact",
-    "cosine_topk",
-    "keyed_upsert_latest",
-    "simhash_near_dup",
-    "simhash_fingerprint",
-    "range_join_price_bands",
-    "semi_anti_customers",
-    "set_ops_customers",
-    "rollup_sales",
-    "cube_priority_status",
-    "pivot_priority_by_status",
-    "stratified_sample",
-    # (string_functions / date_functions / json_functions ceded their
-    # slots to the three round-4 additions: pure-builtin expression
-    # suites, the lowest-risk stamps in the r1 pool, still locally
-    # oracle-diffed every round.)
-    # (date_range_filter ceded its slot to the tfidf_top_terms
-    # re-certification: a two-predicate scan filter is the lowest-risk
-    # stamp left, still locally oracle-diffed every round.)
-    "dedup_clusters",
+    # (2) re-certification: round-1 stamps, oldest pool. date_range_
+    # filter and normalize_whitespace cede their slots (single-
+    # expression scans, lowest-risk stamps, still locally oracle-
+    # diffed every round by driver_sim).
+    "top1_price_lexicographic",
+    "sequence_packing",
+    "pii_redact",
+    "profile_columns",
+    "dq_checks",
+    "multimodal_meta",
+    "flatten_props_map",
+    "map_from_json",
+    "json_document",
+    "json_functions",
+    "string_functions",
+    "date_functions",
+    "date_parse_roundtrip",
+    "full_outer_nation_presence",
+    "right_join_parts_lineitems",
+    "customer_order_counts",
+    "distinct_order_status",
+    "hash_sample_10pct",
+    "composite_key",
+    "cast_string_price",
+    "bounded_split",
+    "membership_filter",
 )
+
 
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -17,11 +17,13 @@ ROWS: dict[str, str] = {
     "P2": "Whitespace-normalized concat",
     "P3": "Bounded split (first-token extraction)",
     "P4": "Run-date enrichment (parameterized)",
+    "P5": "Tuple projection (positional field extraction)",
     "P6": "Date parse",
     "P7": "Struct/document construction",
     "P8": "JSON serialization",
     "P9": "Composite key derivation",
     "P10": "Type coercion at read (string→double)",
+    "P11": "Column projection for serving payloads",
     "F1": "Half-open date-range filter",
     "F2": "Membership predicate",
     "T1": "Top-1 by key desc (argmax row)",
