@@ -184,7 +184,14 @@ def main() -> None:
 # inside fn(); cosine_topk materializes its bounded query set into an
 # executor broadcast during plan construction. Timing these from a
 # prepared plan would exclude that work from the measurement.
-REBUILD = {"stream_tumbling_agg", "stream_session_window", "cosine_topk"}
+REBUILD = {
+    "stream_tumbling_agg",
+    "stream_session_window",
+    "cosine_topk",
+    # round 5: fn() collects the bounded query set into an executor
+    # broadcast during plan construction — that work must be timed.
+    "lsh_bucketed_ann",
+}
 
 # Timed repetitions per query (min reported): at least REPS runs,
 # continuing up to REPS_MAX until the two fastest agree within 15% —

@@ -256,61 +256,22 @@ def lsh_bucket(emb: str | Column, dim: int, table: int) -> Column:
     return out
 
 
-def _with_lsh_tables(e: DataFrame, dim: int = DIM) -> DataFrame:
-    """Explode each vector into (table_id, bucket) rows — the standard
-    multi-table LSH trade: N_TABLES independent low-bit tables, a pair
-    is a candidate if it collides in ANY table. One table of many bits
-    is too selective (empty buckets, recall collapses); many small
-    tables recover recall at N_TABLES× index size."""
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table_id"),
-                lsh_bucket("embedding", dim, t).alias("bucket"),
-            )
-            for t in range(N_TABLES)
-        ]
-    )
-    return e.withColumn("tb", F.explode(tables)).select(
-        *e.columns, F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket")
-    )
-
-
-def _lsh_table_rows(e: DataFrame, dim: int = DIM) -> DataFrame:
-    """Arrow kernel form of _with_lsh_tables: per input row, all
-    N_TABLES (table_id, bucket) assignments in one numpy pass —
-    projections fold dimension-by-dimension (acc += A[:,i] * H[i,:]),
-    the same left-to-right reduction as lsh_bucket's interpreted
-    aggregate(), so bucket bits match the column expression and the
-    DuckDB oracle bit-for-bit. The interpreted higher-order-function
-    form costs ~N_TABLES*N_PLANES*dim expression-tree evaluations per
-    row; this is the corpus-scale path."""
+def _bucket_matrix(A: "np.ndarray", dim: int = DIM) -> "np.ndarray":
+    """(n, dim) float64 matrix → (n, N_TABLES) int bucket ids, folding
+    projections dimension-by-dimension (acc += A[:,i] * H[i,:]) — the
+    same left-to-right reduction as lsh_bucket / the DuckDB oracle, so
+    driver-side and executor-side callers produce identical buckets."""
     import numpy as np
-    import pandas as pd
 
-    # dim x (N_TABLES*N_PLANES) hyperplane matrix, built once
     H = np.array(
         [_hyperplane(dim, t, p) for t in range(N_TABLES) for p in range(N_PLANES)]
     ).T
     weights = np.array([1 << p for p in range(N_PLANES)])
-
-    def run(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = _to_matrix(pdf["embedding"])
-            acc = np.zeros((A.shape[0], H.shape[1]))
-            for i in range(A.shape[1]):
-                acc = acc + A[:, i][:, None] * H[i, :][None, :]
-            bits = (acc >= 0).reshape(len(pdf), N_TABLES, N_PLANES)
-            buckets = (bits * weights[None, None, :]).sum(axis=2)
-            out = pdf.loc[pdf.index.repeat(N_TABLES)].reset_index(drop=True)
-            out["table_id"] = np.tile(np.arange(N_TABLES), len(pdf))
-            out["bucket"] = buckets.reshape(-1)
-            yield out
-
-    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in e.schema.fields)
-    return e.mapInPandas(run, f"{fields}, table_id int, bucket int")
+    acc = np.zeros((A.shape[0], H.shape[1]))
+    for i in range(A.shape[1]):
+        acc = acc + A[:, i][:, None] * H[i, :][None, :]
+    bits = (acc >= 0).reshape(A.shape[0], N_TABLES, N_PLANES)
+    return (bits * weights[None, None, :]).sum(axis=2)
 
 
 def _sql_proj(table: int, plane: int) -> str:
@@ -408,40 +369,68 @@ def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket → candidate → re-rank chain replays exactly in DuckDB and
     carries an exact oracle. At 100 TB (table_id, bucket) becomes the
     partition key so candidate generation is a co-located join.
-    Buckets come from the Arrow kernel (_lsh_table_rows); the query
-    side computes them on the bounded query rows only — never a second
-    pass over the corpus."""
+
+    One corpus pass, one tiny shuffle, zero joins. The bounded query
+    set ships to executors as a broadcast (ids, embedding matrix,
+    per-table bucket row — buckets computed driver-side with the same
+    numpy fold the kernel uses, so they agree bit-for-bit). The
+    corpus then streams through a single Arrow kernel that (a) bands
+    each row, (b) masks which queries it collides with in ANY table —
+    multi-table dedup is a boolean any(), so no dropDuplicates
+    exchange — and (c) folds the exact cosine for COLLIDING pairs
+    only (the LSH advantage: non-candidates never pay the dim-length
+    dot product), pruning to the per-query top-k within each batch.
+    The final window merges ≤ k·|Q| rows per batch — the only shuffle
+    in the plan, and its volume is bounded by the query cap, not the
+    corpus. Same scale shape as cosine_topk, minus the all-pairs
+    scoring."""
+    import numpy as np
+    import pandas as pd
+
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    banded = _lsh_table_rows(e)
-    q_ids = (
+    q_df = (
         e.where(F.col("vec_id") % QUERY_STRIDE == 0)
-        .select("vec_id")
+        .select("vec_id", "embedding")
         .orderBy("vec_id")
         .limit(MAX_QUERIES)  # bounded query side — broadcastable at any SF
     )
-    q = _lsh_table_rows(e.join(F.broadcast(q_ids), "vec_id")).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        "table_id",
-        "bucket",
+    q_ids_v, Q = _broadcast_queries(spark, q_df).value
+    bcq = track_broadcast(
+        spark.sparkContext.broadcast((q_ids_v, Q, _bucket_matrix(Q)))
     )
-    cand = (
-        banded.join(F.broadcast(q), ["table_id", "bucket"])
-        .where(F.col("vec_id") != F.col("q_id"))
-        .dropDuplicates(["q_id", "vec_id"])
-        .select(
-            "q_id",
-            F.col("vec_id").alias("n_id"),
-            F.col("q_emb").alias("a_emb"),
-            F.col("embedding").alias("b_emb"),
-        )
-    )
+
+    def scan(batches):
+        q_ids, Qm, qb = bcq.value
+        qn = _seq_norms(Qm)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _to_matrix(pdf["embedding"])
+            vid = pdf["vec_id"].to_numpy()
+            bk = _bucket_matrix(A)
+            collide = np.zeros((len(pdf), len(q_ids)), dtype=bool)
+            for t in range(N_TABLES):
+                collide |= bk[:, t, None] == qb[None, :, t]
+            collide &= vid[:, None] != q_ids[None, :]
+            ii, jj = np.nonzero(collide)
+            if not len(ii):
+                continue
+            acc = np.zeros(len(ii))
+            for i in range(A.shape[1]):  # dim-ordered fold == _SQL_DOT
+                acc = acc + A[ii, i] * Qm[jj, i]
+            cos = acc / (_seq_norms(A)[ii] * qn[jj])
+            out = pd.DataFrame(
+                {"q_id": q_ids[jj], "n_id": vid[ii], "cosine": cos}
+            ).sort_values(
+                ["q_id", "cosine", "n_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            yield out.groupby("q_id", sort=False).head(TOP_K)
+
+    pairs = e.mapInPandas(scan, "q_id long, n_id long, cosine double")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
-    return (
-        _pair_cosine_kernel(cand)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= TOP_K)
-    )
+    return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
 
 
 # -- IVF (inverted-file) ANN -------------------------------------------------
