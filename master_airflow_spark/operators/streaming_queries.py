@@ -52,8 +52,15 @@ GROUP BY 1, 2, 3
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h event-time windows, drained via AvailableNow.
     Complete output mode: every window materializes at the final
-    trigger, so the static-replay result equals the batch aggregate."""
-    return run_to_memory(tumbling_agg(_events_stream(spark, sf_dir)), "complete")
+    trigger, so the static-replay result equals the batch aggregate.
+    state_partitions=1: the state is the (window, event_type) agg map
+    — a few thousand entries at any SF tested locally — so one state
+    partition minimizes per-partition checkpoint commits; a long-lived
+    cluster deployment sizes this to key cardinality instead (see
+    run_to_memory)."""
+    return run_to_memory(
+        tumbling_agg(_events_stream(spark, sf_dir)), "complete", state_partitions=1
+    )
 
 
 @register(
@@ -75,8 +82,12 @@ GROUP BY 1, 2, 3
 )
 def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1h/30m windows: each event lands in two windows — the
-    oracle expresses the same thing as two offset tumbling grids."""
-    return run_to_memory(sliding_agg(_events_stream(spark, sf_dir)), "complete")
+    oracle expresses the same thing as two offset tumbling grids.
+    state_partitions=1 for the same low-cardinality-state reason as
+    stream_tumbling_agg (2× the windows is still thousands)."""
+    return run_to_memory(
+        sliding_agg(_events_stream(spark, sf_dir)), "complete", state_partitions=1
+    )
 
 
 @register(
@@ -109,8 +120,14 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (5-minute gap) per user. The oracle is the
     gap-island formulation: a new session starts when the inter-event
     gap is ≥ the session gap — the same closure rule session_window
-    applies (window end = last event + gap)."""
-    return run_to_memory(session_agg(_events_stream(spark, sf_dir)), "complete")
+    applies (window end = last event + gap). state_partitions=2:
+    session state is per-SESSION (≈ per event on this sparse data), so
+    unlike the window aggs it benefits from some parallelism, but each
+    extra state partition adds a full checkpoint commit cycle — 2
+    measures fastest at sf0.1 (1 is fold-bound, 4 is commit-bound)."""
+    return run_to_memory(
+        session_agg(_events_stream(spark, sf_dir)), "complete", state_partitions=2
+    )
 
 
 @register(

@@ -92,14 +92,18 @@ PRIORITY: tuple[str, ...] = (
     "daily_event_type_pivot",
     "dedup_rate_by_source",
     "hll_sketch_users",  # rows-only by design (estimate pinned in tests)
-    # (1) implementation touched in round 5 — certify the new code
-    # (filled in as the round's perf work lands; see end-of-round
-    # commit for the final list):
+    # (1) implementation touched in round 5 — certify the new code:
+    # lsh_bucketed_ann (fused single-kernel rewrite) and the three
+    # complete-mode stream drains (explicit per-query state_partitions).
     "lsh_bucketed_ann",
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_window",
     # (2) re-certification: round-1 stamps, oldest pool. date_range_
-    # filter and normalize_whitespace cede their slots (single-
-    # expression scans, lowest-risk stamps, still locally oracle-
-    # diffed every round by driver_sim).
+    # filter, normalize_whitespace, cast_string_price, bounded_split,
+    # and membership_filter cede their slots (single-expression scans,
+    # the lowest-risk stamps, still locally oracle-diffed every round
+    # by driver_sim).
     "top1_price_lexicographic",
     "sequence_packing",
     "pii_redact",
@@ -119,9 +123,6 @@ PRIORITY: tuple[str, ...] = (
     "distinct_order_status",
     "hash_sample_10pct",
     "composite_key",
-    "cast_string_price",
-    "bounded_split",
-    "membership_filter",
 )
 
 
