@@ -801,85 +801,6 @@ def interpolate_sparse_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "last_touch_attribution",
-    oracle="""
-WITH ce AS (
-    SELECT event_id, user_id, ts, event_type FROM events
-    WHERE event_type IN ('click', 'purchase')
-),
-marked AS (
-    SELECT event_id, user_id, ts, event_type,
-           last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
-               OVER w AS last_click_ts,
-           last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-               OVER w AS last_click_id
-    FROM ce
-    WINDOW w AS (
-        PARTITION BY user_id
-        ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-    )
-)
-SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
-       CASE WHEN last_click_ts >= ts - INTERVAL 7 DAY
-            THEN last_click_id END AS click_id,
-       CASE WHEN last_click_ts >= ts - INTERVAL 7 DAY
-            THEN epoch_us(ts) - epoch_us(last_click_ts) END AS gap_us
-FROM marked
-WHERE event_type = 'purchase'
-""",
-    tags=("X31", "X9"),
-)
-def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Last-touch marketing attribution: each purchase is credited to
-    the user's most recent click within a 7-day lookback (clicks at
-    the purchase's own timestamp count — they sort before the purchase
-    in the window). Expressed as the UNION-scan as-of pattern, not a
-    range self-join: one window over the interleaved click+purchase
-    stream with last_value(... IGNORE NULLS) carries the latest click
-    forward, so the whole operator is ONE shuffle keyed by user_id and
-    never builds the clicks×purchases candidate space — at 100 TB the
-    range join explodes quadratically per hot user while this stays
-    linear in events per user. Unattributed purchases (no click in
-    window) survive with NULL credit, preserving denominator
-    semantics for conversion-rate math."""
-    e = load_table(spark, sf_dir, "events").where(
-        F.col("event_type").isin("click", "purchase")
-    )
-    is_click = F.col("event_type") == "click"
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", F.when(is_click, 0).otherwise(1), "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    marked = e.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "event_type",
-        F.last(F.when(is_click, F.col("ts")), ignorenulls=True)
-        .over(w)
-        .alias("last_click_ts"),
-        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
-        .over(w)
-        .alias("last_click_id"),
-    )
-    in_window = F.col("last_click_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")
-    return marked.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        "user_id",
-        F.col("ts").alias("purchase_ts"),
-        F.when(in_window, F.col("last_click_id")).alias("click_id"),
-        F.when(
-            # ts loads as timestamp_ntz; UTC session tz makes the cast exact
-            in_window,
-            F.unix_micros(F.col("ts").cast("timestamp"))
-            - F.unix_micros(F.col("last_click_ts").cast("timestamp")),
-        ).alias("gap_us"),
-    )
-
-
-@register(
     "equi_depth_price_buckets",
     oracle=f"""
 WITH tiled AS (
@@ -947,79 +868,6 @@ def equi_depth_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
         dsum("o_totalprice").alias("sum_price"),
-    )
-
-
-@register(
-    "mad_robust_outliers",
-    oracle="""
-WITH cents AS (
-    SELECT o_orderpriority,
-           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
-    FROM orders
-),
-med AS (
-    SELECT o_orderpriority, quantile_cont(price_c, 0.5) AS med_c
-    FROM cents GROUP BY o_orderpriority
-),
-dev AS (
-    SELECT c.o_orderpriority, c.price_c, m.med_c,
-           abs(c.price_c - m.med_c) AS adev
-    FROM cents c JOIN med m USING (o_orderpriority)
-),
-mad AS (
-    SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad_c
-    FROM dev GROUP BY o_orderpriority
-)
-SELECT d.o_orderpriority,
-       count(*) AS n_orders,
-       any_value(d.med_c) AS median_cents,
-       any_value(m.mad_c) AS mad_cents,
-       CAST(count_if(d.adev > 3 * 1.4826 * m.mad_c) AS BIGINT) AS n_outliers
-FROM dev d JOIN mad m USING (o_orderpriority)
-GROUP BY d.o_orderpriority
-""",
-    tags=("X29", "X5", "quality"),
-)
-def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust outlier detection per priority group: median absolute
-    deviation with the 1.4826 normal-consistency factor (the
-    rank-based alternative to mean±3σ that heavy tails can't drag).
-
-    Determinism: prices become integer CENTS first, so the exact
-    interpolated medians (lower + 0.5·(upper−lower)) are sums of
-    halves/quarters — exactly representable doubles, bit-identical
-    between Spark's percentile() and DuckDB's quantile_cont(). The
-    only inexact step is the final 3·1.4826·mad product, identical
-    one-rounding arithmetic in both engines. Exact percentile needs a
-    per-group sort: both passes shuffle on the SAME group key (5
-    groups here; at scale the second pass reuses the first's
-    partitioning), and medians-of-medians / sketches are the
-    documented relaxation when a group no longer fits a partition."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
-    )
-    med = o.groupBy("o_orderpriority").agg(
-        F.expr("percentile(price_c, 0.5)").alias("med_c")
-    )
-    dev = o.join(F.broadcast(med), "o_orderpriority").withColumn(
-        "adev", F.abs(F.col("price_c") - F.col("med_c"))
-    )
-    mad = dev.groupBy("o_orderpriority").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad_c")
-    )
-    return (
-        dev.join(F.broadcast(mad), "o_orderpriority")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.any_value("med_c").alias("median_cents"),
-            F.any_value("mad_c").alias("mad_cents"),
-            F.count_if(
-                F.col("adev") > F.lit(3) * F.lit(1.4826) * F.col("mad_c")
-            ).alias("n_outliers"),
-        )
     )
 
 
@@ -1227,123 +1075,6 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "winsorized_mean_price",
-    oracle="""
-WITH cents AS (
-    SELECT o_orderpriority,
-           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
-    FROM orders
-),
-bounds AS (
-    SELECT o_orderpriority,
-           quantile_cont(price_c, 0.05) AS lo,
-           quantile_cont(price_c, 0.95) AS hi
-    FROM cents GROUP BY o_orderpriority
-)
-SELECT c.o_orderpriority,
-       count(*) AS n_orders,
-       CAST(count_if(c.price_c < b.lo) AS BIGINT) AS n_floor_clipped,
-       CAST(count_if(c.price_c > b.hi) AS BIGINT) AS n_ceil_clipped,
-       CAST(SUM(CAST(greatest(least(CAST(c.price_c AS DOUBLE), b.hi), b.lo)
-                     AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS winsorized_mean_c
-FROM cents c JOIN bounds b USING (o_orderpriority)
-GROUP BY c.o_orderpriority
-""",
-    tags=("X29", "X5"),
-)
-def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winsorized (5%/95%-clipped) mean order price per priority — the
-    robust location estimate that tames heavy tails without discarding
-    rows (trimming changes the denominator; winsorizing clamps). Same
-    exactness recipe as mad_robust_outliers: integer cents make the
-    interpolated percentile boundaries exactly-representable doubles,
-    clamped values are quarters at worst, and the clamped sum goes
-    through DECIMAL so parallel combine order cannot perturb it. Two
-    passes over the group (boundary discovery, then clamp+mean), both
-    shuffling on the same key; the boundary table broadcasts."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
-    )
-    bounds = o.groupBy("o_orderpriority").agg(
-        F.expr("percentile(price_c, 0.05)").alias("lo"),
-        F.expr("percentile(price_c, 0.95)").alias("hi"),
-    )
-    clamped = F.greatest(
-        F.least(F.col("price_c").cast("double"), F.col("hi")), F.col("lo")
-    )
-    return (
-        o.join(F.broadcast(bounds), "o_orderpriority")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.count_if(F.col("price_c") < F.col("lo")).alias("n_floor_clipped"),
-            F.count_if(F.col("price_c") > F.col("hi")).alias("n_ceil_clipped"),
-            (
-                F.sum(clamped.cast("decimal(28,4)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("winsorized_mean_c"),
-        )
-    )
-
-
-@register(
-    "multi_touch_window_count",
-    oracle="""
-WITH ce AS (
-    SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us, ts
-    FROM events WHERE event_type IN ('click', 'purchase')
-),
-counted AS (
-    SELECT event_id, user_id, event_type, ts,
-           count(*) FILTER (event_type = 'click') OVER (
-               PARTITION BY user_id ORDER BY t_us
-               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
-           ) AS n_touches_7d
-    FROM ce
-)
-SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
-       CAST(n_touches_7d AS BIGINT) AS n_touches_7d
-FROM counted WHERE event_type = 'purchase'
-""",
-    tags=("X9", "X31"),
-)
-def multi_touch_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-touch attribution denominator: for every purchase, how
-    many clicks the user made in the trailing 7 days (the linear-
-    credit model divides by exactly this). A RANGE frame over the
-    microsecond event-time key — the physical-time sliding window X9
-    calls for — so the whole operator is ONE user-keyed shuffle; no
-    purchase×click join exists at any scale. Clicks at the purchase's
-    own timestamp land inside the frame (RANGE is value-inclusive),
-    matching last_touch_attribution's tie rule."""
-    e = load_table(spark, sf_dir, "events").where(
-        F.col("event_type").isin("click", "purchase")
-    )
-    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(t_us)
-        .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
-    )
-    counted = e.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        "ts",
-        F.count(F.when(F.col("event_type") == "click", 1)).over(w).alias(
-            "n_touches_7d"
-        ),
-    )
-    return counted.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        "user_id",
-        F.col("ts").alias("purchase_ts"),
-        "n_touches_7d",
-    )
-
-
-@register(
     "weekly_revenue_wow",
     oracle=f"""
 WITH weekly AS (
@@ -1381,57 +1112,6 @@ def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         prev.alias("prev_revenue"),
         ((F.col("revenue") - prev) / prev).alias("wow_change"),
-    )
-
-
-@register(
-    "shipping_latency_percentiles",
-    oracle="""
-WITH lat AS (
-    SELECT o.o_orderpriority,
-           date_diff('day', CAST(o.o_orderdate AS DATE),
-                     CAST(l.l_shipdate AS DATE)) AS latency_days
-    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-)
-SELECT o_orderpriority,
-       count(*) AS n_items,
-       quantile_cont(latency_days, 0.5) AS p50_latency_days,
-       quantile_cont(latency_days, 0.75) AS p75_latency_days,
-       max(latency_days) AS max_latency_days,
-       CAST(count_if(latency_days > 60) AS DOUBLE) / count(*) AS slow_frac
-FROM lat
-GROUP BY o_orderpriority
-""",
-    tags=("X29", "X14", "X5", "X1"),
-)
-def shipping_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fulfillment-latency SLO report per order priority: exact
-    p50/p75 of order→ship latency plus the slow-shipment fraction
-    (>60 days). Latencies are integer DAYS and the quantile fractions
-    are dyadic (1/2, 3/4), so interpolated percentiles are exact
-    multiples of 1/4 — representable doubles that both engines hit
-    bit-identically REGARDLESS of interpolation formula (lower+frac·Δ
-    vs (1−frac)·lower+frac·upper agree exactly on exact operands; an
-    inexact fraction like 0.9 would reopen ulp divergence). One
-    fact-fact join on the order key, one shuffle on the 5-value
-    priority key; exact percentile needs the per-group sort, same
-    posture note as mad_robust_outliers."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    lat = li.join(o, o.o_orderkey == li.l_orderkey).select(
-        "o_orderpriority",
-        F.datediff(
-            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
-        ).alias("latency_days"),
-    )
-    return lat.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.expr("percentile(latency_days, 0.5)").alias("p50_latency_days"),
-        F.expr("percentile(latency_days, 0.75)").alias("p75_latency_days"),
-        F.max("latency_days").alias("max_latency_days"),
-        (F.count_if(F.col("latency_days") > 60).cast("double") / F.count(F.lit(1))).alias(
-            "slow_frac"
-        ),
     )
 
 

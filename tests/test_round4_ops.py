@@ -92,7 +92,7 @@ def test_bm25_tf_monotonicity(spark, tmp_path):
     in term frequency (the saturation curve rises toward k1+1)."""
     import pandas as pd
 
-    from master_airflow_spark.operators.text import bm25_lite_ranking
+    from master_airflow_spark.operators.retrieval import bm25_lite_ranking
 
     rows = []
     for k in range(1, 6):  # k 'spark' tokens padded to dl=10

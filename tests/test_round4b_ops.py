@@ -67,7 +67,7 @@ def test_simpson_diversity_bounds(spark, sf_dir):
 
 
 def test_inverted_index_postings_consistent(spark, sf_dir):
-    from master_airflow_spark.operators.text import inverted_index_postings
+    from master_airflow_spark.operators.retrieval import inverted_index_postings
 
     rows = inverted_index_postings(spark, sf_dir).collect()
     assert rows, "df>=3 terms must exist"
@@ -83,7 +83,7 @@ def test_last_touch_attribution_joins_back(spark, sf_dir):
     user at last_click_ts == purchase_ts - gap, inside the 7-day
     window; unattributed purchases carry NULL in both columns."""
     from master_airflow_spark.catalog import load_table
-    from master_airflow_spark.operators.stats import last_touch_attribution
+    from master_airflow_spark.operators.attribution import last_touch_attribution
 
     att = last_touch_attribution(spark, sf_dir)
     # null columns move together
@@ -117,7 +117,7 @@ def test_last_touch_attribution_joins_back(spark, sf_dir):
 
 def test_last_touch_attribution_covers_all_purchases(spark, sf_dir):
     from master_airflow_spark.catalog import load_table
-    from master_airflow_spark.operators.stats import last_touch_attribution
+    from master_airflow_spark.operators.attribution import last_touch_attribution
 
     n_purchases = (
         load_table(spark, sf_dir, "events")
@@ -148,7 +148,7 @@ def test_mad_outliers_laws(spark, sf_dir):
     """MAD is translation-robust: the robust z-score marks a bounded
     fraction of points, never the majority; median lies inside
     [min, max]; mad >= 0; outlier count < half the group."""
-    from master_airflow_spark.operators.stats import mad_robust_outliers
+    from master_airflow_spark.operators.robust_stats import mad_robust_outliers
 
     rows = mad_robust_outliers(spark, sf_dir).collect()
     assert len(rows) == 5  # five order priorities
@@ -325,7 +325,7 @@ def test_winsorized_mean_laws(spark, sf_dir):
     clamped sample is pulled toward the median vs the raw mean when
     the raw distribution has a heavier right tail."""
     from master_airflow_spark.catalog import load_table
-    from master_airflow_spark.operators.stats import winsorized_mean_price
+    from master_airflow_spark.operators.robust_stats import winsorized_mean_price
 
     rows = winsorized_mean_price(spark, sf_dir).collect()
     assert len(rows) == 5
@@ -350,7 +350,7 @@ def test_multi_touch_consistent_with_last_touch(spark, sf_dir):
     """Cross-operator law: a purchase has an attributed last-touch
     click IFF its trailing-7d click count is >= 1 — the two
     attribution operators must agree on the candidate window."""
-    from master_airflow_spark.operators.stats import (
+    from master_airflow_spark.operators.attribution import (
         last_touch_attribution,
         multi_touch_window_count,
     )
@@ -439,7 +439,7 @@ def test_ann_recall_eval_bounds(spark, sf_dir):
 
 
 def test_shipping_latency_percentile_laws(spark, sf_dir):
-    from master_airflow_spark.operators.stats import shipping_latency_percentiles
+    from master_airflow_spark.operators.robust_stats import shipping_latency_percentiles
 
     rows = shipping_latency_percentiles(spark, sf_dir).collect()
     assert len(rows) == 5
