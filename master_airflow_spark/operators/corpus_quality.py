@@ -1,0 +1,152 @@
+"""Corpus-hygiene operators for LLM training-data pipelines:
+cross-document boilerplate detection and a fixed-weight quality
+classifier — the two filters that typically run right after dedup in
+a pretraining data pipeline (C4 / RefinedWeb style).
+
+Both are pure column-expression plans (no Python in the row path) and
+carry exact DuckDB oracles: the boilerplate ratio is integer counting,
+and the classifier emits its raw LINEAR score (no sigmoid — ln/exp
+are the one place engines' libm results diverge; the sigmoid is
+monotone, so thresholding the logit is equivalent and bit-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from master_airflow_spark.catalog import load_table
+from master_airflow_spark.operators.text import (
+    _SQL_STOP,
+    _SQL_TOKS,
+    STOPWORDS,
+    _sql_ngram_cte,
+    exploded_ngrams,
+    tokens,
+)
+from master_airflow_spark.registry import register
+
+# A word k-gram shared by >= BOILER_MIN_DOCS distinct documents is
+# "boilerplate" (navigation chrome, license headers, templated spam).
+BOILER_K = 4
+BOILER_MIN_DOCS = 4
+
+
+@register(
+    "boilerplate_shingle_ratio",
+    oracle=f"""
+WITH {_sql_ngram_cte(BOILER_K)},
+dg AS (SELECT DISTINCT doc_id, gram FROM g),
+freq AS (SELECT gram, count(*) AS n_docs FROM dg GROUP BY gram),
+per_doc AS (
+    SELECT dg.doc_id,
+           count(*) AS n_grams,
+           count(*) FILTER (WHERE freq.n_docs >= {BOILER_MIN_DOCS}) AS n_boiler
+    FROM dg JOIN freq ON freq.gram = dg.gram
+    GROUP BY dg.doc_id
+)
+SELECT doc_id, n_grams, n_boiler,
+       CAST(n_boiler AS DOUBLE) / n_grams AS boiler_ratio
+FROM per_doc
+""",
+    tags=("X26", "X23"),
+)
+def boilerplate_shingle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a document's
+    DISTINCT word-4-grams that also appear in >= BOILER_MIN_DOCS other
+    documents. This is the cross-document complement of
+    repeated_shingle_ratio (within-doc repetition) and
+    ngram_contamination (a fixed benchmark set): here the blacklist is
+    learned from the corpus itself, the way production pipelines strip
+    site chrome that exact- and near-dup passes both miss (documents
+    differ, their furniture doesn't).
+
+    Plan shape at 100 TB: explode to (doc_id, gram), one distinct
+    (shuffle on (doc_id, gram)), one gram-keyed aggregate for corpus
+    frequencies, join back on gram, one doc-keyed aggregate. Every
+    exchange is keyed by gram or doc hash — no broadcast of anything
+    corpus-sized, no skew beyond what AQE's skew-join handles (a
+    pathologically common gram is exactly a hot key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dg = exploded_ngrams(docs, BOILER_K).select("doc_id", "gram").distinct()
+    freq = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        dg.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("n_docs") >= BOILER_MIN_DOCS).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            (F.col("n_boiler").cast("double") / F.col("n_grams")).alias(
+                "boiler_ratio"
+            ),
+        )
+    )
+
+
+# Fixed, interpretable weights (a stand-in for a trained fastText /
+# logistic quality model — the WEIGHTS would come from training, the
+# serving plan below is what runs over the corpus either way).
+W_BIAS = -1.0
+W_STOP = 4.0  # stopword ratio: natural prose has function words
+W_TTR = 1.5  # type-token ratio: vocabulary diversity
+W_CPT = -0.1  # chars/token: very long "words" are code/garbage
+
+
+@register(
+    "quality_logit_score",
+    oracle=f"""
+WITH feats AS (
+    SELECT doc_id,
+           len({_SQL_TOKS}) AS n_tokens,
+           CAST(len(list_filter({_SQL_TOKS}, t -> t IN {_SQL_STOP})) AS DOUBLE)
+               / len({_SQL_TOKS}) AS stop_ratio,
+           CAST(len(list_distinct({_SQL_TOKS})) AS DOUBLE)
+               / len({_SQL_TOKS}) AS type_token_ratio,
+           CAST(length(text) AS DOUBLE) / len({_SQL_TOKS}) AS chars_per_token
+    FROM documents
+)
+SELECT doc_id, n_tokens, stop_ratio, type_token_ratio, chars_per_token,
+       ((({W_BIAS} + {W_STOP} * stop_ratio)
+            + {W_TTR} * type_token_ratio)
+            + {W_CPT} * chars_per_token) AS logit,
+       ((({W_BIAS} + {W_STOP} * stop_ratio)
+            + {W_TTR} * type_token_ratio)
+            + {W_CPT} * chars_per_token) >= 0.0 AS keep
+FROM feats
+""",
+    tags=("X26", "quality"),
+)
+def quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over interpretable text features —
+    the serving half of a fastText-style document-quality model. The
+    features (stopword ratio, type-token ratio, chars/token) are the
+    standard pretraining-filter signals; the score is the raw logit
+    with an explicitly parenthesized left-to-right sum so Spark and
+    the oracle fold the doubles in the same order (the sigmoid is
+    monotone — gating on logit >= 0 IS gating on p >= 0.5, without
+    ever calling exp()). Single scan, WholeStageCodegen end-to-end,
+    zero shuffles — this filter is free at any corpus size."""
+    t = tokens()
+    n_tok = F.size(t)
+    stop_ratio = (
+        F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("double") / n_tok
+    )
+    ttr = F.size(F.array_distinct(t)).cast("double") / n_tok
+    cpt = F.length("text").cast("double") / n_tok
+    logit = (
+        (F.lit(W_BIAS) + F.lit(W_STOP) * stop_ratio) + F.lit(W_TTR) * ttr
+    ) + F.lit(W_CPT) * cpt
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        ttr.alias("type_token_ratio"),
+        cpt.alias("chars_per_token"),
+        logit.alias("logit"),
+        (logit >= 0.0).alias("keep"),
+    )

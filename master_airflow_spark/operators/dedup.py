@@ -764,3 +764,104 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("dup_rate"),
     )
+
+
+_MINHASH_EST_ERR_ORACLE = f"""
+WITH {SQL_MINHASH_CTES},
+shd AS (SELECT DISTINCT doc_id, unnest(s) AS sh FROM shs),
+sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (SELECT c.a_id, c.b_id, count(*) AS n_inter
+          FROM cand c
+          JOIN shd a ON a.doc_id = c.a_id
+          JOIN shd b ON b.doc_id = c.b_id AND b.sh = a.sh
+          GROUP BY 1, 2),
+paired AS (
+    SELECT c.a_id, c.b_id,
+           {_SQL_EST} AS est_jaccard,
+           CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+               / (za.n + zb.n - coalesce(i.n_inter, 0)) AS exact_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.a_id
+    JOIN sig sb ON sb.doc_id = c.b_id
+    JOIN sz za ON za.doc_id = c.a_id
+    JOIN sz zb ON zb.doc_id = c.b_id
+    LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+)
+SELECT a_id, b_id, est_jaccard, exact_jaccard,
+       abs(est_jaccard - exact_jaccard) AS abs_err
+FROM paired
+"""
+
+
+@register("minhash_estimate_error", oracle=_MINHASH_EST_ERR_ORACLE, tags=("X24", "quality"))
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the MinHash index: for every LSH
+    candidate pair, the 16-lane signature estimate side-by-side with
+    the EXACT distinct-shingle Jaccard and the absolute error — the
+    dashboard a dedup deployment watches to decide whether its lane
+    count / band shape still fits the corpus (drift in abs_err = time
+    to re-tune, same role ann_recall_eval plays for the ANN index).
+
+    The exact side never goes all-pairs: distinct (doc_id, shingle)
+    rows join only THROUGH the bounded candidate set (candidate join →
+    per-pair intersection counts), so the extra cost over
+    minhash_near_dup is proportional to candidate volume, not corpus
+    size², and every exchange keys on doc or shingle hashes. Both
+    estimate and exact value are integer-counting ratios — bit-exact
+    in any engine — so even the ERROR of an approximate operator
+    carries an exact oracle."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
+    sigs = minhash_signatures(docs)
+    banded = with_bands(sigs)
+    left = banded.select(
+        F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"), "band_id", "band_hash"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"), "band_id", "band_hash"
+    )
+    cand = (
+        left.join(right, ["band_id", "band_hash"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    est = (
+        F.size(
+            F.filter(F.zip_with("a_sig", "b_sig", lambda a, b: a == b), lambda x: x)
+        )
+        / F.lit(N_HASHES)
+    ).alias("est_jaccard")
+    shd = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingle_hashes("text"))).alias("sh")
+    )
+    sz = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.select("a_id", "b_id")
+        .join(shd.select(F.col("doc_id").alias("a_id"), "sh"), "a_id")
+        .join(shd.select(F.col("doc_id").alias("b_id"), "sh"), ["b_id", "sh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = (
+        cand.select("a_id", "b_id", est)
+        .join(sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a")), "a_id")
+        .join(sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b")), "b_id")
+        .join(inter, ["a_id", "b_id"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .withColumn(
+            "exact_jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+    )
+    return scored.select(
+        "a_id",
+        "b_id",
+        "est_jaccard",
+        "exact_jaccard",
+        F.abs(F.col("est_jaccard") - F.col("exact_jaccard")).alias("abs_err"),
+    )

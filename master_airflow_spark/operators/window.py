@@ -403,3 +403,58 @@ def ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("grp_dec").over(w).cast("double")
         ).alias("share_of_priority"),
     )
+
+
+@register(
+    "scd2_history_build",
+    oracle="""
+WITH changes AS (
+    SELECT user_id, ts, event_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+kept AS (
+    SELECT user_id, ts, event_id, event_type FROM changes
+    WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id,
+       row_number() OVER w AS version,
+       event_type AS status,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM kept
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    tags=("X9", "X8"),
+)
+def scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an ordered change
+    log: collapse consecutive duplicate states per user (lag compare),
+    then turn each surviving change into a [valid_from, valid_to)
+    interval with lead() — the standard warehouse pattern for building
+    effective-dated history out of CDC events, done as two window
+    passes over ONE user-keyed shuffle (both windows share the
+    (user_id, ts, event_id) sort, so Spark plans a single exchange +
+    sort and no per-version self-join). (ts, event_id) is a total
+    order, so version numbers and interval bounds are deterministic.
+    At 100 TB: state per window partition is one user's events —
+    distributed by user hash; no global sort anywhere."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    kept = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .drop("prev_type")
+    )
+    return kept.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
