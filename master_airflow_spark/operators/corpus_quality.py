@@ -53,8 +53,10 @@ FROM per_doc
 )
 def boilerplate_shingle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document boilerplate fraction: the share of a document's
-    DISTINCT word-4-grams that also appear in >= BOILER_MIN_DOCS other
-    documents. This is the cross-document complement of
+    DISTINCT word-4-grams that appear in >= BOILER_MIN_DOCS documents
+    in total (the count includes the document itself, so the threshold
+    is BOILER_MIN_DOCS - 1 OTHER documents). This is the
+    cross-document complement of
     repeated_shingle_ratio (within-doc repetition) and
     ngram_contamination (a fixed benchmark set): here the blacklist is
     learned from the corpus itself, the way production pipelines strip

@@ -9,11 +9,10 @@ and semantics unchanged).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from master_airflow_spark.catalog import load_table
-from master_airflow_spark.functions.exact import dmul, dsum, sql_dsum, sql_dsum_prod
 from master_airflow_spark.registry import register
 
 @register(

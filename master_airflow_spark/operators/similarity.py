@@ -202,20 +202,25 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
 
 
-def _broadcast_queries(spark: SparkSession, q_df: DataFrame):
+def _collect_queries(q_df: DataFrame):
     """Materialize a BOUNDED query DataFrame (caller must cap it, e.g.
-    ``.limit(MAX_QUERIES)``) into a SparkContext broadcast of
-    (q_ids, Q-matrix). The only driver-side materialization in this
-    module — O(MAX_QUERIES·dim), independent of corpus size."""
+    ``.limit(MAX_QUERIES)``) into (q_ids, Q-matrix) numpy form. The
+    only driver-side materialization in this module —
+    O(MAX_QUERIES·dim), independent of corpus size."""
     import numpy as np
 
     rows = q_df.collect()
     q_ids = np.array([r[0] for r in rows])
     Q = np.stack([np.asarray(r[1], dtype=np.float32) for r in rows]).astype(np.float64)
-    # Tracked so release_caches() destroys it once the query result is
-    # consumed — repeated runs in a long-lived session would otherwise
-    # accumulate broadcast blocks on the executors.
-    return track_broadcast(spark.sparkContext.broadcast((q_ids, Q)))
+    return q_ids, Q
+
+
+def _broadcast_queries(spark: SparkSession, q_df: DataFrame):
+    """_collect_queries as a SparkContext broadcast. Tracked so
+    release_caches() frees it once the query result is consumed —
+    repeated runs in a long-lived session would otherwise accumulate
+    broadcast blocks on the executors."""
+    return track_broadcast(spark.sparkContext.broadcast(_collect_queries(q_df)))
 
 
 # -- LSH-bucketed ANN (scale path) ------------------------------------------
@@ -394,7 +399,7 @@ def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .limit(MAX_QUERIES)  # bounded query side — broadcastable at any SF
     )
-    q_ids_v, Q = _broadcast_queries(spark, q_df).value
+    q_ids_v, Q = _collect_queries(q_df)
     bcq = track_broadcast(
         spark.sparkContext.broadcast((q_ids_v, Q, _bucket_matrix(Q)))
     )
