@@ -612,7 +612,7 @@ GROUP BY action
 """.format(dsum_c="CAST(SUM(CAST(c.value AS DECIMAL(28,4))) AS DOUBLE)")
 
 
-@register("merge_changes_classify", oracle=_MERGE_ORACLE, tags=("W4", "X1", "X5"))
+@register("merge_changes_classify", oracle=_MERGE_ORACLE, tags=("X33", "W4", "X1", "X5"))
 def merge_changes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO (SCD-1 upsert) classification — the change-data-
     capture shape: a per-key LWW state table (purchases before the

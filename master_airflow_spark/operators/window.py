@@ -339,7 +339,7 @@ FROM events
 WHERE event_type = 'purchase'
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
-    tags=("X9", "cdc"),
+    tags=("X33", "X9", "cdc"),
 )
 def scd2_purchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 build from a change stream
@@ -427,13 +427,16 @@ SELECT user_id,
 FROM kept
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
-    tags=("X9", "X8"),
+    tags=("X33", "X9", "X8"),
 )
 def scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing-dimension history from an ordered change
-    log: collapse consecutive duplicate states per user (lag compare),
-    then turn each surviving change into a [valid_from, valid_to)
-    interval with lead() — the standard warehouse pattern for building
+    log — the FULL SCD2 semantics on top of scd2_purchase_history's
+    every-event intervals: collapse consecutive duplicate states per
+    user first (lag compare — a repeated state must NOT open a new
+    version), then turn each surviving change into a [valid_from,
+    valid_to) interval with lead() plus a dense version number — the
+    standard warehouse pattern for building
     effective-dated history out of CDC events, done as two window
     passes over ONE user-keyed shuffle (both windows share the
     (user_id, ts, event_id) sort, so Spark plans a single exchange +

@@ -70,6 +70,13 @@ PROBE_QUERIES = (
     "inverted_index_postings",
     "source_token_divergence",
     "equi_depth_price_buckets",
+    # round-5 additions: corpus-frequency boilerplate (explode + two
+    # keyed aggs + join-back), candidate-bounded estimator audit,
+    # pure-scan classifier, two shared-exchange SCD2 windows
+    "boilerplate_shingle_ratio",
+    "minhash_estimate_error",
+    "quality_logit_score",
+    "scd2_history_build",
 )
 
 

@@ -379,3 +379,55 @@ def test_source_token_divergence_broadcasts_vocab(spark, sf_dir):
     release_caches()
     assert "BroadcastHashJoin" in kinds
     assert "CartesianProduct" not in kinds
+
+
+def test_quality_logit_zero_shuffle_pruned_scan(spark, sf_dir):
+    """The quality classifier is a single pruned scan: no exchanges,
+    no joins, and the unused columns never leave parquet."""
+    from master_airflow_spark.plans.explain import op_count, read_schemas
+
+    df = _q(spark, sf_dir, "quality_logit_score")
+    assert op_count(df, "Exchange") == 0
+    (schema,) = read_schemas(df)
+    assert "source" not in schema and "lang" not in schema
+
+
+def test_scd2_history_single_exchange(spark, sf_dir):
+    """Duplicate-state collapse (lag), versioning (row_number), and
+    interval close (lead) all share ONE user_id-keyed exchange — a
+    second shuffle of the events table would dominate at scale."""
+    from master_airflow_spark.plans.explain import op_count
+
+    df = _q(spark, sf_dir, "scd2_history_build")
+    assert op_count(df, "Exchange") == 1
+
+
+def test_boilerplate_no_broadcast_of_corpus(spark, sf_dir):
+    """Corpus-frequency join must stay a shuffled hash join keyed on
+    gram at scale — but AQE may legitimately broadcast at sf0.001.
+    The invariant that must hold at ANY size: no cartesian/NLJ, and
+    the document text never read twice (single scan feeding the
+    explode)."""
+    from master_airflow_spark.plans.explain import join_kinds, read_schemas
+
+    df = _q(spark, sf_dir, "boilerplate_shingle_ratio")
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
+    assert all("text" in s or "doc_id" in s for s in read_schemas(df))
+
+
+def test_lsh_ann_single_corpus_scan_one_bounded_shuffle(spark, sf_dir):
+    """The fused LSH kernel: the embeddings table is scanned ONCE by
+    the plan (the bounded query set is collected before planning), and
+    the only exchange is the k*|Q|-bounded window shuffle — no joins
+    at all."""
+    from master_airflow_spark.plans.explain import join_kinds, op_count, read_schemas
+
+    df = _q(spark, sf_dir, "lsh_bucketed_ann")
+    from master_airflow_spark.registry import release_caches
+
+    assert join_kinds(df) == []
+    assert op_count(df, "Exchange") == 1
+    assert len(read_schemas(df)) == 1, "exactly one parquet scan in the plan"
+    release_caches()
