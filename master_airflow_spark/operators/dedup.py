@@ -140,7 +140,14 @@ def shingle_hashes(text_col: str, k: int = SHINGLE_K) -> Column:
     then combine k consecutive token hashes with a polynomial fold.
     Every position gets a shingle; the trailing k-1 partials pad with
     the sentinel j (same rule as the exploded pipeline, so both forms
-    produce identical hash streams)."""
+    produce identical hash streams).
+
+    PERF TRAP: this is a pure Column, so the token-hash array `th` is
+    an inline expression — the outer transform() re-evaluates it per
+    shingle, i.e. quadratic in document length. Fine for bounded test
+    rows; corpus-scale callers must materialize the token hashes as a
+    real column first (see minhash_signatures / the shd build in
+    minhash_estimate_error)."""
     toks = F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
     th = F.transform(toks, _tok_hash)
     n = F.size(toks)
@@ -809,7 +816,14 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     size², and every exchange keys on doc or shingle hashes. Both
     estimate and exact value are integer-counting ratios — bit-exact
     in any engine — so even the ERROR of an approximate operator
-    carries an exact oracle."""
+    carries an exact oracle.
+
+    The shingle rows come from the materialized-token-column form
+    (same trick as minhash_signatures): building them with the
+    shingle_hashes() column helper re-evaluates the token-hash array
+    once PER SHINGLE inside the outer transform() — the quadratic
+    array-lambda trap; on the x10 scale replica that was 27 s vs ~2 s
+    for this form."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -835,9 +849,18 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(N_HASHES)
     ).alias("est_jaccard")
-    shd = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingle_hashes("text"))).alias("sh")
+    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    d1 = docs.select("doc_id", F.transform(toks, _tok_hash).alias("th"))
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), F.size("th")),
+        lambda i: _fold(
+            [
+                F.coalesce(F.try_element_at(F.col("th"), i + j), F.lit(j))
+                for j in range(SHINGLE_K)
+            ]
+        ),
     )
+    shd = d1.select("doc_id", F.explode(F.array_distinct(sh_arr)).alias("sh"))
     sz = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.select("a_id", "b_id")

@@ -147,6 +147,18 @@ def main() -> None:
         f"oracles, {n - n_oracle} rows-only (each with dedicated semantic "
         "tests).",
         "",
+        "## Permanent container boundary: multimodal codecs",
+        "",
+        "This container ships no image/audio/video libraries (no PIL, no",
+        "soundfile, no ffmpeg — re-verified each round), so the JPEG/audio/",
+        "video decode kernels in `operators/multimodal.py` fail loudly at the",
+        "codec call by design, while the pure-Python PPM and FR01 codecs",
+        "exercise the full Spark surface for real: binary columns + typed",
+        "metadata structs, `mapInPandas` Arrow batch shapes, partitioning, and",
+        "schema contracts are all tested end-to-end. Wiring a real codec in is",
+        "a one-function change at the marked `NotImplementedError` sites;",
+        "nothing in the plan layer would move.",
+        "",
     ]
     with open("COVERAGE.md", "w") as f:
         f.write("\n".join(lines))

@@ -202,9 +202,14 @@ def main() -> None:
         "(~212 pairs per copy). lsh_bucketed_ann's query side (vec_id % 50)",
         "grows WITH the corpus until the MAX_QUERIES cap, so its candidate",
         "space grows ~quadratically (~100× at x10) while runtime grows far",
-        "slower — the bucket equi-join absorbing the pair explosion is the",
-        "designed behavior. Sub-1× growth = fixed driver/scheduling",
-        "overhead amortizing, the regime the engine is built for.",
+        "slower — the fused kernel's collide mask pays the dot-product fold",
+        "only on colliding pairs, which is the designed behavior. Sub-1×",
+        "growth = fixed driver/scheduling overhead amortizing, the regime",
+        "the engine is built for.",
+        "boilerplate_shingle_ratio's replicas inherit the per-token salt:",
+        "each copy contributes a disjoint gram vocabulary, so the",
+        "gram-frequency aggregate's key space grows ~linearly with copies —",
+        "its input effectively grows faster than the row column suggests.",
         "pagerank_trade_graph's x1 number carries ~3s of fixed cost (edge",
         "build + 3 iteration plans, each a join+agg job); growth reflects",
         "only the data-dependent part, which is the 100 TB question.",
