@@ -127,3 +127,26 @@ def test_scd2_intervals(spark, tmp_path):
     assert [r.is_current for r in u1] == [False, False, True]
     u2 = [r for r in out if r.user_id == 2]
     assert len(u2) == 1 and u2[0].is_current and u2[0].valid_to is None
+
+
+def test_stream_unique_users_matches_batch_distinct(spark, sf_dir):
+    """The streaming pre-agg + batch rollup recast must equal the
+    direct batch count(DISTINCT user_id) per hour."""
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.registry import REGISTRY
+
+    got = {
+        r.window_start: r.n_users
+        for r in REGISTRY["stream_unique_users_rollup"].fn(spark, sf_dir).collect()
+    }
+    release_caches()
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.window_start: r.n_users
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .collect()
+    }
+    assert got == want
