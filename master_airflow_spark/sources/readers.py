@@ -45,3 +45,22 @@ def read_csv(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .csv(path)
     )
+
+
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file source for multimodal ingest: one row per file with
+    (path, modificationTime, length, content) — the landing-zone shape
+    for image/audio/video blobs before decode kernels run over the
+    `content` column (operators/multimodal.py). `pathGlobFilter`
+    pushes the extension filter into file LISTING, so non-matching
+    files are never opened; at object-store scale listing parallelizes
+    across the driver's listing threads and rows partition by file.
+    Pair with spark.sql.files.maxPartitionBytes sizing when blobs are
+    large — one task per blob is the failure mode to avoid for
+    millions of small files (coalesce the read or compact upstream)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -90,6 +90,7 @@ MODULE_ROWS = [
     ("—", "Skew salting", "operators/skew.py", "tests/test_skew.py"),
     ("—", "Custom stateful streaming", "streaming/stateful.py (applyInPandasWithState)", "tests/test_stateful.py"),
     ("—", "JSON/CSV/ORC sources with corrupt-record surfacing", "sources/readers.py; ORC round-trip", "tests/test_readers.py"),
+    ("—", "binaryFile source for multimodal blob ingest (glob pushdown)", "sources/readers.py read_binary_dir", "tests/test_multimodal_plumbing.py (decode-kernel round-trip)"),
     ("—", "Exactly-once streaming sink (batch-id ledger)", "sinks/writers.py idempotent_batch_writer", "tests/test_streaming.py (replay test)"),
     ("O4", "Per-stage retries (default_args parity, injectable clock)", "pipeline.py Stage.retries", "tests/test_pipeline.py"),
 ]
