@@ -153,3 +153,101 @@ def test_top1_argmax_equals_sort_limit(spark, rows):
         lo = min(pool, key=lambda r: (r[1], r[2], r[3]))
         assert got["highest"] == (hi[1], hi[2], hi[3])
         assert got["lowest"] == (lo[1], lo[2], lo[3])
+
+
+@given(
+    logs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),    # user_id
+            st.integers(min_value=0, max_value=40),   # minute offset
+            st.sampled_from(["A", "B", "C"]),         # state
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),  # one event per (user, ts)
+    )
+)
+@settings(**SETTINGS)
+def test_scd2_reconstruction_law(spark, logs):
+    """SCD2 round-trip: replaying each ORIGINAL event's timestamp
+    against the built history (the interval containing it) must return
+    that event's state — history construction loses no information
+    beyond duplicate-state collapse. Plus structural laws: per user,
+    versions are dense from 1, intervals chain, exactly one current."""
+    from master_airflow_spark.operators.window import scd2_history_build
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), u, s, 0.0, "{}")
+        for i, (u, m, s) in enumerate(sorted(logs))
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        hist = scd2_history_build(spark, d).collect()
+
+    by_user: dict[int, list] = {}
+    for r in hist:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.version)
+        assert [r.version for r in ivs] == list(range(1, len(ivs) + 1))
+        assert sum(1 for r in ivs if r.is_current) == 1
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.status != b.status, "consecutive versions must differ"
+    # replay: every original event falls in an interval with its state
+    for _, ts, u, s, _, _ in rows:
+        (match,) = [
+            r
+            for r in by_user[u]
+            if r.valid_from <= ts and (r.valid_to is None or ts < r.valid_to)
+        ]
+        assert match.status == s
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["the", "cat", "sat", "on", "mat", "a", "dog"]),
+            min_size=1,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_quality_logit_bounds_and_determinism(spark, texts):
+    """Classifier outputs are well-defined for any nonempty token
+    stream: features in their ranges, keep == (logit >= 0), and the
+    score is a pure function of the text (same text → same logit)."""
+    from master_airflow_spark.operators.corpus_quality import quality_logit_score
+
+    import tempfile
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "prop", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = quality_logit_score(spark, d).collect()
+    by_id = {r.doc_id: r for r in rows}
+    logit_by_text: dict[str, float] = {}
+    for i, t in enumerate(texts):
+        r = by_id[i]
+        assert 0.0 <= r.stop_ratio <= 1.0
+        assert 0.0 < r.type_token_ratio <= 1.0
+        assert r.keep == (r.logit >= 0.0)
+        if t in logit_by_text:
+            assert logit_by_text[t] == r.logit
+        logit_by_text[t] = r.logit
