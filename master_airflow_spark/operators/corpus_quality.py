@@ -24,7 +24,7 @@ from master_airflow_spark.operators.text import (
     exploded_ngrams,
     tokens,
 )
-from master_airflow_spark.registry import register
+from master_airflow_spark.registry import register, track_cache
 
 # A word k-gram shared by >= BOILER_MIN_DOCS distinct documents is
 # "boilerplate" (navigation chrome, license headers, templated spam).
@@ -68,9 +68,16 @@ def boilerplate_shingle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies, join back on gram, one doc-keyed aggregate. Every
     exchange is keyed by gram or doc hash — no broadcast of anything
     corpus-sized, no skew beyond what AQE's skew-join handles (a
-    pathologically common gram is exactly a hot key)."""
+    pathologically common gram is exactly a hot key). The distinct
+    (doc_id, gram) set feeds BOTH the frequency aggregate and the
+    join-back, so it is persisted (tracked, spillable): without the
+    cache Spark plans two full tokenize→explode→distinct passes over
+    the corpus (ReuseExchange does not fire across the differently-
+    projected branches — verified on the formatted plan)."""
     docs = load_table(spark, sf_dir, "documents")
-    dg = exploded_ngrams(docs, BOILER_K).select("doc_id", "gram").distinct()
+    dg = track_cache(
+        exploded_ngrams(docs, BOILER_K).select("doc_id", "gram").distinct()
+    )
     freq = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         dg.join(freq, "gram")

@@ -145,9 +145,8 @@ def shingle_hashes(text_col: str, k: int = SHINGLE_K) -> Column:
     PERF TRAP: this is a pure Column, so the token-hash array `th` is
     an inline expression — the outer transform() re-evaluates it per
     shingle, i.e. quadratic in document length. Fine for bounded test
-    rows; corpus-scale callers must materialize the token hashes as a
-    real column first (see minhash_signatures / the shd build in
-    minhash_estimate_error)."""
+    rows; corpus-scale callers must use doc_shingle_arrays (the
+    materialized-token-column form)."""
     toks = F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
     th = F.transform(toks, _tok_hash)
     n = F.size(toks)
@@ -194,15 +193,17 @@ def with_bands(df: DataFrame, sig: str = "sig") -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, sig) via per-row array expressions — ZERO shuffle: token
-    hashes materialize as a real column first (an attribute reference
-    inside transform() is read per element, whereas an inline outer
-    array EXPRESSION would re-evaluate per element — the quadratic
-    lambda trap), then the k-gram fold and the 16 affine-min lanes run
-    inside WholeStageCodegen at scan speed. Preferred form for bounded-
-    length documents; minhash_signatures_exploded below is the
-    shuffle-based shape for corpora with pathologically long rows."""
+def doc_shingle_arrays(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, sh: array<long>) — each document's full shingle-hash
+    stream as a per-row array, LINEAR in document length: token hashes
+    materialize as a real column first (an attribute reference inside
+    transform() is read per element, whereas an inline outer array
+    EXPRESSION would re-evaluate per element — the quadratic lambda
+    trap), then the k-gram fold runs inside WholeStageCodegen at scan
+    speed. The single source of the sentinel-pad shingle rule for the
+    array-form pipelines: minhash_signatures and the exact-Jaccard
+    side of minhash_estimate_error both derive from it, so the rule
+    cannot desync between the estimate and its audit."""
     toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
     d1 = docs.select("doc_id", F.transform(toks, _tok_hash).alias("th"))
     sh = F.transform(
@@ -211,8 +212,19 @@ def minhash_signatures(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
             [F.coalesce(F.try_element_at(F.col("th"), i + j), F.lit(j)) for j in range(k)]
         ),
     )
-    d2 = d1.select("doc_id", sh.alias("sh"))
-    return d2.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+    return d1.select("doc_id", sh.alias("sh"))
+
+
+def minhash_signatures(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, sig) via per-row array expressions — ZERO shuffle: the
+    shingle arrays come from doc_shingle_arrays (linear form), then the
+    16 affine-min lanes run inside WholeStageCodegen at scan speed.
+    Preferred form for bounded-length documents;
+    minhash_signatures_exploded below is the shuffle-based shape for
+    corpora with pathologically long rows."""
+    return doc_shingle_arrays(docs, k).select(
+        "doc_id", minhash_signature(F.col("sh")).alias("sig")
+    )
 
 
 def minhash_signatures_exploded(docs: DataFrame, k: int = 5) -> DataFrame:
@@ -818,12 +830,13 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     in any engine — so even the ERROR of an approximate operator
     carries an exact oracle.
 
-    The shingle rows come from the materialized-token-column form
-    (same trick as minhash_signatures): building them with the
-    shingle_hashes() column helper re-evaluates the token-hash array
-    once PER SHINGLE inside the outer transform() — the quadratic
-    array-lambda trap; on the x10 scale replica that was 27 s vs ~2 s
-    for this form."""
+    The shingle rows come from doc_shingle_arrays — the SAME builder
+    minhash_signatures derives the signatures from, so the estimate
+    and its audit can't disagree about the shingle rule. (Building
+    them with the shingle_hashes() column helper instead re-evaluates
+    the token-hash array once PER SHINGLE inside the outer transform()
+    — the quadratic array-lambda trap; 27 s vs ~2 s on the x10 scale
+    replica.)"""
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -849,18 +862,9 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(N_HASHES)
     ).alias("est_jaccard")
-    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
-    d1 = docs.select("doc_id", F.transform(toks, _tok_hash).alias("th"))
-    sh_arr = F.transform(
-        F.sequence(F.lit(1), F.size("th")),
-        lambda i: _fold(
-            [
-                F.coalesce(F.try_element_at(F.col("th"), i + j), F.lit(j))
-                for j in range(SHINGLE_K)
-            ]
-        ),
+    shd = doc_shingle_arrays(docs).select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("sh")
     )
-    shd = d1.select("doc_id", F.explode(F.array_distinct(sh_arr)).alias("sh"))
     sz = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.select("a_id", "b_id")

@@ -259,7 +259,11 @@ def stream_unique_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events_stream(spark, sf_dir)
     per_user = (
-        ev.withWatermark("ts", "10 minutes")
+        # NULL user_id would become its own state row and inflate the
+        # rollup by one, while the oracle's count(DISTINCT) ignores
+        # NULLs — filter to keep the recast exactly equivalent.
+        ev.where(F.col("user_id").isNotNull())
+        .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )

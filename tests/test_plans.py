@@ -405,16 +405,29 @@ def test_scd2_history_single_exchange(spark, sf_dir):
 def test_boilerplate_no_broadcast_of_corpus(spark, sf_dir):
     """Corpus-frequency join must stay a shuffled hash join keyed on
     gram at scale — but AQE may legitimately broadcast at sf0.001.
-    The invariant that must hold at ANY size: no cartesian/NLJ, and
-    the document text never read twice (single scan feeding the
-    explode)."""
-    from master_airflow_spark.plans.explain import join_kinds, read_schemas
+    The invariants that must hold at ANY size: no cartesian/NLJ, and
+    the tokenize→explode→distinct pass over the corpus runs ONCE —
+    the (doc_id, gram) set is cached, so the plan contains exactly one
+    parquet scan of the text column (two InMemoryTableScans replace
+    the second full pass ReuseExchange failed to dedup)."""
+    from master_airflow_spark.plans.explain import (
+        join_kinds,
+        op_count,
+        read_schemas,
+    )
+    from master_airflow_spark.registry import release_caches
 
     df = _q(spark, sf_dir, "boilerplate_shingle_ratio")
     kinds = join_kinds(df)
+    schemas = read_schemas(df)
+    n_cache_reads = op_count(df, "InMemoryTableScan")
+    release_caches()
     assert "CartesianProduct" not in kinds
     assert "BroadcastNestedLoopJoin" not in kinds
-    assert all("text" in s or "doc_id" in s for s in read_schemas(df))
+    assert sum("text" in s for s in schemas) == 1, (
+        f"text must be scanned exactly once, got {schemas}"
+    )
+    assert n_cache_reads == 2, "freq and join-back must both read the cache"
 
 
 def test_lsh_ann_single_corpus_scan_one_bounded_shuffle(spark, sf_dir):
@@ -427,7 +440,10 @@ def test_lsh_ann_single_corpus_scan_one_bounded_shuffle(spark, sf_dir):
     df = _q(spark, sf_dir, "lsh_bucketed_ann")
     from master_airflow_spark.registry import release_caches
 
-    assert join_kinds(df) == []
-    assert op_count(df, "Exchange") == 1
-    assert len(read_schemas(df)) == 1, "exactly one parquet scan in the plan"
-    release_caches()
+    kinds = join_kinds(df)
+    n_exchanges = op_count(df, "Exchange")
+    schemas = read_schemas(df)
+    release_caches()  # before asserts: a failure must not leak the broadcast
+    assert kinds == []
+    assert n_exchanges == 1
+    assert len(schemas) == 1, "exactly one parquet scan in the plan"
