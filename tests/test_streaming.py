@@ -243,3 +243,46 @@ def test_idempotent_batch_writer_replay_is_exactly_once(spark, sf_dir, tmp_path)
     assert out.where("batch_id = 0").count() == 10, "replays must not re-write"
     assert out.where("batch_id = 1").count() == 7
     assert out.count() == 17
+
+
+def test_unique_users_rollup_across_batches(spark, tmp_path):
+    """The exact-distinct recast (per-(window,user) streaming state +
+    batch rollup over the drained snapshot) must stay exact when the
+    SAME user arrives in different micro-batches: the stateful
+    aggregate merges across triggers, so the rollup still counts each
+    (window, user) once."""
+    from pyspark.sql import functions as F
+
+    d = _stage(
+        tmp_path,
+        [
+            # batch 0: users 1,2 in hour 10; user 1 twice
+            [
+                (1, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+                (2, "2024-01-01 10:10:00", 1, "click", 1.0, "{}"),
+                (3, "2024-01-01 10:15:00", 2, "click", 1.0, "{}"),
+            ],
+            # batch 1: user 1 AGAIN in hour 10 (state merge, not a new
+            # distinct), user 3 new in hour 10, user 1 in hour 11
+            [
+                (4, "2024-01-01 10:20:00", 1, "view", 1.0, "{}"),
+                (5, "2024-01-01 10:25:00", 3, "view", 1.0, "{}"),
+                (6, "2024-01-01 11:05:00", 1, "view", 1.0, "{}"),
+            ],
+        ],
+    )
+    per_user = (
+        read_events_stream(spark, d)
+        .where(F.col("user_id").isNotNull())
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    drained = run_to_memory(per_user, "complete")
+    got = {
+        str(r.window_start): r.n_users
+        for r in drained.groupBy(F.col("w.start").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .collect()
+    }
+    assert got == {"2024-01-01 10:00:00": 3, "2024-01-01 11:00:00": 1}
