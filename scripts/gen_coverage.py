@@ -87,6 +87,7 @@ MODULE_ROWS = [
     ("O5", "Fan-out to N sinks", "sinks/writers.py fan_out; streaming foreachBatch", "tests/test_ingest.py, test_streaming.py"),
     ("O6", "Distributed execution", "Spark scheduler (local[32] here; partitioning designed for clusters)", "plan tests"),
     ("—", "Bucketed co-located joins", "sinks/bucketed.py", "tests/test_bucketing.py (Exchange-free plan)"),
+    ("—", "Z-order (Morton) clustered write for multi-dim file skipping", "sinks/zorder.py; operators/layout.py (exact-oracle key query)", "tests/test_zorder.py (file-footprint + pruning measurement)"),
     ("—", "Skew salting", "operators/skew.py", "tests/test_skew.py"),
     ("—", "Custom stateful streaming", "streaming/stateful.py (applyInPandasWithState)", "tests/test_stateful.py"),
     ("—", "JSON/CSV/ORC sources with corrupt-record surfacing", "sources/readers.py; ORC round-trip", "tests/test_readers.py"),
