@@ -184,7 +184,16 @@ def main() -> None:
         "partial+final `HashAggregate` pairs around single exchanges.",
         "",
     ]
-    for name in HEADLINE:
+    # Headline set plus non-headline showcase operators whose plan
+    # shape IS the scale argument (round-5 additions).
+    showcase = [
+        "boilerplate_shingle_ratio",
+        "quality_logit_score",
+        "minhash_estimate_error",
+        "scd2_history_build",
+        "zorder_layout_keys",
+    ]
+    for name in HEADLINE + [s for s in showcase if s not in HEADLINE]:
         spec = registry.REGISTRY.get(name)
         if spec is None:
             continue
@@ -193,6 +202,7 @@ def main() -> None:
             continue
         df = spec.fn(spark, sf_dir)
         chunks += [f"## {name}", "", "```", formatted(df).strip(), "```", ""]
+        registry.release_caches()
     with open("PLANS.md", "w") as f:
         f.write("\n".join(chunks))
     print("PLANS.md written")
