@@ -161,3 +161,180 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kind"),
     )
     return out.orderBy(F.desc("rank_scaled"), "node").limit(25)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (co-supplier graph)
+
+
+# One month of orders keeps the co-supplier graph in the sparse regime
+# the algorithm is designed for (an unfiltered month-less graph on the
+# synthetic data saturates toward the complete graph, where Θ(n³)
+# output makes ANY triangle algorithm cubic — no engine fixes that).
+_TRI_WINDOW = ("1995-03-01", "1995-04-01")
+
+_TRIANGLE_ORACLE = f"""
+WITH pairs AS (
+    SELECT DISTINCT l.l_orderkey AS okey, l.l_suppkey AS s
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= DATE '{_TRI_WINDOW[0]}'
+      AND o.o_orderdate <  DATE '{_TRI_WINDOW[1]}'
+),
+edges AS (
+    SELECT DISTINCT a.s AS u, b.s AS v
+    FROM pairs a JOIN pairs b ON a.okey = b.okey AND a.s < b.s
+)
+SELECT
+    (SELECT count(*) FROM (
+        SELECT u AS node FROM edges UNION SELECT v FROM edges)) AS n_nodes,
+    (SELECT count(*) FROM edges) AS n_edges,
+    (SELECT count(*)
+     FROM edges e1
+     JOIN edges e2 ON e2.u = e1.v
+     JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+"""
+
+
+@register("triangle_count_cosuppliers", oracle=_TRIANGLE_ORACLE, tags=("X28", "graph"))
+def triangle_count_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the co-supplier graph (two suppliers
+    are adjacent iff they ship line items on the same order) for one
+    month of orders — the clustering-structure statistic PageRank and
+    connected components don't see.
+
+    Integer-only counting, so the oracle matches bit-exactly.
+
+    Algorithm: every edge is stored once in canonical orientation
+    u < v; a triangle {a < b < c} is counted exactly once as the
+    wedge (a,b)+(b,c) closed by (a,c) — three self-equi-joins on the
+    oriented edge list, the standard distributed formulation
+    (node-iterator-in-joins). Scale posture: the month filter pushes
+    to the orders scan (partition pruning on a date-partitioned
+    layout); per-order supplier pairs are bounded by the order's line
+    count squared (TPC-H-like ≤ 7 lines ⇒ ≤ 21 pairs) so the pair
+    explosion is linear in lineitem; the wedge join's intermediate is
+    Σ_v indeg(v)·outdeg(v) under the u<v orientation, the quantity a
+    degree-ordered orientation would minimize on a skewed real graph
+    (swap the `<` for a (degree, id) total order when hub nodes
+    appear — same plan shape, one extra degree join). The edge list
+    feeds three join sides, hence the tracked cache."""
+    from master_airflow_spark.registry import track_cache
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_TRI_WINDOW[0]).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_TRI_WINDOW[1]).cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = pairs.select(F.col("okey"), F.col("s").alias("u"))
+    b = pairs.select(F.col("okey").alias("okey_b"), F.col("s").alias("v"))
+    edges = track_cache(
+        a.join(b, (a.okey == b.okey_b) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+    )
+    e1 = edges.select(F.col("u").alias("t_a"), F.col("v").alias("t_b"))
+    e2 = edges.select(F.col("u").alias("w_b"), F.col("v").alias("t_c"))
+    e3 = edges.select(F.col("u").alias("c_a"), F.col("v").alias("c_c"))
+    triangles = (
+        e1.join(e2, F.col("t_b") == F.col("w_b"))
+        .join(e3, (F.col("t_a") == F.col("c_a")) & (F.col("t_c") == F.col("c_c")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    # three single-row aggregates — the crossJoins are 1×1×1
+    return nodes.crossJoin(n_edges).crossJoin(triangles)
+
+
+# ---------------------------------------------------------------------------
+# Bounded multi-source BFS (hop histogram)
+
+_BFS_HOPS = 4
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE trade AS (
+    SELECT DISTINCT o.o_custkey AS custkey, l.l_suppkey AS suppkey
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+    SELECT custkey * 2 AS src, suppkey * 2 + 1 AS dst FROM trade
+    UNION ALL
+    SELECT suppkey * 2 + 1 AS src, custkey * 2 AS dst FROM trade
+),
+bfs(node, hop) AS (
+    SELECT s_suppkey * 2 + 1, 0 FROM supplier WHERE s_suppkey % 10 = 1
+    UNION
+    SELECT e.dst, b.hop + 1
+    FROM bfs b JOIN edges e ON e.src = b.node
+    WHERE b.hop < {_BFS_HOPS}
+),
+dist AS (SELECT node, min(hop) AS hop FROM bfs GROUP BY node)
+SELECT hop, count(*) AS n_nodes FROM dist GROUP BY hop ORDER BY hop
+"""
+
+
+@register("bfs_reachability_hops", oracle=_BFS_ORACLE, tags=("X28", "graph"))
+def bfs_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS on the bipartite trade graph: seed at
+    every 10th supplier (a deterministic seed set that is non-empty at
+    every scale factor), expand {_BFS_HOPS} hops, return the hop
+    histogram (how many nodes are first reached at each distance) —
+    the reachability/diameter probe of the graph family. Oracle is a
+    recursive CTE; integer hops, so exact.
+
+    Spark-side: the textbook iterative-frontier formulation — each
+    round joins the CURRENT FRONTIER (not the whole visited set) to
+    the edge list, anti-joins out already-visited nodes, and unions
+    the survivors into the distance table. Frontier and distance
+    table are node-sized (≪ edges) and cached per round (the tracked
+    cache both truncates the doubling lineage and stops Spark
+    recomputing round k-1's BFS inside round k); the edge list is
+    built once, cached, and its src-hash shuffle partitioning is
+    reused by every round's join — per round the only moving data is
+    the frontier."""
+    from master_airflow_spark.registry import track_cache
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    trade = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    edges = track_cache(
+        trade.select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        ).unionAll(
+            trade.select(
+                (F.col("l_suppkey") * 2 + 1).alias("src"),
+                (F.col("o_custkey") * 2).alias("dst"),
+            )
+        )
+    )
+    frontier = track_cache(
+        supplier.where(F.col("s_suppkey") % 10 == 1).select(
+            (F.col("s_suppkey") * 2 + 1).alias("node")
+        )
+    )
+    dist = frontier.withColumn("hop", F.lit(0))
+    for h in range(1, _BFS_HOPS + 1):
+        reached = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = track_cache(reached.join(dist, "node", "left_anti"))
+        dist = track_cache(dist.unionAll(frontier.withColumn("hop", F.lit(h))))
+    return dist.groupBy("hop").agg(F.count(F.lit(1)).alias("n_nodes")).orderBy("hop")

@@ -1,0 +1,139 @@
+"""Crafted-graph law tests for the round-5b graph additions: triangle
+counting on the co-supplier graph and bounded multi-source BFS. The
+exact-value certification is the DuckDB differential harness
+(test_oracle.py / driver window); these pin the graph semantics on
+hand-built graphs where the right answer is countable by eye."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from master_airflow_spark.registry import release_caches
+
+IN_WIN = datetime(1995, 3, 5)
+OUT_WIN = datetime(1995, 5, 1)
+
+
+def _write(df, path):
+    df.write.parquet(str(path))
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    )
+
+
+def _lineitem(spark, rows):
+    return spark.createDataFrame(rows, "l_orderkey long, l_suppkey long")
+
+
+def test_triangle_count_crafted(spark, tmp_path):
+    """Order 1 (in the month window) carries suppliers {1,2,3} — one
+    triangle. Order 2 (outside the window) links supplier 4 and would
+    add edges if the date filter leaked. Duplicate lineitem rows must
+    not double-count edges."""
+    from master_airflow_spark.operators.graph import triangle_count_cosuppliers
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    _write(
+        _orders(spark, [(1, 10, IN_WIN), (2, 11, OUT_WIN)]), d / "orders.parquet"
+    )
+    _write(
+        _lineitem(
+            spark,
+            [(1, 1), (1, 2), (1, 3), (1, 3), (2, 1), (2, 4)],
+        ),
+        d / "lineitem.parquet",
+    )
+    row = triangle_count_cosuppliers(spark, str(d)).collect()[0]
+    release_caches()
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (3, 3, 1)
+
+
+def test_triangle_count_square_has_none(spark, tmp_path):
+    """A 4-cycle (two orders sharing no third supplier) has 4 edges and
+    zero triangles — adjacency alone must not be counted."""
+    from master_airflow_spark.operators.graph import triangle_count_cosuppliers
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    _write(
+        _orders(spark, [(i, 10 + i, IN_WIN) for i in range(1, 5)]),
+        d / "orders.parquet",
+    )
+    # cycle 1-2, 2-3, 3-4, 4-1: each order contributes one edge
+    _write(
+        _lineitem(spark, [(1, 1), (1, 2), (2, 2), (2, 3), (3, 3), (3, 4), (4, 4), (4, 1)]),
+        d / "lineitem.parquet",
+    )
+    row = triangle_count_cosuppliers(spark, str(d)).collect()[0]
+    release_caches()
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 4, 0)
+
+
+def test_bfs_chain_hop_histogram(spark, tmp_path):
+    """Path graph seeded at supplier 1 (1 % 10 == 1): supp1 →(cust100)
+    supp2 →(cust200) supp3. Expected first-reach distances: hop0 supp1,
+    hop1 cust100, hop2 supp2, hop3 cust200, hop4 supp3. Supplier 8 is
+    isolated (never reached ⇒ absent, not hop-∞)."""
+    from master_airflow_spark.operators.graph import bfs_reachability_hops
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    _write(
+        spark.createDataFrame([(1,), (2,), (3,), (8,)], "s_suppkey long"),
+        d / "supplier.parquet",
+    )
+    _write(
+        _orders(
+            spark,
+            [(1, 100, IN_WIN), (2, 100, IN_WIN), (3, 200, IN_WIN), (4, 200, IN_WIN)],
+        ),
+        d / "orders.parquet",
+    )
+    _write(
+        _lineitem(spark, [(1, 1), (2, 2), (3, 2), (4, 3)]),
+        d / "lineitem.parquet",
+    )
+    hist = {r.hop: r.n_nodes for r in bfs_reachability_hops(spark, str(d)).collect()}
+    release_caches()
+    assert hist == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_bfs_min_hop_wins(spark, tmp_path):
+    """A node reachable at hop 2 via one branch and hop 4 via another
+    must be counted once, at distance 2 (frontier anti-join drops
+    revisits)."""
+    from master_airflow_spark.operators.graph import bfs_reachability_hops
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    _write(
+        spark.createDataFrame([(1,), (2,), (3,)], "s_suppkey long"),
+        d / "supplier.parquet",
+    )
+    # seed supp1; cust100 buys from supp1 AND supp2 (supp2 at hop 2);
+    # cust300 buys from supp2 AND supp3: supp3 at hop 4 via the chain,
+    # but cust300 itself is hop 3 only through supp2.
+    _write(
+        _orders(
+            spark,
+            [
+                (1, 100, IN_WIN),
+                (2, 100, IN_WIN),
+                (3, 300, IN_WIN),
+                (4, 300, IN_WIN),
+            ],
+        ),
+        d / "orders.parquet",
+    )
+    _write(
+        _lineitem(spark, [(1, 1), (2, 2), (3, 2), (4, 3)]),
+        d / "lineitem.parquet",
+    )
+    hist = {r.hop: r.n_nodes for r in bfs_reachability_hops(spark, str(d)).collect()}
+    release_caches()
+    # hop0: supp1; hop1: cust100; hop2: supp2; hop3: cust300; hop4: supp3
+    assert hist == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
