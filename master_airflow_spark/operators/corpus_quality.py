@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from master_airflow_spark.catalog import load_table
 from master_airflow_spark.operators.text import (
@@ -158,4 +159,98 @@ def quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         cpt.alias("chars_per_token"),
         logit.alias("logit"),
         (logit >= 0.0).alias("keep"),
+    )
+
+
+# Duplicate-span extraction: window width (tokens) and the
+# cross-document threshold (>= 2 docs share the gram).
+DUPSPAN_K = 5
+
+_DUPSPAN_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - {DUPSPAN_K} + 2),
+        i -> struct_pack(pos := i - 1,
+                         gram := array_to_string(toks[i:i + {DUPSPAN_K} - 1], ' ')))) AS pg
+      FROM t WHERE len(toks) >= {DUPSPAN_K}),
+gp AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g),
+freq AS (SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS nd FROM gp GROUP BY gram) WHERE nd >= 2),
+dup AS (SELECT doc_id, pos FROM gp JOIN freq USING (gram)),
+flagged AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER w IS NULL
+                  OR pos - lag(pos) OVER w > {DUPSPAN_K} THEN 1 ELSE 0 END AS newf
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+isl AS (SELECT doc_id, pos,
+        CAST(sum(newf) OVER (
+            PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS span_seq
+        FROM flagged)
+SELECT doc_id, span_seq, min(pos) AS span_start,
+       max(pos) + {DUPSPAN_K} - 1 AS span_end,
+       count(*) AS n_windows,
+       max(pos) + {DUPSPAN_K} - min(pos) AS n_tokens
+FROM isl GROUP BY doc_id, span_seq
+"""
+
+
+@register("dup_span_extract", oracle=_DUPSPAN_ORACLE, tags=("X24", "X26", "X9"))
+def dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated token spans per document —
+    the span-level output of exact-substring deduplication (the
+    suffix-array dedup of "Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2022, §4.1, restated window-wise): a
+    position's {DUPSPAN_K}-token window is "duplicated" when the same
+    window text occurs in at least one OTHER document, and runs of
+    duplicated windows that overlap or touch (gap <= K tokens) merge
+    into one maximal span via gaps-and-islands (lag + running sum of
+    new-island flags). Emits (doc_id, span_seq, span_start, span_end,
+    n_windows, n_tokens) in token coordinates — the spans a dedup
+    pass would CUT, where boilerplate_shingle_ratio only scores and
+    exact/MinHash dedup only drop whole documents.
+
+    Integer positions and counts end-to-end: exact oracle.
+
+    Scale shape: posexplode is linear in corpus tokens; the gram
+    frequency pass is one gram-keyed aggregate with map-side combine;
+    the join back is gram-keyed (never broadcasts anything
+    corpus-sized); the islands pass sorts only each document's OWN
+    duplicated positions (doc_id-partitioned window — bounded by
+    document length, no global sort). A pathologically common gram is
+    a hot key for the join; that is AQE skew-join territory, same as
+    the boilerplate operator. The distinct (doc_id, gram) projection
+    feeds only the frequency side here (positions must survive for
+    the islands), so unlike boilerplate_shingle_ratio nothing needs a
+    tracked cache: each branch is consumed exactly once."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = exploded_ngrams(docs, DUPSPAN_K)
+    dup_grams = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup = grams.join(dup_grams, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    flagged = dup.select(
+        "doc_id",
+        "pos",
+        F.when(prev.isNull() | (F.col("pos") - prev > DUPSPAN_K), 1)
+        .otherwise(0)
+        .alias("newf"),
+    )
+    isl = flagged.select(
+        "doc_id",
+        "pos",
+        F.sum("newf")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("span_seq"),
+    )
+    return isl.groupBy("doc_id", "span_seq").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + DUPSPAN_K - 1).alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+        (F.max("pos") + DUPSPAN_K - F.min("pos")).alias("n_tokens"),
     )

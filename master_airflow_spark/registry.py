@@ -64,8 +64,9 @@ def register(
 # oldest (round-1) stamps, widest-distinct code paths first.
 # (The round-5 additions — boilerplate_shingle_ratio,
 # quality_logit_score, minhash_estimate_error, scd2_history_build,
-# stream_unique_users_rollup, zorder_layout_keys — did not fit this
-# window and are round 6's first promotions; all pass the local
+# stream_unique_users_rollup, zorder_layout_keys, dup_span_extract,
+# triangle_count_cosuppliers, bfs_reachability_hops — did not fit this window
+# and are round 6's first promotions; all pass the local
 # differential harness and tests/test_round5_ops.py / test_zorder.py.)
 PRIORITY: tuple[str, ...] = (
     # (0) never driver-certified — rows X28/X29/X31 first, then the

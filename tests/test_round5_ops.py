@@ -150,3 +150,40 @@ def test_stream_unique_users_matches_batch_distinct(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_dup_span_extract_merges_touching_windows(spark, tmp_path):
+    """Two docs share a 7-token passage; a third is clean. The 3
+    overlapping duplicated 5-gram windows (positions 2,3,4 in doc 0;
+    0,1,2 in doc 1) must merge into ONE maximal span each, with token
+    coordinates covering exactly the shared passage, and the clean
+    doc must emit nothing."""
+    from master_airflow_spark.operators.corpus_quality import (
+        DUPSPAN_K,
+        dup_span_extract,
+    )
+
+    assert DUPSPAN_K == 5  # positions below are computed for K=5
+    shared = "the quick brown fox jumps over fences"  # 7 tokens
+    docs = [
+        f"alpha beta {shared} gamma delta",  # span tokens 2..8
+        f"{shared} epsilon zeta eta theta iota",  # span tokens 0..6
+        "completely original text with no repeated passage anywhere at all",
+    ]
+    d = tmp_path / "sfX"
+    d.mkdir()
+    _docs(spark, docs).write.parquet(str(d / "documents.parquet"))
+    out = dup_span_extract(spark, str(d)).collect()
+    release_caches()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc, "clean doc must emit no spans"
+    assert len(by_doc[0]) == 1 and len(by_doc[1]) == 1
+    s0, s1 = by_doc[0][0], by_doc[1][0]
+    assert (s0.span_start, s0.span_end) == (2, 8)
+    assert (s1.span_start, s1.span_end) == (0, 6)
+    for s in (s0, s1):
+        assert s.n_windows == 3
+        assert s.n_tokens == 7
+        assert s.span_seq == 1
