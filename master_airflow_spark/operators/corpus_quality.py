@@ -193,6 +193,25 @@ FROM isl GROUP BY doc_id, span_seq
 """
 
 
+def _dup_window_starts(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos) of every full DUPSPAN_K-token window whose text
+    occurs in >= 2 distinct documents. Shared candidate-generation
+    stage of dup_span_extract (reports spans) and dup_span_cut
+    (removes them): one gram-keyed aggregate for the cross-document
+    frequency, one gram-keyed join back — never all-pairs, never a
+    corpus-sized broadcast."""
+    grams = exploded_ngrams(docs, DUPSPAN_K)
+    dup_grams = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    return grams.join(dup_grams, "gram").select("doc_id", "pos")
+
+
 @register("dup_span_extract", oracle=_DUPSPAN_ORACLE, tags=("X24", "X26", "X9"))
 def dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal cross-document duplicated token spans per document —
@@ -222,16 +241,7 @@ def dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the islands), so unlike boilerplate_shingle_ratio nothing needs a
     tracked cache: each branch is consumed exactly once."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = exploded_ngrams(docs, DUPSPAN_K)
-    dup_grams = (
-        grams.select("doc_id", "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("gram")
-    )
-    dup = grams.join(dup_grams, "gram").select("doc_id", "pos")
+    dup = _dup_window_starts(docs)
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     flagged = dup.select(
@@ -253,4 +263,95 @@ def dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + DUPSPAN_K - 1).alias("span_end"),
         F.count(F.lit(1)).alias("n_windows"),
         (F.max("pos") + DUPSPAN_K - F.min("pos")).alias("n_tokens"),
+    )
+
+_DUPCUT_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - {DUPSPAN_K} + 2),
+        i -> struct_pack(pos := i - 1,
+                         gram := array_to_string(toks[i:i + {DUPSPAN_K} - 1], ' ')))) AS pg
+      FROM t WHERE len(toks) >= {DUPSPAN_K}),
+gp AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g),
+freq AS (SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS nd FROM gp GROUP BY gram) WHERE nd >= 2),
+dup AS (SELECT doc_id, pos FROM gp JOIN freq USING (gram)),
+tk AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        i -> struct_pack(pos := i - 1, tok := toks[i]))) AS pt FROM t),
+tok AS (SELECT doc_id, pt.pos AS pos, pt.tok AS tok FROM tk),
+mk AS (SELECT tok.doc_id, tok.pos, tok.tok,
+        CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END AS is_start
+       FROM tok LEFT JOIN dup d ON tok.doc_id = d.doc_id AND tok.pos = d.pos),
+rm AS (SELECT doc_id, pos, tok,
+        max(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN {DUPSPAN_K - 1} PRECEDING AND CURRENT ROW) AS removed
+       FROM mk)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(removed) AS BIGINT) AS n_tokens_removed,
+       count(*) - CAST(sum(removed) AS BIGINT) AS n_tokens_kept,
+       coalesce(string_agg(CASE WHEN removed = 0 THEN tok END, ' ' ORDER BY pos),
+                '') AS clean_text
+FROM rm GROUP BY doc_id
+"""
+
+
+@register("dup_span_cut", oracle=_DUPCUT_ORACLE, tags=("X24", "X26", "X16"))
+def dup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup CUT: rebuild each document's text with
+    every cross-document duplicated span removed — the destructive
+    half of Lee et al. 2022 §4.1 that dup_span_extract only reports.
+    A token is removed when ANY duplicated {DUPSPAN_K}-token window
+    covers it, i.e. when a duplicated window STARTS within the
+    trailing K-1 positions — a rolling max over a ROWS frame on the
+    contiguous position stream (posexplode guarantees density, so the
+    ROWS frame is exactly the token-coordinate interval). Emits
+    (doc_id, n_tokens, n_tokens_removed, n_tokens_kept, clean_text);
+    docs whose every token is duplicated survive with clean_text=''
+    (the aggregate keeps all docs — removal is a flag folded in the
+    agg, never a row filter that could drop a fully-duplicated doc).
+
+    Integer counts and byte-exact string reassembly: exact oracle.
+
+    Scale shape: candidate generation is the shared
+    _dup_window_starts gram-keyed join (see dup_span_extract); the
+    marking join is (doc_id,pos)-keyed with the duplicated-window
+    side small; the rolling max and the reassembly sort are both
+    doc_id-partitioned (bounded by document length). collect_list of
+    a document's own tokens is per-group state bounded by max doc
+    length — same bound any whole-document operator (tokenize,
+    fingerprint) already carries; no global sort, no driver
+    materialization. The filter/transform lambdas run on the
+    MATERIALIZED agg output column, not an outer array expression —
+    linear, not the quadratic re-evaluation trap."""
+    docs = load_table(spark, sf_dir, "documents")
+    dup = _dup_window_starts(docs).withColumn("is_start", F.lit(1))
+    tok = docs.select("doc_id", F.posexplode(tokens()).alias("pos", "tok"))
+    marked = tok.join(dup, ["doc_id", "pos"], "left")
+    cover = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(DUPSPAN_K - 1), 0)
+    )
+    flagged = marked.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.max(F.coalesce("is_start", F.lit(0))).over(cover).alias("removed"),
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("removed").alias("n_tokens_removed"),
+        F.array_sort(F.collect_list(F.struct("pos", "tok", "removed"))).alias(
+            "arr"
+        ),
+    )
+    kept = F.filter("arr", lambda x: x["removed"] == 0)
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_removed",
+        (F.col("n_tokens") - F.col("n_tokens_removed")).alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(kept, lambda x: x["tok"]), " "
+        ).alias("clean_text"),
     )

@@ -187,3 +187,37 @@ def test_dup_span_extract_merges_touching_windows(spark, tmp_path):
         assert s.n_windows == 3
         assert s.n_tokens == 7
         assert s.span_seq == 1
+
+
+def test_dup_span_cut_removes_shared_passage(spark, tmp_path):
+    """The shared 7-token passage must vanish from both carriers
+    (clean_text keeps only the unique flanks), the clean doc must be
+    untouched, and a doc that IS the shared passage verbatim must
+    survive as a row with clean_text='' — not disappear."""
+    from master_airflow_spark.operators.corpus_quality import (
+        DUPSPAN_K,
+        dup_span_cut,
+    )
+
+    assert DUPSPAN_K == 5
+    shared = "the quick brown fox jumps over fences"  # 7 tokens
+    docs = [
+        f"alpha beta {shared} gamma delta",
+        f"{shared} epsilon zeta eta theta iota",
+        "completely original text with no repeated passage anywhere at all",
+        shared,  # every token duplicated -> clean_text ''
+    ]
+    d = tmp_path / "sfX"
+    d.mkdir()
+    _docs(spark, docs).write.parquet(str(d / "documents.parquet"))
+    out = {r.doc_id: r for r in dup_span_cut(spark, str(d)).collect()}
+    release_caches()
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0].clean_text == "alpha beta gamma delta"
+    assert out[1].clean_text == "epsilon zeta eta theta iota"
+    assert out[2].clean_text == docs[2]
+    assert out[2].n_tokens_removed == 0
+    assert out[3].clean_text == ""
+    assert out[3].n_tokens_kept == 0
+    for r in out.values():
+        assert r.n_tokens_kept + r.n_tokens_removed == r.n_tokens
