@@ -212,7 +212,7 @@ def _dup_window_starts(docs: DataFrame) -> DataFrame:
     return grams.join(dup_grams, "gram").select("doc_id", "pos")
 
 
-@register("dup_span_extract", oracle=_DUPSPAN_ORACLE, tags=("X24", "X26", "X9"))
+@register("dup_span_extract", oracle=_DUPSPAN_ORACLE, tags=("X34", "X24", "X9"))
 def dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal cross-document duplicated token spans per document —
     the span-level output of exact-substring deduplication (the
@@ -295,7 +295,7 @@ FROM rm GROUP BY doc_id
 """
 
 
-@register("dup_span_cut", oracle=_DUPCUT_ORACLE, tags=("X24", "X26", "X16"))
+@register("dup_span_cut", oracle=_DUPCUT_ORACLE, tags=("X34", "X24", "X16"))
 def dup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup CUT: rebuild each document's text with
     every cross-document duplicated span removed — the destructive

@@ -71,6 +71,7 @@ ROWS: dict[str, str] = {
     "X31": "Attribution (last-touch, as-of union-scan form)",
     "X32": "Distributed total-order ranking (equi-depth NTILE / surrogate keys)",
     "X33": "CDC / SCD2 history (change classify, effective-dated intervals)",
+    "X34": "Exact-substring span dedup (duplicated-span report + cut)",
     # ("graph" is an alias tag on pagerank_trade_graph; X28 is its row)
 }
 
