@@ -447,3 +447,46 @@ def test_lsh_ann_single_corpus_scan_one_bounded_shuffle(spark, sf_dir):
     assert kinds == []
     assert n_exchanges == 1
     assert len(schemas) == 1, "exactly one parquet scan in the plan"
+
+
+def test_dup_span_extract_no_cartesian_docid_windows(spark, sf_dir):
+    """Candidate generation must stay a gram-keyed equi-join (no
+    cartesian/NLJ at any size), the text column feeds both gram
+    branches (exactly two scans — measured cheaper than caching the
+    corpus-sized gram stream), and no range partitioning anywhere
+    (all sorts are hash-partitioned window-local)."""
+    from master_airflow_spark.plans.explain import (
+        formatted,
+        join_kinds,
+        read_schemas,
+    )
+
+    df = _q(spark, sf_dir, "dup_span_extract")
+    kinds = join_kinds(df)
+    plan = formatted(df)
+    schemas = read_schemas(df)
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
+    assert sum("text" in s for s in schemas) == 2, (
+        f"text scanned exactly twice (probe + frequency branch): {schemas}"
+    )
+    assert "rangepartitioning" not in plan.lower(), "no global sort"
+
+
+def test_dup_span_cut_keeps_all_docs_no_global_sort(spark, sf_dir):
+    """The cut plan: token stream joined LEFT (so fully-duplicated
+    docs survive to the aggregate), no cartesian/NLJ, no global sort
+    (reassembly order comes from array_sort inside the aggregate, not
+    an ORDER BY)."""
+    from master_airflow_spark.plans.explain import formatted, join_kinds
+
+    df = _q(spark, sf_dir, "dup_span_cut")
+    kinds = join_kinds(df)
+    plan = formatted(df)
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
+    assert plan.count("Join LeftOuter") == 1, (
+        "exactly one left-outer join (token stream vs duplicated windows); "
+        "the gram joins stay inner"
+    )
+    assert "rangepartitioning" not in plan.lower(), "no global sort"
