@@ -53,13 +53,15 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h event-time windows, drained via AvailableNow.
     Complete output mode: every window materializes at the final
     trigger, so the static-replay result equals the batch aggregate.
-    state_partitions=1: the state is the (window, event_type) agg map
-    — a few thousand entries at any SF tested locally — so one state
-    partition minimizes per-partition checkpoint commits; a long-lived
-    cluster deployment sizes this to key cardinality instead (see
-    run_to_memory)."""
+    state_partitions=4: the state is the (window, event_type) agg map
+    — a few thousand entries at any SF tested locally — so the sweet
+    spot trades a little addBatch parallelism against per-partition
+    checkpoint commits (swept 1/2/4/8/16 at sf0.1: 0.98/0.84/0.80/
+    0.83/1.01s; tmpfs checkpoints make the commit side cheap enough
+    that 4 wins). A long-lived cluster deployment sizes this to key
+    cardinality instead (see run_to_memory)."""
     return run_to_memory(
-        tumbling_agg(_events_stream(spark, sf_dir)), "complete", state_partitions=1
+        tumbling_agg(_events_stream(spark, sf_dir)), "complete", state_partitions=4
     )
 
 
@@ -83,10 +85,12 @@ GROUP BY 1, 2, 3
 def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1h/30m windows: each event lands in two windows — the
     oracle expresses the same thing as two offset tumbling grids.
-    state_partitions=1 for the same low-cardinality-state reason as
-    stream_tumbling_agg (2× the windows is still thousands)."""
+    state_partitions=2 for the same low-cardinality-state reason as
+    stream_tumbling_agg (2× the windows is still thousands; the
+    1/2/4/8/16 sweep is flat at 0.79/0.77/0.79/0.84/1.01s — 2 edges
+    out 1)."""
     return run_to_memory(
-        sliding_agg(_events_stream(spark, sf_dir)), "complete", state_partitions=1
+        sliding_agg(_events_stream(spark, sf_dir)), "complete", state_partitions=2
     )
 
 
@@ -120,13 +124,14 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (5-minute gap) per user. The oracle is the
     gap-island formulation: a new session starts when the inter-event
     gap is ≥ the session gap — the same closure rule session_window
-    applies (window end = last event + gap). state_partitions=2:
+    applies (window end = last event + gap). state_partitions=8:
     session state is per-SESSION (≈ per event on this sparse data), so
-    unlike the window aggs it benefits from some parallelism, but each
-    extra state partition adds a full checkpoint commit cycle — 2
-    measures fastest at sf0.1 (1 is fold-bound, 4 is commit-bound)."""
+    unlike the window aggs the addBatch fold dominates the drain
+    (profiled: addBatch 1.14s of a 1.46s trigger at 2 partitions) and
+    parallelism pays for its commit files — the 2/4/8/16/32 sweep at
+    sf0.1 gives 1.50/1.20/1.05/1.17/1.56s."""
     return run_to_memory(
-        session_agg(_events_stream(spark, sf_dir)), "complete", state_partitions=2
+        session_agg(_events_stream(spark, sf_dir)), "complete", state_partitions=8
     )
 
 
