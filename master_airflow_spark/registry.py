@@ -65,8 +65,8 @@ def register(
 # (The round-5 additions — boilerplate_shingle_ratio,
 # quality_logit_score, minhash_estimate_error, scd2_history_build,
 # stream_unique_users_rollup, zorder_layout_keys, dup_span_extract,
-# dup_span_cut, triangle_count_cosuppliers, bfs_reachability_hops —
-# did not fit this window
+# dup_span_cut, triangle_count_cosuppliers, bfs_reachability_hops,
+# heavy_hitters_mg_verified — did not fit this window
 # and are round 6's first promotions; all pass the local
 # differential harness and tests/test_round5_ops.py / test_zorder.py.)
 PRIORITY: tuple[str, ...] = (

@@ -72,6 +72,7 @@ ROWS: dict[str, str] = {
     "X32": "Distributed total-order ranking (equi-depth NTILE / surrogate keys)",
     "X33": "CDC / SCD2 history (change classify, effective-dated intervals)",
     "X34": "Exact-substring span dedup (duplicated-span report + cut)",
+    "X35": "Sketch-then-verify heavy hitters (Misra-Gries + exact verify)",
     # ("graph" is an alias tag on pagerank_trade_graph; X28 is its row)
 }
 

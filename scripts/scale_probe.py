@@ -85,6 +85,8 @@ PROBE_QUERIES = (
     "dup_span_cut",
     "triangle_count_cosuppliers",
     "bfs_reachability_hops",
+    # sketch-then-verify: bounded-memory candidates + exact verify
+    "heavy_hitters_mg_verified",
 )
 
 

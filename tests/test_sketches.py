@@ -1,0 +1,95 @@
+"""Laws for the Misra-Gries sketch-then-verify heavy hitters: the
+differential oracle run never triggers pruning (test vocab < MG_K), so
+these force a tiny capacity to exercise the merge rule, the undercount
+bound, and the end-to-end exactness guarantee under real pruning."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+
+from master_airflow_spark.registry import release_caches
+
+
+def _stream(tokens):
+    yield pd.DataFrame({"gram": tokens})
+
+
+def test_mg_kernel_bound_and_total():
+    """With k=4 over a 100-token stream: <= 4 counters, every lb a
+    lower bound, undercount <= n/(k+1), and the is_total marker row
+    carries the exact partition count."""
+    from master_airflow_spark.operators.sketches import _mg_partition_sketch
+
+    toks = (
+        ["hot"] * 40 + ["warm"] * 25 + ["mild"] * 15
+        + [f"rare{i}" for i in range(20)]
+    )
+    (out,) = list(_mg_partition_sketch(4)(_stream(toks)))
+    total = out[out.is_total]
+    assert len(total) == 1 and int(total.lb.iloc[0]) == len(toks)
+    counters = {r.gram: int(r.lb) for r in out[~out.is_total].itertuples()}
+    assert len(counters) <= 4
+    true = Counter(toks)
+    slack = len(toks) / (4 + 1)
+    for g, lb in counters.items():
+        assert lb <= true[g], f"{g}: lb {lb} exceeds true {true[g]}"
+        assert true[g] - lb <= slack
+    # the heavy items must survive with useful mass
+    assert counters.get("hot", 0) >= true["hot"] - slack
+    assert counters.get("warm", 0) >= true["warm"] - slack
+
+
+def test_mg_kernel_multi_batch_merge():
+    """Pruning across batches keeps the mergeable-summary bound: the
+    global undercount after B batches is still <= n_total/(k+1)."""
+    from master_airflow_spark.operators.sketches import _mg_partition_sketch
+
+    batches = [
+        pd.DataFrame({"gram": ["a"] * 30 + [f"x{i}" for i in range(10)]}),
+        pd.DataFrame({"gram": ["b"] * 20 + [f"y{i}" for i in range(10)]}),
+        pd.DataFrame({"gram": ["a"] * 10 + ["b"] * 10 + [f"z{i}" for i in range(10)]}),
+    ]
+    n = sum(len(b) for b in batches)
+    (out,) = list(_mg_partition_sketch(3)(iter(batches)))
+    counters = {r.gram: int(r.lb) for r in out[~out.is_total].itertuples()}
+    true = Counter(g for b in batches for g in b["gram"])
+    for g in ("a", "b"):
+        assert true[g] - counters.get(g, 0) <= n / (3 + 1)
+
+
+def test_heavy_hitters_exact_under_forced_pruning(spark, tmp_path, monkeypatch):
+    """End-to-end with MG_K=8 over a vocabulary of ~60 3-grams: the
+    sketch MUST prune, yet the verified output still equals the exact
+    per-gram counts filtered at the exact threshold."""
+    import master_airflow_spark.operators.sketches as sk
+
+    monkeypatch.setattr(sk, "MG_K", 8)
+    texts = []
+    for i in range(30):
+        texts.append("alpha beta gamma delta " + f"noise{i} filler{i} pad{i}")
+    for i in range(10):
+        texts.append("omega psi chi phi " + f"junk{i} extra{i} stuff{i}")
+    d = tmp_path / "sfX"
+    d.mkdir()
+    spark.createDataFrame(
+        [(i, t, "en", "crafted", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    out = {
+        r.gram: r.n_occurrences
+        for r in sk.heavy_hitters_mg_verified(spark, str(d)).collect()
+    }
+    release_caches()
+    true = Counter()
+    for t in texts:
+        toks = t.split()
+        for i in range(len(toks) - 2):
+            true[" ".join(toks[i : i + 3])] += 1
+    n = sum(true.values())
+    thr = max(math.ceil(sk.HH_FRAC * n), sk.HH_MIN_T)
+    want = {g: c for g, c in true.items() if c >= thr}
+    assert out == want
+    assert len(want) >= 4, "crafted corpus must produce real heavy hitters"
