@@ -490,3 +490,29 @@ def test_dup_span_cut_keeps_all_docs_no_global_sort(spark, sf_dir):
         "the gram joins stay inner"
     )
     assert "rangepartitioning" not in plan.lower(), "no global sort"
+
+
+def test_heavy_hitters_verify_broadcasts_candidates(spark, sf_dir):
+    """The exact-verify pass must broadcast the bounded candidate set
+    into the second corpus scan (never shuffle the corpus against it),
+    with no cartesian/NLJ and no global sort; the sketch feeds the
+    candidate merge from cache, not a second mapInPandas corpus pass."""
+    from master_airflow_spark.plans.explain import formatted, join_kinds
+    from master_airflow_spark.registry import release_caches
+
+    df = _q(spark, sf_dir, "heavy_hitters_mg_verified")
+    kinds = join_kinds(df)
+    plan = formatted(df)
+    release_caches()
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
+    assert "BroadcastHashJoin" in kinds, f"candidates must broadcast: {kinds}"
+    assert "rangepartitioning" not in plan.lower(), "no global sort"
+    tree = plan.split("\n\n")[0]
+    assert "InMemoryTableScan" in tree, (
+        "candidates must read the cached sketch, not re-run the kernel"
+    )
+    # the only MapInPandas allowed is the one stored INSIDE the cached
+    # relation's description — none may execute in the live tree
+    live = tree.split("InMemoryRelation")[0]
+    assert "MapInPandas" not in live, "sketch kernel must not re-execute"
