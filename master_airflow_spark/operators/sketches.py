@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from master_airflow_spark.catalog import load_table
-from master_airflow_spark.operators.text import _SQL_TOKS, tokens
+from master_airflow_spark.operators.text import _sql_ngram_cte, tokens
 from master_airflow_spark.registry import register, track_cache
 
 # Misra-Gries capacity per partition. The merged-summary undercount is
@@ -100,11 +100,11 @@ def _doc_ngrams(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     return toks.select(F.explode(grams).alias("gram"))
 
 
+# The gram stream reuses text.py's shared CTE (single source of truth
+# for the slice/window arithmetic); its doc_id column is simply unused
+# by the GROUP BY gram below.
 _HH_ORACLE = f"""
-WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents),
-g AS (SELECT unnest(list_transform(range(1, len(toks) - {HH_NGRAM} + 2),
-        i -> array_to_string(toks[i:i + {HH_NGRAM} - 1], ' '))) AS gram
-      FROM t WHERE len(toks) >= {HH_NGRAM}),
+WITH {_sql_ngram_cte(HH_NGRAM)},
 tot AS (SELECT count(*) AS n FROM g)
 SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM g

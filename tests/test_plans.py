@@ -500,10 +500,12 @@ def test_heavy_hitters_verify_broadcasts_candidates(spark, sf_dir):
     from master_airflow_spark.plans.explain import formatted, join_kinds
     from master_airflow_spark.registry import release_caches
 
-    df = _q(spark, sf_dir, "heavy_hitters_mg_verified")
-    kinds = join_kinds(df)
-    plan = formatted(df)
-    release_caches()
+    try:
+        df = _q(spark, sf_dir, "heavy_hitters_mg_verified")
+        kinds = join_kinds(df)
+        plan = formatted(df)
+    finally:
+        release_caches()
     assert "CartesianProduct" not in kinds
     assert "BroadcastNestedLoopJoin" not in kinds
     assert "BroadcastHashJoin" in kinds, f"candidates must broadcast: {kinds}"

@@ -78,11 +78,13 @@ def test_heavy_hitters_exact_under_forced_pruning(spark, tmp_path, monkeypatch):
         [(i, t, "en", "crafted", len(t)) for i, t in enumerate(texts)],
         "doc_id long, text string, lang string, source string, n_chars long",
     ).write.parquet(str(d / "documents.parquet"))
-    out = {
-        r.gram: r.n_occurrences
-        for r in sk.heavy_hitters_mg_verified(spark, str(d)).collect()
-    }
-    release_caches()
+    try:
+        out = {
+            r.gram: r.n_occurrences
+            for r in sk.heavy_hitters_mg_verified(spark, str(d)).collect()
+        }
+    finally:
+        release_caches()
     true = Counter()
     for t in texts:
         toks = t.split()
