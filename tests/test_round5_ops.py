@@ -221,3 +221,56 @@ def test_dup_span_cut_removes_shared_passage(spark, tmp_path):
     assert out[3].n_tokens_kept == 0
     for r in out.values():
         assert r.n_tokens_kept + r.n_tokens_removed == r.n_tokens
+
+
+def test_dup_span_extract_and_cut_are_consistent(spark, tmp_path):
+    """Cross-operator law on a small-alphabet random corpus (dense
+    5-gram collisions): for every doc, the extract spans' token sums
+    equal the cut's removed count, clean_text is exactly the
+    uncovered tokens in original order, and spans are disjoint,
+    in-bounds, and separated by gaps > K (maximality)."""
+    import random
+
+    from master_airflow_spark.operators.corpus_quality import (
+        DUPSPAN_K,
+        dup_span_cut,
+        dup_span_extract,
+    )
+
+    rng = random.Random(20260814)
+    words = ["ax", "bo", "cu", "de", "el", "fi", "gu", "ho"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(0, 30)))
+        for _ in range(25)
+    ]
+    d = tmp_path / "sfX"
+    d.mkdir()
+    _docs(spark, texts).write.parquet(str(d / "documents.parquet"))
+    try:
+        spans = dup_span_extract(spark, str(d)).collect()
+        cut = {r.doc_id: r for r in dup_span_cut(spark, str(d)).collect()}
+    finally:
+        release_caches()
+    spans_by_doc = {}
+    for s in spans:
+        spans_by_doc.setdefault(s.doc_id, []).append(s)
+    assert set(cut) == set(range(len(texts))), "cut must keep every doc"
+    for doc_id, r in cut.items():
+        toks = texts[doc_id].split() if texts[doc_id] else [""]
+        assert r.n_tokens == len(toks)
+        ss = sorted(spans_by_doc.get(doc_id, []), key=lambda s: s.span_start)
+        covered = set()
+        prev_end = None
+        for s in ss:
+            assert 0 <= s.span_start <= s.span_end < len(toks)
+            assert s.n_tokens == s.span_end - s.span_start + 1
+            if prev_end is not None:
+                assert s.span_start - prev_end - 1 > 0, "spans must not touch"
+            prev_end = s.span_end
+            covered.update(range(s.span_start, s.span_end + 1))
+        assert r.n_tokens_removed == len(covered)
+        want_clean = " ".join(
+            t for i, t in enumerate(toks) if i not in covered
+        )
+        assert r.clean_text == want_clean
+    assert any(spans_by_doc.values()), "corpus must actually contain dups"
