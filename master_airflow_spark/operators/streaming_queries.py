@@ -242,6 +242,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        count(DISTINCT user_id) AS n_users
 FROM events
+WHERE user_id IS NOT NULL
 GROUP BY 1
 """,
     tags=("X19", "X6", "X21"),
@@ -265,8 +266,10 @@ def stream_unique_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir)
     per_user = (
         # NULL user_id would become its own state row and inflate the
-        # rollup by one, while the oracle's count(DISTINCT) ignores
-        # NULLs — filter to keep the recast exactly equivalent.
+        # rollup by one. The oracle filters NULL user_id too, so both
+        # sides also drop a window containing ONLY NULL-user events —
+        # without the oracle-side filter its GROUP BY would still emit
+        # a (window, 0) row there that this side never produces.
         ev.where(F.col("user_id").isNotNull())
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")

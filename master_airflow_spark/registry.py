@@ -54,82 +54,81 @@ def register(
 
 # Exposure order for the driver contract. The driver samples the
 # FIRST 50 registry entries each round, so ordering is the lever that
-# decides which queries get externally certified. Round-5 policy (per
-# the round-4 verdict's #1 item): (0) the 27 queries that have NEVER
-# been in a driver window — all round-4 late additions, all green in
-# scripts/driver_sim.py and pytest — closing the last three §2 rows
-# with no external evidence (X28 pagerank, X29 robust stats, X31
-# attribution); (1) queries whose implementation was touched THIS
-# round (stale stamps otherwise); (2) remaining slots re-certify the
-# oldest (round-1) stamps, widest-distinct code paths first.
-# (The round-5 additions — boilerplate_shingle_ratio,
-# quality_logit_score, minhash_estimate_error, scd2_history_build,
-# stream_unique_users_rollup, zorder_layout_keys, dup_span_extract,
-# dup_span_cut, triangle_count_cosuppliers, bfs_reachability_hops,
-# heavy_hitters_mg_verified — did not fit this window
-# and are round 6's first promotions; all pass the local
-# differential harness and tests/test_round5_ops.py / test_zorder.py.)
+# decides which queries get externally certified. Round-6 policy (per
+# the round-5 verdict's #1 item): (0) the 11 oracle-backed queries
+# that have NEVER been in a driver window — all round-5 additions,
+# all green in the judge's independent re-run, scripts/driver_sim.py
+# and pytest — closing the last two §2 rows without a driver stamp
+# (X34 span dedup, X35 sketch-then-verify heavy hitters); (1) queries
+# whose implementation or oracle was touched THIS round
+# (stream_unique_users_rollup oracle NULL-window fix and the zorder
+# overflow guard land inside block 0); (2) remaining 39 slots
+# re-certify the oldest stamps: the five round-1 single-expression
+# scans (back after ceding two rounds), html_scrape_pipeline (the
+# oldest oracle-backed S2 anchor, r3), and 33 of the 41 round-2
+# stamps. Ceding this round (round-2 stamps whose file-level code
+# paths are covered by a kept or recently-stamped sibling):
+# embedding_normalize/embedding_quantize (embedding_centroids kept),
+# math_conditional/array_functions (scalarfns.py re-stamped r5 via
+# string/date/json_functions), rolling_hash_fingerprint
+# (doc_fingerprint kept), term_frequencies (tfidf_top_terms covers
+# retrieval.py), in_subquery_parts (both other subquery shapes kept),
+# top1_price_alltime (top1_price_lexicographic stamped r5).
 PRIORITY: tuple[str, ...] = (
-    # (0) never driver-certified — rows X28/X29/X31 first, then the
-    # LLM-pipeline stragglers, then the rest of the round-4 backlog.
-    "pagerank_trade_graph",
-    "mad_robust_outliers",
-    "winsorized_mean_price",
-    "shipping_latency_percentiles",
-    "last_touch_attribution",
-    "multi_touch_window_count",
-    "incremental_minhash_dedup",
-    "inverted_index_postings",
-    "ann_recall_eval",
-    "cluster_keep_longest",
-    "merge_changes_classify",
-    "winnowing_shared_pairs",
-    "prefix_containment_pairs",
-    "equi_depth_price_buckets",
-    "skew_key_profile",
-    "corrupt_record_quarantine",
-    "token_budget_mix",
-    "token_simpson_diversity",
-    "source_token_divergence",
-    "sentence_segmentation",
-    "event_type_association",
-    "twap_user_value",
-    "nation_revenue_trend",
-    "weekly_revenue_wow",
-    "daily_event_type_pivot",
-    "dedup_rate_by_source",
-    "hll_sketch_users",  # rows-only by design (estimate pinned in tests)
-    # (1) implementation touched in round 5 — certify the new code:
-    # lsh_bucketed_ann (fused single-kernel rewrite) and the three
-    # complete-mode stream drains (explicit per-query state_partitions).
-    "lsh_bucketed_ann",
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_session_window",
-    # (2) re-certification: round-1 stamps, oldest pool. date_range_
-    # filter, normalize_whitespace, cast_string_price, bounded_split,
-    # and membership_filter cede their slots (single-expression scans,
-    # the lowest-risk stamps, still locally oracle-diffed every round
-    # by driver_sim).
-    "top1_price_lexicographic",
-    "sequence_packing",
-    "pii_redact",
-    "profile_columns",
-    "dq_checks",
-    "multimodal_meta",
-    "flatten_props_map",
-    "map_from_json",
-    "json_document",
-    "json_functions",
-    "string_functions",
-    "date_functions",
-    "date_parse_roundtrip",
-    "full_outer_nation_presence",
-    "right_join_parts_lineitems",
-    "customer_order_counts",
-    "distinct_order_status",
-    "hash_sample_10pct",
-    "composite_key",
+    # (0) never driver-certified — X34/X35 first, then the rest of the
+    # round-5 backlog (includes this round's two touched queries).
+    "dup_span_extract",
+    "dup_span_cut",
+    "heavy_hitters_mg_verified",
+    "scd2_history_build",
+    "stream_unique_users_rollup",
+    "zorder_layout_keys",
+    "triangle_count_cosuppliers",
+    "bfs_reachability_hops",
+    "minhash_estimate_error",
+    "boilerplate_shingle_ratio",
+    "quality_logit_score",
+    # (2) re-certification, oldest first: the five round-1 stamps,
+    # then the r3 S2 anchor, then 33 round-2 stamps.
+    "date_range_filter",
+    "normalize_whitespace",
+    "cast_string_price",
+    "bounded_split",
+    "membership_filter",
+    "html_scrape_pipeline",
+    "agg_collect_arrays",
+    "embedding_centroids",
+    "q3_shipping_priority",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q19_disjunctive_filter",
+    "daily_high_low",
+    "rank_orders_window",
+    "running_totals",
+    "orders_in_trailing_30d",
+    "top_customers_per_segment",
+    "multikey_sort_nulls",
+    "asof_join_events_orders",
+    "scalar_subquery_above_avg",
+    "correlated_exists_urgent",
+    "percentiles_exact",
+    "text_stats",
+    "text_quality",
+    "lang_id_heuristic",
+    "token_count_bpe",
+    "doc_fingerprint",
+    "ngram_jaccard_pairs",
+    "jaccard_block_pairs",
+    "top_bigram_repetition",
+    "ngram_contamination",
+    "doc_chunks",
+    "training_corpus_pipeline",
+    "conditional_aggregates",
+    "sessionize_events",
+    "unpivot_lineitem_measures",
+    "embedding_near_dup",
+    "pandas_udf_scalar",
+    "pandas_udaf_median",
 )
 
 

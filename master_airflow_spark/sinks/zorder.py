@@ -25,15 +25,28 @@ from pyspark.sql import functions as F
 Z_BITS = 16  # bits kept per dimension — 32-bit z-values, plenty for file routing
 
 
+# Largest key span whose numerator (span * (2^Z_BITS - 1)) still fits
+# in a signed 64-bit long — beyond this the multiply in _normalize
+# would wrap silently, so the plan asserts instead of diverging.
+MAX_KEY_SPAN = ((1 << 63) - 1) // ((1 << Z_BITS) - 1)
+
+
 def _normalize(c: Column, lo: Column, hi: Column, bits: int = Z_BITS) -> Column:
-    """Scale a key into [0, 2^bits): floor(((v - lo) * (2^bits - 1))
-    / max(hi - lo, 1)). The numerator stays below 2^53 for any key
-    span under ~2^37, so the floored double division equals integer
-    division exactly — the same arithmetic DuckDB's `//` performs,
-    keeping the oracle bit-identical."""
+    """Scale a key into [0, 2^bits): ((v - lo) * (2^bits - 1)) div
+    max(hi - lo, 1), computed with LONG integer division (`div`) — the
+    numerator is always >= 0 here, so this is exactly DuckDB's `//`
+    for any span the long multiply can hold. Spans beyond MAX_KEY_SPAN
+    (~2^47 at 16 bits) would overflow the multiply, so the expression
+    asserts loudly instead of producing oracle-divergent z-values
+    (in-plan assert_true: no extra scan, no driver action)."""
     span = F.greatest(hi - lo, F.lit(1)).cast("long")
     num = (c.cast("long") - lo.cast("long")) * F.lit((1 << bits) - 1)
-    return F.floor(num / span).cast("long")
+    guard = F.assert_true(
+        span <= F.lit(MAX_KEY_SPAN),
+        F.lit(f"zorder key span exceeds MAX_KEY_SPAN={MAX_KEY_SPAN}; "
+              "z-value multiply would overflow long"),
+    )
+    return F.coalesce(guard.cast("long"), F.call_function("div", num, span))
 
 
 def interleave_bits(a: Column, b: Column, bits: int = Z_BITS) -> Column:
