@@ -10,6 +10,20 @@ would melt at 100 TB.
 Run: python scripts/scale_probe.py            (writes SCALE.md)
      SCALE_FACTORS="1 2 5" python scripts/scale_probe.py
 
+Control-experiment knobs (round-6 verdict item #3 — prove the salt
+explanation for the two superlinear cells, don't just assert it):
+  SCALE_UNSALTED=1   replicate documents WITHOUT the per-token salt —
+                     vocabulary stays FIXED while rows grow, the clean
+                     control for vocabulary-sensitive non-pair queries
+                     (boilerplate, divergence, quality). NEVER probe
+                     pair-output queries (minhash_*, dup_span_*,
+                     jaccard) unsalted: byte-identical replicas make
+                     candidate pairs k²-explode by data construction.
+  SCALE_QUERIES="a b"  probe only these queries.
+  SCALE_OUT=path     write the table there instead of SCALE.md
+                     (subset/control runs must not clobber the
+                     official curve).
+
 Dimension tables nation/region stay fixed (they are fixed-cardinality
 in any warehouse); customer/supplier/part/orders/lineitem/documents/
 embeddings/events replicate with shifted keys.
@@ -31,7 +45,9 @@ from master_airflow_spark.catalog import TABLES, load_table  # noqa: E402
 from master_airflow_spark.session import get_spark  # noqa: E402
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_ROOT = "/tmp/mas_scale"
+UNSALTED = os.environ.get("SCALE_UNSALTED") == "1"
+OUT_ROOT = "/tmp/mas_scale" + ("_unsalted" if UNSALTED else "")
+OUT_MD = os.environ.get("SCALE_OUT", "SCALE.md")
 FACTORS = [int(x) for x in os.environ.get("SCALE_FACTORS", "1 2 5 10").split()]
 
 # per-table key columns that must be disjoint across copies
@@ -118,7 +134,7 @@ def _copy(df, t: str, keys: tuple[str, ...], i: int, shift: int):
             for c in df.columns
         ]
     )
-    if t == "documents" and i > 0:
+    if t == "documents" and i > 0 and not UNSALTED:
         # salt EVERY token of replica text: byte-identical (or nearly
         # identical) replicas are legitimate near-dups of the base copy,
         # so pair output would k²-explode by data construction rather
@@ -163,7 +179,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry._ensure_loaded()
 
-    results: dict[str, dict[int, float]] = {q: {} for q in PROBE_QUERIES}
+    probe_queries = tuple(os.environ.get("SCALE_QUERIES", "").split()) or PROBE_QUERIES
+    results: dict[str, dict[int, float]] = {q: {} for q in probe_queries}
     rows_at: dict[int, int] = {}
     shift = _global_key_shift(spark)
     for k in FACTORS:
@@ -171,7 +188,7 @@ def main() -> None:
         rows_at[k] = load_table(spark, sf_dir, "lineitem").count()
         for t in TABLES:  # warm file listing + footer cache
             load_table(spark, sf_dir, t).count()
-        for q in PROBE_QUERIES:
+        for q in probe_queries:
             spec = registry.REGISTRY[q]
             df = spec.fn(spark, sf_dir)
             _materialize(df)  # warm (codegen cache, broadcast build)
@@ -206,7 +223,7 @@ def main() -> None:
         "|---|" + "---|" * (len(FACTORS) + 2),
     ]
     row_growth = rows_at[FACTORS[-1]] / rows_at[base_k]
-    for q in PROBE_QUERIES:
+    for q in probe_queries:
         r = results[q]
         growth = r[FACTORS[-1]] / r[base_k] if r[base_k] else float("nan")
         lines.append(
@@ -245,9 +262,9 @@ def main() -> None:
         "within-copy, i.e. the dup workload grows linearly by design",
         "rather than quadratically across replicas.",
     ]
-    with open("SCALE.md", "w") as f:
+    with open(OUT_MD, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print("SCALE.md written")
+    print(f"{OUT_MD} written")
 
 
 if __name__ == "__main__":
