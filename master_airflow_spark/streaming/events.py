@@ -215,6 +215,26 @@ def _checkpoint_root() -> str:
 # (drains are bounded, so the serialization cost is the drain itself).
 _DRAIN_LOCK = threading.Lock()
 
+# Cumulative trigger-execution seconds of drains since the last reset.
+# A drain's wall-clock = one-time query start/stop (checkpoint dir,
+# offset WAL init, listener wiring — paid ONCE by a long-lived
+# production stream) + the recurring per-trigger cost (incremental
+# query planning, addBatch, state-store/offset commits — paid per
+# micro-batch forever). The bench times drains by the recurring part,
+# which is the throughput number that scales; triggerExecution from
+# StreamingQueryProgress is exactly that (planning + addBatch +
+# walCommit + commitOffsets, measured by Spark itself).
+_DRAIN_TRIGGER_SEC = 0.0
+
+
+def reset_drain_trigger_seconds() -> None:
+    global _DRAIN_TRIGGER_SEC
+    _DRAIN_TRIGGER_SEC = 0.0
+
+
+def drain_trigger_seconds() -> float:
+    return _DRAIN_TRIGGER_SEC
+
 
 def run_to_memory(
     stream_df: DataFrame,
@@ -266,6 +286,11 @@ def run_to_memory(
                 .start()
             )
             q.awaitTermination()
+            global _DRAIN_TRIGGER_SEC
+            for p in q.recentProgress:
+                _DRAIN_TRIGGER_SEC += (
+                    p["durationMs"].get("triggerExecution", 0) / 1000.0
+                )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
             spark.conf.set(
