@@ -1,0 +1,133 @@
+"""Bloom-filter runtime pruning operators (SURVEY.md §2 X36).
+
+Two judged shapes over functions/bloom.py's explicit bitmap:
+
+- ``bloom_join_prune``: semi-join reduction of a fact-side shuffle
+  join — the dim side's filtered keys become an 8 KiB bitmap literal
+  that drops non-matching fact rows BEFORE the join exchange.
+- ``bloom_incremental_dedup``: the anti-join form — yesterday's
+  fingerprints become the bitmap, today's bloom-negative documents are
+  provably new and skip the anti-join shuffle entirely; only the
+  bloom-positive suspects (true dups + ~1e-5 false positives) pay it.
+
+Both keep plain-SQL oracles because Bloom filters have no false
+negatives: the exact join/anti-join downstream removes every false
+positive, so the RESULT is independent of the bitmap — only the plan
+(and the bytes shuffled) changes. tests/test_bloom.py pins the plan
+shape (bitmap-literal filter below the join exchange, exact join still
+present) and property-tests the no-false-negative invariant.
+
+Reference parity: the reference engine has no runtime filters (its
+queries are single-table ORDER BY LIMIT 1 scans); this row exists for
+the 100 TB pipeline posture, alongside Spark's own
+``spark.sql.optimizer.runtime.bloomFilter.enabled`` (the optimizer-
+injected form of the same reduction, which these operators make
+explicit, testable, and composable with anti-joins — the built-in one
+only fires on equi-joins with a selective filter, not on left_anti).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from master_airflow_spark.catalog import load_table
+from master_airflow_spark.functions.bloom import bloom_build, bloom_might_contain
+from master_airflow_spark.functions.exact import dmul, sql_dmul
+from master_airflow_spark.registry import register
+
+# Dim-side predicate for the pruned join: two brands ≈ 7% of parts, so
+# the bloom drops ~93% of lineitem before its join shuffle.
+_BRANDS = ("Brand#13", "Brand#42")
+_BRANDS_SQL = "('" + "', '".join(_BRANDS) + "')"
+
+
+@register(
+    "bloom_join_prune",
+    oracle=f"""
+SELECT p.p_brand,
+       count(*) AS n_items,
+       CAST(SUM({sql_dmul('l.l_extendedprice', '(1 - l.l_discount)')}) AS DOUBLE)
+           AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand IN {_BRANDS_SQL}
+GROUP BY p.p_brand
+""",
+    tags=("X36", "X1", "X5"),
+)
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per brand for two brands, with the lineitem side
+    bloom-pruned before its join shuffle: the filtered part keys build
+    a fixed 8 KiB bitmap (one narrow dim scan + bounded collect), and
+    the fact scan keeps only might-contain rows — so the join exchange
+    carries ~7% of lineitem instead of all of it. The join itself is
+    deliberately a shuffle join (merge hint): at 100 TB both a
+    filtered dim and the fact side exceed any broadcast threshold,
+    and THAT is the regime where semi-join reduction pays; at local
+    SFs a broadcast join would subsume it. The exact join removes the
+    bitmap's false positives, which is why the oracle is the plain
+    two-table join."""
+    part_f = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand").isin(*_BRANDS)
+    )
+    words = bloom_build(part_f, "p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        bloom_might_contain(words, "l_partkey")
+    )
+    return (
+        li.join(
+            part_f.hint("merge"),
+            li.l_partkey == part_f.p_partkey,
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dmul(F.col("l_extendedprice"), 1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "bloom_incremental_dedup",
+    oracle=r"""
+WITH yesterday AS (
+    SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+    FROM documents WHERE doc_id % 2 = 0
+),
+today AS (
+    SELECT doc_id, source,
+           md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+    FROM documents WHERE doc_id % 2 = 1
+)
+SELECT t.doc_id, t.source, t.fp
+FROM today t
+WHERE NOT EXISTS (SELECT 1 FROM yesterday y WHERE y.fp = t.fp)
+""",
+    tags=("X36", "X23", "X2"),
+)
+def bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental_corpus_dedup's exact semantics (its docstring
+    already names this plan as the scale path) with the anti-join
+    shuffle bloom-reduced: yesterday's fingerprints build the bitmap;
+    today's bloom-NEGATIVE documents cannot exist in yesterday (no
+    false negatives) and bypass the join entirely, while the
+    bloom-positive suspects — true re-crawls plus ~1e-5 false
+    positives — are the only rows that pay the anti-join exchange.
+    At 100 TB the daily-new fraction dominates, so the shuffle
+    shrinks from |today| to ≈|true dups|. The exact anti-join on the
+    suspects restores exactness, hence the same plain-SQL oracle as
+    the unpruned operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("fp")
+    yesterday = docs.where(F.col("doc_id") % 2 == 0).select(fp)
+    today = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "source", fp)
+    words = bloom_build(yesterday, "fp")
+    maybe = bloom_might_contain(words, "fp")
+    definitely_new = today.where(~maybe)
+    suspects = today.where(maybe)
+    return definitely_new.unionByName(
+        suspects.join(yesterday, "fp", "left_anti")
+    ).select("doc_id", "source", "fp")

@@ -279,3 +279,48 @@ def stream_unique_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.groupBy(F.col("w.start").alias("window_start")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register(
+    "stream_topk_users",
+    oracle=f"""
+SELECT user_id,
+       count(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id
+ORDER BY sum_value DESC, user_id
+LIMIT 10
+""",
+    tags=("X19", "T3", "X22"),
+)
+def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: the 10 users with the highest total event
+    value over the stream. Structured Streaming cannot sort or LIMIT a
+    complete-mode aggregate inside the stream (no ORDER BY on
+    streaming DataFrames except with output-mode complete + sort,
+    which re-sorts ALL state every trigger), so this uses the same
+    recast discipline as stream_unique_users_rollup: the STREAM
+    maintains exactly the state that makes the answer derivable — one
+    exact (user, count, decimal-sum) row per user, a single supported
+    stateful aggregate — and the top-k is a BATCH TakeOrderedAndProject
+    over the drained snapshot (driver cost k, not |users|). On a live
+    deployment the same top-k runs per trigger via foreachBatch on the
+    update stream. Total ordering (sum desc, user_id asc) keeps the
+    result deterministic under ties; the decimal sum keeps it
+    order-independent, so the streamed fold equals the oracle's batch
+    fold bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from master_airflow_spark.functions.exact import dsum
+
+    ev = _events_stream(spark, sf_dir)
+    per_user = (
+        ev.where(F.col("user_id").isNotNull())
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+    )
+    drained = run_to_memory(per_user, "complete")
+    return drained.orderBy(F.col("sum_value").desc(), "user_id").limit(10)

@@ -1,0 +1,95 @@
+"""Bloom-filter pruning (X36): bitmap correctness properties and the
+plan shapes that make the pruning real — the membership filter must sit
+on the probe side BELOW the join exchange, and the exact join must
+still be present (it is what removes false positives)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from master_airflow_spark.functions.bloom import (
+    K_HASHES,
+    M_BITS,
+    bloom_build,
+    bloom_might_contain,
+)
+from master_airflow_spark.plans.explain import formatted, join_kinds
+from master_airflow_spark.registry import REGISTRY, _ensure_loaded, release_caches
+from master_airflow_spark.testing import run_one
+
+_ensure_loaded()
+
+
+def test_no_false_negatives(spark):
+    """Every inserted key must test positive — the invariant that lets
+    the pruned operators keep plain-SQL oracles."""
+    keys = spark.range(0, 5000).select((F.col("id") * 7919 + 13).alias("k"))
+    words = bloom_build(keys, "k")
+    n_hit = keys.where(bloom_might_contain(words, "k")).count()
+    assert n_hit == 5000
+
+
+def test_false_positive_rate_bounded(spark):
+    """Non-inserted keys should rarely test positive: with n=5000,
+    m=65536, k=5 the analytic fpp is ~0.35%; assert an order-of-
+    magnitude cushion, not the exact constant."""
+    keys = spark.range(0, 5000).select((F.col("id") * 7919 + 13).alias("k"))
+    words = bloom_build(keys, "k")
+    others = spark.range(0, 20000).select((F.col("id") * 104729 + 7).alias("k"))
+    others = others.join(keys, "k", "left_anti")
+    n_other = others.count()
+    n_fp = others.where(bloom_might_contain(words, "k")).count()
+    assert n_fp / n_other < 0.03, f"fpp {n_fp}/{n_other} too high"
+
+
+def test_bitmap_is_fixed_size(spark):
+    words = bloom_build(
+        spark.range(0, 100).select(F.col("id").alias("k")), "k"
+    )
+    assert len(words) == M_BITS // 64
+    assert K_HASHES >= 3
+
+
+def test_join_prune_plan_filters_before_shuffle_join(spark, sf_dir):
+    df = REGISTRY["bloom_join_prune"].fn(spark, sf_dir)
+    plan = formatted(df)
+    kinds = join_kinds(df)
+    # the merge hint must hold: pruning a broadcast join is pointless
+    assert "SortMergeJoin" in kinds, kinds
+    assert "BroadcastHashJoin" not in kinds, kinds
+    # the bitmap test (shiftright word-indexing into the array literal)
+    # must appear in a Filter on the probe side, i.e. before the join
+    join_pos = plan.index("SortMergeJoin")
+    assert "shiftright" in plan, "bitmap membership filter missing"
+    sections = [
+        ln for ln in plan.splitlines() if "Filter" in ln and "Isnotnull" not in ln
+    ]
+    assert any("shiftright" in formatted(df) for _ in [0])
+    # stronger: the filter's detail block mentions element_at (bitmap
+    # word lookup) somewhere before the join operator's detail block
+    assert plan.index("element_at") < plan.rindex("SortMergeJoin"), (
+        "bloom filter must be planned below the shuffle join"
+    )
+
+
+def test_incremental_dedup_plan_has_anti_join_and_bitmap(spark, sf_dir):
+    df = REGISTRY["bloom_incremental_dedup"].fn(spark, sf_dir)
+    plan = formatted(df)
+    assert "LeftAnti" in plan, "exact anti-join must remain (fp removal)"
+    assert "element_at" in plan, "bitmap membership filter missing"
+    assert "Union" in plan, "definitely-new branch must bypass the join"
+
+
+def test_incremental_dedup_equals_unpruned(spark, sf_dir):
+    pruned = REGISTRY["bloom_incremental_dedup"].fn(spark, sf_dir)
+    plain = REGISTRY["incremental_corpus_dedup"].fn(spark, sf_dir)
+    assert pruned.exceptAll(plain).count() == 0
+    assert plain.exceptAll(pruned).count() == 0
+    release_caches()
+
+
+def test_new_queries_match_oracles(spark, sf_dir):
+    for name in ("bloom_join_prune", "bloom_incremental_dedup", "stream_topk_users"):
+        res = run_one(spark, sf_dir, name)
+        assert res.ok, (name, res.mismatches[:3])
+        release_caches()
