@@ -71,19 +71,31 @@ def main() -> None:
     # number. Applied identically to the DuckDB oracle below.
     timings: dict[str, float] = {}
     reps_used: dict[str, int] = {}
+    # For drain queries only: the wall-clock of the credited-min rep
+    # (audit trail for the trigger-cost credit) and the min wall-clock
+    # across reps (the no-credit accounting).
+    drain_wall_sec: dict[str, float] = {}
+    wall_timings: dict[str, float] = {}
     for name in headline:
         spec = registry.REGISTRY[name]
 
-        def run_once() -> tuple[float, int]:
-            # Streaming drains are timed by their recurring per-trigger
+        def run_once() -> tuple[float, float, int]:
+            # Streaming drains are credited their recurring per-trigger
             # cost (planning + addBatch + commits, Spark-measured via
-            # StreamingQueryProgress) rather than wall-clock: the
-            # query-start/stop overhead around the triggers is paid
-            # once by a long-lived production stream, exactly like the
-            # py4j plan construction the prepared-plan queries
-            # amortize. Wall-clock still bounds it (a drain can't be
-            # credited faster than it ran), and non-drain queries are
-            # untouched (trigger seconds stay 0).
+            # StreamingQueryProgress) in place of the drain's
+            # wall-clock: the query-start/stop overhead around the
+            # triggers is paid once by a long-lived production stream,
+            # exactly like the py4j plan construction the prepared-plan
+            # queries amortize. Everything OUTSIDE the drain — fn()
+            # plan construction and the post-drain batch step (the
+            # timed count(), any orderBy/limit over the drained
+            # snapshot) — is recurring per-query work and stays in the
+            # credited number (round-6 ADVICE item): credited =
+            # wall − drain_wall + trigger. Wall-clock still bounds it,
+            # the raw wall number is returned alongside for
+            # BENCH_DETAIL/`value_wall_drains`, and the progress
+            # history is uncapped during drains (see run_to_memory) so
+            # a many-trigger drain can't silently under-credit.
             from master_airflow_spark.streaming import events as stream_events
 
             stream_events.reset_drain_trigger_seconds()
@@ -92,28 +104,41 @@ def main() -> None:
             if df is None:  # drains / self-persisting queries: rerun fully
                 df = spec.fn(spark, sf_dir)
             n = df.count()
-            dt = time.perf_counter() - t0
+            wall = time.perf_counter() - t0
             trig = stream_events.drain_trigger_seconds()
+            drain_wall = stream_events.drain_wall_seconds()
+            dt = wall
             if trig > 0:
-                dt = min(dt, trig)
+                dt = min(wall, wall - drain_wall + trig)
             registry.release_caches()
-            return dt, n
+            return dt, wall, n
 
-        times, n = [], 0
+        times, walls, n = [], [], 0
         while True:
-            dt, n = run_once()
+            dt, wall, n = run_once()
             times.append(dt)
+            walls.append(wall)
             if len(times) >= REPS and sorted(times)[1] <= 1.15 * min(times):
                 break  # two runs agree → steady state reached
             if len(times) >= REPS_MAX:
                 break
         timings[name] = round(min(times), 4)
         reps_used[name] = len(times)
+        best = times.index(min(times))
+        if walls[best] - times[best] > 0.005:  # drain credit applied
+            drain_wall_sec[name] = round(walls[best], 4)
+            wall_timings[name] = round(min(walls), 4)
         print(
             f"# {name}: {timings[name]:.3f}s rows={n} reps={len(times)}",
             file=sys.stderr,
         )
     total = round(sum(timings.values()), 4)
+    # Totals with drains at wall-clock (the no-credit accounting): the
+    # round-6 verdict gates on BOTH numbers being green, so both ship
+    # in the headline JSON.
+    total_wall = round(
+        sum(wall_timings.get(n_, t) for n_, t in timings.items()), 4
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     legacy = [n for n in HEADLINE_LEGACY if n in timings]
@@ -137,19 +162,35 @@ def main() -> None:
     # (recurring planning+addBatch+commit — the throughput number a
     # long-lived stream pays per micro-batch) instead of wall-clock
     # that includes one-time query start/stop (see run_once).
+    # v5 (round 7): the drain credit is made auditable and symmetric —
+    # credited = wall − drain_wall + trigger (fn() plan construction
+    # and the post-drain batch step are recurring and now stay IN the
+    # credited time); per-drain wall-clock ships in BENCH_DETAIL
+    # (drain_wall_sec) and the headline JSON carries
+    # `value_wall_drains` / `legacy_total_wall` — the same totals with
+    # drains at raw wall-clock (no credit) — so the gate can be read
+    # under either accounting. Progress history is uncapped during
+    # drains (numRecentProgressUpdates) so multi-trigger drains can't
+    # under-credit.
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": {n: round(t, 3) for n, t in timings.items()},
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-        "methodology": "v4-min-of-reps",
+        "methodology": "v5-min-of-reps",
         "legacy_total": round(sum(timings[n] for n in legacy), 4),
+        "value_wall_drains": total_wall,
+        "legacy_total_wall": round(
+            sum(wall_timings.get(n, timings[n]) for n in legacy), 4
+        ),
     }
     detail = {
         "reps": {"min": REPS, "max": REPS_MAX, "used": reps_used},
         "rebuilt": sorted(REBUILD),
         "queries": timings,
+        "drain_wall_sec": drain_wall_sec,
+        "wall_timings_drains": wall_timings,
     }
 
     if with_oracle:

@@ -73,6 +73,7 @@ ROWS: dict[str, str] = {
     "X33": "CDC / SCD2 history (change classify, effective-dated intervals)",
     "X34": "Exact-substring span dedup (duplicated-span report + cut)",
     "X35": "Sketch-then-verify heavy hitters (Misra-Gries + exact verify)",
+    "X36": "Bloom-filter runtime join/anti-join pruning (semi-join reduction)",
     # ("graph" is an alias tag on pagerank_trade_graph; X28 is its row)
 }
 

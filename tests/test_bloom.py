@@ -57,18 +57,42 @@ def test_join_prune_plan_filters_before_shuffle_join(spark, sf_dir):
     # the merge hint must hold: pruning a broadcast join is pointless
     assert "SortMergeJoin" in kinds, kinds
     assert "BroadcastHashJoin" not in kinds, kinds
-    # the bitmap test (shiftright word-indexing into the array literal)
-    # must appear in a Filter on the probe side, i.e. before the join
-    join_pos = plan.index("SortMergeJoin")
-    assert "shiftright" in plan, "bitmap membership filter missing"
-    sections = [
-        ln for ln in plan.splitlines() if "Filter" in ln and "Isnotnull" not in ln
+    # Tree-position pin (explain("formatted") prints the operator tree
+    # parents-above-children, then numbered "(N) Op" detail blocks):
+    # the Filter whose condition does the bitmap word lookup
+    # (element_at + shiftright) must be a DESCENDANT of the merge join
+    # — i.e. its tree line appears below the join's — so the pruning
+    # happens before rows reach the join exchange.
+    import re
+
+    blocks = re.split(r"^(?=\(\d+\) )", plan, flags=re.M)
+    bloom_ids = [
+        re.match(r"\((\d+)\) Filter", b).group(1)
+        for b in blocks
+        if re.match(r"\(\d+\) Filter", b)
+        and "element_at" in b
+        and "shiftright" in b
     ]
-    assert any("shiftright" in formatted(df) for _ in [0])
-    # stronger: the filter's detail block mentions element_at (bitmap
-    # word lookup) somewhere before the join operator's detail block
-    assert plan.index("element_at") < plan.rindex("SortMergeJoin"), (
-        "bloom filter must be planned below the shuffle join"
+    assert bloom_ids, "no Filter node with the bitmap membership test"
+    join_ids = [
+        re.match(r"\((\d+)\) SortMergeJoin", b).group(1)
+        for b in blocks
+        if re.match(r"\(\d+\) SortMergeJoin", b)
+    ]
+    assert join_ids, "merge join node missing"
+    tree = plan.split("\n\n", 1)[0].splitlines()
+
+    def line_of(op: str, i: str) -> int:
+        # tree lines read e.g. "+- SortMergeJoin Inner (9)" — the
+        # node id is always the trailing parenthesized number
+        return next(
+            n
+            for n, ln in enumerate(tree)
+            if re.search(rf"\b{op}\b.*\({i}\)\s*$", ln)
+        )
+
+    assert line_of("Filter", bloom_ids[0]) > line_of("SortMergeJoin", join_ids[0]), (
+        "bloom filter must be planned below (inside) the shuffle join subtree"
     )
 
 
