@@ -68,13 +68,23 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     SFs a broadcast join would subsume it. The exact join removes the
     bitmap's false positives, which is why the oracle is the plain
     two-table join."""
+    return join_prune_frame(spark, sf_dir, use_bloom=True)
+
+
+def join_prune_frame(
+    spark: SparkSession, sf_dir: str, use_bloom: bool
+) -> DataFrame:
+    """Builder behind ``bloom_join_prune``; ``use_bloom=False`` yields
+    the byte-for-byte identical plan minus the bitmap filter — the
+    control arm scripts/bloom_probe.py uses to measure how many
+    shuffle bytes the pruning actually removes."""
     part_f = load_table(spark, sf_dir, "part").where(
         F.col("p_brand").isin(*_BRANDS)
     )
-    words = bloom_build(part_f, "p_partkey")
-    li = load_table(spark, sf_dir, "lineitem").where(
-        bloom_might_contain(words, "l_partkey")
-    )
+    li = load_table(spark, sf_dir, "lineitem")
+    if use_bloom:
+        words = bloom_build(part_f, "p_partkey")
+        li = li.where(bloom_might_contain(words, "l_partkey"))
     return (
         li.join(
             part_f.hint("merge"),
@@ -110,24 +120,62 @@ WHERE NOT EXISTS (SELECT 1 FROM yesterday y WHERE y.fp = t.fp)
 )
 def bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """incremental_corpus_dedup's exact semantics (its docstring
-    already names this plan as the scale path) with the anti-join
-    shuffle bloom-reduced: yesterday's fingerprints build the bitmap;
-    today's bloom-NEGATIVE documents cannot exist in yesterday (no
-    false negatives) and bypass the join entirely, while the
-    bloom-positive suspects — true re-crawls plus ~1e-5 false
-    positives — are the only rows that pay the anti-join exchange.
-    At 100 TB the daily-new fraction dominates, so the shuffle
-    shrinks from |today| to ≈|true dups|. The exact anti-join on the
-    suspects restores exactness, hence the same plain-SQL oracle as
-    the unpruned operator."""
+    already names this plan as the scale path) with BOTH anti-join
+    shuffle legs bloom-reduced — the classic two-sided semi-join
+    reduction:
+
+    1. yesterday's fingerprints build a bitmap; today's bloom-NEGATIVE
+       documents cannot exist in yesterday (no false negatives) and
+       bypass the join entirely. Only the suspects — true re-crawls
+       plus ~1e-3 false positives — remain on the probe side.
+    2. the SUSPECTS' fingerprints build a second bitmap that prunes
+       yesterday: a yesterday row whose fp matches no suspect can
+       never remove anything from the anti-join, and the bitmap's
+       no-false-negative guarantee means every yesterday row that
+       could match a suspect survives the filter — still exact.
+
+    At 100 TB the daily-new fraction dominates, so leg 1 shrinks the
+    probe side from |today| to ≈|true dups|, and leg 2 then shrinks
+    the build side from |yesterday| (the dominant leg — the whole
+    historical corpus) to ≈|true dups| as well. The exact anti-join on
+    the doubly-pruned pair restores exactness, hence the same
+    plain-SQL oracle as the unpruned operator. The merge hint pins the
+    shuffle join this operator models (at scale neither leg fits a
+    broadcast; locally AQE would broadcast and hide the reduction)."""
+    return incremental_dedup_frame(spark, sf_dir, use_bloom=True)
+
+
+def incremental_dedup_frame(
+    spark: SparkSession, sf_dir: str, use_bloom: bool
+) -> DataFrame:
+    """Builder behind ``bloom_incremental_dedup``; ``use_bloom=False``
+    is the plain anti-join (same expressions as
+    ``incremental_corpus_dedup``, same merge hint as the pruned arm)
+    — the control arm for scripts/bloom_probe.py's shuffle-bytes
+    measurement."""
+    from master_airflow_spark.registry import track_cache
+
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("fp")
     yesterday = docs.where(F.col("doc_id") % 2 == 0).select(fp)
     today = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "source", fp)
+    if not use_bloom:
+        return today.join(yesterday.hint("merge"), "fp", "left_anti").select(
+            "doc_id", "source", "fp"
+        )
+    # Both fingerprint frames are consumed several times (bitmap
+    # build(s) + branch filters + join legs); cache them so the
+    # md5/regex fingerprint computes ONCE per side — which is also the
+    # production shape, where each day's fingerprints are materialized
+    # as a table rather than recomputed from raw text per consumer.
+    yesterday = track_cache(yesterday)
+    today = track_cache(today)
     words = bloom_build(yesterday, "fp")
     maybe = bloom_might_contain(words, "fp")
     definitely_new = today.where(~maybe)
-    suspects = today.where(maybe)
+    suspects = track_cache(today.where(maybe))
+    words_s = bloom_build(suspects, "fp")
+    yesterday_f = yesterday.where(bloom_might_contain(words_s, "fp"))
     return definitely_new.unionByName(
-        suspects.join(yesterday, "fp", "left_anti")
+        suspects.join(yesterday_f.hint("merge"), "fp", "left_anti")
     ).select("doc_id", "source", "fp")

@@ -84,7 +84,7 @@ def _seq_norms(M: "np.ndarray") -> "np.ndarray":
 
     acc = np.zeros(M.shape[0])
     for i in range(M.shape[1]):
-        acc = acc + M[:, i] * M[:, i]
+        acc += M[:, i] * M[:, i]
     return np.sqrt(acc)
 
 
@@ -119,7 +119,11 @@ def _pairs_kernel(
             ids = pdf["vec_id"].to_numpy()
             acc = np.zeros((C.shape[0], Q.shape[0]))
             for i in range(dim):
-                acc = acc + C[:, i : i + 1] * Q[:, i][None, :]
+                # in-place += preserves the sequential-over-dim
+                # summation order (bit-exact vs the oracle's list
+                # fold) while avoiding a fresh (rows x |Q|) allocation
+                # per dimension
+                acc += C[:, i : i + 1] * Q[:, i][None, :]
             cos = acc / (_seq_norms(C)[:, None] * qn[None, :])
             n_idx, q_idx = np.nonzero(np.ones_like(cos, dtype=bool))
             out = pd.DataFrame(
@@ -274,7 +278,7 @@ def _bucket_matrix(A: "np.ndarray", dim: int = DIM) -> "np.ndarray":
     weights = np.array([1 << p for p in range(N_PLANES)])
     acc = np.zeros((A.shape[0], H.shape[1]))
     for i in range(A.shape[1]):
-        acc = acc + A[:, i][:, None] * H[i, :][None, :]
+        acc += A[:, i][:, None] * H[i, :][None, :]
     bits = (acc >= 0).reshape(A.shape[0], N_TABLES, N_PLANES)
     return (bits * weights[None, None, :]).sum(axis=2)
 
@@ -352,7 +356,7 @@ def _pair_cosine_kernel(pairs: DataFrame) -> DataFrame:
             B = _to_matrix(pdf["b_emb"])
             acc = np.zeros(A.shape[0])
             for i in range(A.shape[1]):
-                acc = acc + A[:, i] * B[:, i]
+                acc += A[:, i] * B[:, i]
             cos = acc / (_seq_norms(A) * _seq_norms(B))
             yield pd.DataFrame(
                 {"q_id": pdf["q_id"], "n_id": pdf["n_id"], "cosine": cos}
@@ -422,7 +426,7 @@ def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             acc = np.zeros(len(ii))
             for i in range(A.shape[1]):  # dim-ordered fold == _SQL_DOT
-                acc = acc + A[ii, i] * Qm[jj, i]
+                acc += A[ii, i] * Qm[jj, i]
             cos = acc / (_seq_norms(A)[ii] * qn[jj])
             out = pd.DataFrame(
                 {"q_id": q_ids[jj], "n_id": vid[ii], "cosine": cos}
@@ -636,7 +640,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         Bm = _to_matrix(rpdf["embedding"])
         acc = np.zeros((A.shape[0], Bm.shape[0]))
         for i in range(A.shape[1]):
-            acc = acc + A[:, i : i + 1] * Bm[:, i][None, :]
+            acc += A[:, i : i + 1] * Bm[:, i][None, :]
         cos = acc / (_seq_norms(A)[:, None] * _seq_norms(Bm)[None, :])
         ai, bi_ = np.nonzero(cos >= 0.95)
         a_ids = lpdf["vec_id"].to_numpy()[ai]

@@ -20,9 +20,10 @@ explanation for the two superlinear cells, don't just assert it):
                      jaccard) unsalted: byte-identical replicas make
                      candidate pairs k²-explode by data construction.
   SCALE_QUERIES="a b"  probe only these queries.
-  SCALE_OUT=path     write the table there instead of SCALE.md
-                     (subset/control runs must not clobber the
-                     official curve).
+  SCALE_OUT=path     explicit output path. When unset, subset/control
+                     runs (SCALE_QUERIES or SCALE_UNSALTED active)
+                     write SCALE_subset.md with an annotated header —
+                     never the official SCALE.md curve.
 
 Dimension tables nation/region stay fixed (they are fixed-cardinality
 in any warehouse); customer/supplier/part/orders/lineitem/documents/
@@ -47,7 +48,14 @@ from master_airflow_spark.session import get_spark  # noqa: E402
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 UNSALTED = os.environ.get("SCALE_UNSALTED") == "1"
 OUT_ROOT = "/tmp/mas_scale" + ("_unsalted" if UNSALTED else "")
-OUT_MD = os.environ.get("SCALE_OUT", "SCALE.md")
+# Subset (SCALE_QUERIES) and control (SCALE_UNSALTED) runs must never
+# clobber the official full curve: when either knob is set and
+# SCALE_OUT isn't, the output defaults to SCALE_subset.md and the
+# table header names the active knobs (see main()).
+_SUBSET_RUN = UNSALTED or bool(os.environ.get("SCALE_QUERIES"))
+OUT_MD = os.environ.get("SCALE_OUT") or (
+    "SCALE_subset.md" if _SUBSET_RUN else "SCALE.md"
+)
 FACTORS = [int(x) for x in os.environ.get("SCALE_FACTORS", "1 2 5 10").split()]
 
 # per-table key columns that must be disjoint across copies
@@ -206,8 +214,20 @@ def main() -> None:
 
     base_k = FACTORS[0]
     row_growth_txt = rows_at[FACTORS[-1]] / rows_at[base_k]
+    knobs = []
+    if UNSALTED:
+        knobs.append("SCALE_UNSALTED=1 (control: fixed vocabulary)")
+    if os.environ.get("SCALE_QUERIES"):
+        knobs.append(f"SCALE_QUERIES={os.environ['SCALE_QUERIES']!r}")
+    title = "# SCALE — empirical scale-up curve (generated by scripts/scale_probe.py)"
+    if knobs:
+        title = (
+            "# SCALE (SUBSET/CONTROL RUN — not the official curve; knobs: "
+            + "; ".join(knobs)
+            + ")"
+        )
     lines = [
-        "# SCALE — empirical scale-up curve (generated by scripts/scale_probe.py)",
+        title,
         "",
         "Base: sf0.1 replicated with key-shifted copies; lineitem rows at each",
         "scale: " + ", ".join(f"x{k}={rows_at[k]:,}" for k in FACTORS) + ".",
@@ -262,8 +282,17 @@ def main() -> None:
         "within-copy, i.e. the dup workload grows linearly by design",
         "rather than quadratically across replicas.",
     ]
+    # Preserve the bloom_probe.py section (appended after its marker)
+    # across regenerations of the main curve.
+    tail = ""
+    marker = "## Bloom pruning probe (generated by scripts/bloom_probe.py)"
+    if os.path.exists(OUT_MD):
+        with open(OUT_MD) as f:
+            old = f.read()
+        if marker in old:
+            tail = "\n" + marker + old.split(marker, 1)[1]
     with open(OUT_MD, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
     print(f"{OUT_MD} written")
 
 
