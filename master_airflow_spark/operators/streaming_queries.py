@@ -53,15 +53,16 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h event-time windows, drained via AvailableNow.
     Complete output mode: every window materializes at the final
     trigger, so the static-replay result equals the batch aggregate.
-    state_partitions=4: the state is the (window, event_type) agg map
+    state_partitions=2: the state is the (window, event_type) agg map
     — a few thousand entries at any SF tested locally — so the sweet
     spot trades a little addBatch parallelism against per-partition
-    checkpoint commits (swept 1/2/4/8/16 at sf0.1: 0.98/0.84/0.80/
-    0.83/1.01s; tmpfs checkpoints make the commit side cheap enough
-    that 4 wins). A long-lived cluster deployment sizes this to key
+    checkpoint commits (round-7 re-sweep of 1/2/4/8 per-trigger cost
+    at sf0.1: 0.72/0.60/0.63/0.72s — 2 edges out 4 now that partial
+    aggregation upstream leaves the state op only ~3.6k merged rows
+    per trigger). A long-lived cluster deployment sizes this to key
     cardinality instead (see run_to_memory)."""
     return run_to_memory(
-        tumbling_agg(_events_stream(spark, sf_dir)), "complete", state_partitions=4
+        tumbling_agg(_events_stream(spark, sf_dir)), "complete", state_partitions=2
     )
 
 
@@ -129,7 +130,10 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike the window aggs the addBatch fold dominates the drain
     (profiled: addBatch 1.14s of a 1.46s trigger at 2 partitions) and
     parallelism pays for its commit files — the 2/4/8/16/32 sweep at
-    sf0.1 gives 1.50/1.20/1.05/1.17/1.56s."""
+    sf0.1 gives 1.50/1.20/1.05/1.17/1.56s. Round 7: the
+    sessionsInLocalPartition local merge (session.py) cuts the
+    per-trigger cost a further ~17% (0.99→0.82s at 8 partitions;
+    re-sweep 4/8/16 = 0.91/0.82/0.92s, 8 still the sweet spot)."""
     return run_to_memory(
         session_agg(_events_stream(spark, sf_dir)), "complete", state_partitions=8
     )

@@ -42,6 +42,16 @@ def get_spark(
         # keep files from over-splitting at small SF, still fine at 100 TB
         # where maxPartitionBytes (128m default) governs split size.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Session windows: merge sessions inside each input partition
+        # BEFORE the state-store shuffle (the session-window form of
+        # map-side partial aggregation — off by default). Execution
+        # strategy only, results identical; measured -17% per-trigger
+        # cost on the sf0.1 drain and it is the right shape at scale:
+        # the state exchange carries pre-merged sessions, not raw rows.
+        .config(
+            "spark.sql.streaming.sessionWindow.merge.sessionsInLocalPartition",
+            "true",
+        )
         # Parquet TIMESTAMP(NANOS) columns arrive as timestamp_ntz on
         # this runtime (Spark 4.x); catalog.load_table owns the probe +
         # normalization so oracle comparisons agree — see catalog.py.
