@@ -9,8 +9,13 @@ past the tail and the round recorded parsed:null). Everything that
 doesn't fit — per-query oracle timings, speedup ratios, reps used —
 goes to stderr and to BENCH_DETAIL.json next to this script.
 
-Each query is forced to full materialization with a count() over the
-result (cheap, no driver transfer) after a warm-up of the input scans.
+Each query is forced to FULL materialization of every output column
+via the noop sink (no driver transfer). Through v4 the bench used
+count(), which lets Catalyst prune aggregate output columns the count
+doesn't need — several wide-agg queries were being timed on lighter
+plans than they ship (measured: pricing_summary 0.24s under count vs
+0.75s fully materialized at sf0.1) while the DuckDB oracle always
+paid fetchall. v5 closes that asymmetry.
 
 Batch queries are timed on a PREPARED plan: the DataFrame (analyzed
 logical plan) is built once in the warm pass and re-executed in the
@@ -55,11 +60,18 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    def materialize(df) -> None:
+        """Force every output column (see the module docstring — a bare
+        count() lets Catalyst prune unreferenced aggregate columns)."""
+        df.write.format("noop").mode("overwrite").save()
+
     headline = [n for n in HEADLINE if n in registry.REGISTRY]
     plans = {}
+    n_rows: dict[str, int] = {}
     for name in headline:
         df = registry.REGISTRY[name].fn(spark, sf_dir)
-        df.count()
+        n_rows[name] = df.count()  # rows for the stderr line (untimed)
+        materialize(df)  # warm the exact plan the timed pass runs
         registry.release_caches()  # drop warm-pass intra-query caches
         if name not in REBUILD:
             plans[name] = df  # prepared plan; execution is NOT cached
@@ -79,7 +91,7 @@ def main() -> None:
     for name in headline:
         spec = registry.REGISTRY[name]
 
-        def run_once() -> tuple[float, float, int]:
+        def run_once() -> tuple[float, float]:
             # Streaming drains are credited their recurring per-trigger
             # cost (planning + addBatch + commits, Spark-measured via
             # StreamingQueryProgress) in place of the drain's
@@ -103,7 +115,7 @@ def main() -> None:
             df = plans.get(name)
             if df is None:  # drains / self-persisting queries: rerun fully
                 df = spec.fn(spark, sf_dir)
-            n = df.count()
+            materialize(df)
             wall = time.perf_counter() - t0
             trig = stream_events.drain_trigger_seconds()
             drain_wall = stream_events.drain_wall_seconds()
@@ -111,11 +123,11 @@ def main() -> None:
             if trig > 0:
                 dt = min(wall, wall - drain_wall + trig)
             registry.release_caches()
-            return dt, wall, n
+            return dt, wall
 
-        times, walls, n = [], [], 0
+        times, walls, n = [], [], n_rows[name]
         while True:
-            dt, wall, n = run_once()
+            dt, wall = run_once()
             times.append(dt)
             walls.append(wall)
             if len(times) >= REPS and sorted(times)[1] <= 1.15 * min(times):
@@ -162,14 +174,19 @@ def main() -> None:
     # (recurring planning+addBatch+commit — the throughput number a
     # long-lived stream pays per micro-batch) instead of wall-clock
     # that includes one-time query start/stop (see run_once).
-    # v5 (round 7): the drain credit is made auditable and symmetric —
-    # credited = wall − drain_wall + trigger (fn() plan construction
-    # and the post-drain batch step are recurring and now stay IN the
-    # credited time); per-drain wall-clock ships in BENCH_DETAIL
+    # v5 (round 7), three changes, all to the Spark side's detriment
+    # or neutral: (a) FULL materialization — every timed pass writes
+    # the result to the noop sink instead of count()ing it, closing
+    # the count-pruning asymmetry described in the module docstring
+    # (raises wide-agg query times up to 3x vs v4 on identical code);
+    # (b) the drain credit is made auditable and symmetric — credited
+    # = wall − drain_wall + trigger (fn() plan construction and the
+    # post-drain batch step are recurring and now stay IN the credited
+    # time); per-drain wall-clock ships in BENCH_DETAIL
     # (drain_wall_sec) and the headline JSON carries
     # `value_wall_drains` / `legacy_total_wall` — the same totals with
     # drains at raw wall-clock (no credit) — so the gate can be read
-    # under either accounting. Progress history is uncapped during
+    # under either accounting; (c) progress history is uncapped during
     # drains (numRecentProgressUpdates) so multi-trigger drains can't
     # under-credit.
     out = {

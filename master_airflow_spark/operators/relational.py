@@ -11,8 +11,10 @@ requires, written the way a 100 TB Spark deployment wants it:
 - Fact-fact joins (orders⋈lineitem) shuffle on the join key once; AQE
   handles skew splitting at runtime.
 - Aggregates are hash aggregates with map-side partial combine; judged
-  sums go through DECIMAL (functions/exact.py) so parallel combine
-  order can't perturb the result vs the single-threaded oracle.
+  sums are exact and order-independent (functions/exact.py — the
+  scaled-long fast path for money columns, DECIMAL for wide
+  magnitudes) so parallel combine order can't perturb the result vs
+  the single-threaded oracle.
 """
 
 from __future__ import annotations
@@ -21,19 +23,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from master_airflow_spark.catalog import load_table
-from master_airflow_spark.functions.exact import davg, dmul, dsum, sql_davg, sql_dmul, sql_dsum
+from master_airflow_spark.functions.exact import (
+    cents,
+    davg,
+    dmul,
+    dsum,
+    lavg_money,
+    lsum_money,
+    sql_cents,
+    sql_dsum,
+    sql_lavg_money,
+    sql_lsum_money,
+)
 from master_airflow_spark.registry import register
+
+_QTY_C = sql_cents("l_quantity")
+_PRICE_C = sql_cents("l_extendedprice")
+_DISC_REV_C = f"{_PRICE_C} * (100 - {sql_cents('l_discount')})"
 
 
 @register(
     "pricing_summary",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       {sql_dsum('l_quantity')} AS sum_qty,
-       {sql_dsum('l_extendedprice')} AS sum_base_price,
-       CAST(SUM({sql_dmul('l_extendedprice', '(1 - l_discount)')}) AS DOUBLE) AS sum_disc_price,
-       {sql_davg('l_quantity')} AS avg_qty,
-       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_lsum_money(_QTY_C, 1)} AS sum_qty,
+       {sql_lsum_money(_PRICE_C, 1)} AS sum_base_price,
+       {sql_lsum_money(_DISC_REV_C, 2)} AS sum_disc_price,
+       {sql_lavg_money(_QTY_C, 1)} AS avg_qty,
+       {sql_lavg_money(_PRICE_C, 1)} AS avg_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -44,18 +61,21 @@ GROUP BY l_returnflag, l_linestatus
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: single-pass hash aggregate over
     the fact table with pushed date predicate. Two low-cardinality
-    group keys → tiny exchange after map-side combine."""
+    group keys → tiny exchange after map-side combine. Money sums run
+    on the scaled-long fast path (functions/exact.py: exact integer
+    cents, order-independent, no per-row BigDecimal)."""
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
+    qty = cents("l_quantity")
+    price = cents("l_extendedprice")
+    disc_rev = price * (F.lit(100) - cents("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity", "sum_qty"),
-        dsum("l_extendedprice", "sum_base_price"),
-        F.sum(dmul(F.col("l_extendedprice"), 1 - F.col("l_discount")))
-        .cast("double")
-        .alias("sum_disc_price"),
-        davg("l_quantity", "avg_qty"),
-        davg("l_extendedprice", "avg_price"),
+        lsum_money(qty, 1, "sum_qty"),
+        lsum_money(price, 1, "sum_base_price"),
+        lsum_money(disc_rev, 2, "sum_disc_price"),
+        lavg_money(qty, 1, "avg_qty"),
+        lavg_money(price, 1, "avg_price"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -64,7 +84,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     oracle=f"""
 SELECT n.n_name,
-       CAST(SUM({sql_dmul('l.l_extendedprice', '(1 - l.l_discount)')}) AS DOUBLE) AS revenue,
+       {sql_lsum_money(f"{sql_cents('l.l_extendedprice')} * (100 - {sql_cents('l.l_discount')})", 2)} AS revenue,
        count(*) AS n_items
 FROM customer c
 JOIN orders o    ON o.o_custkey = c.c_custkey
@@ -97,9 +117,11 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("n_name")
         .agg(
-            F.sum(dmul(F.col("l_extendedprice"), 1 - F.col("l_discount")))
-            .cast("double")
-            .alias("revenue"),
+            lsum_money(
+                cents("l_extendedprice") * (F.lit(100) - cents("l_discount")),
+                2,
+                "revenue",
+            ),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

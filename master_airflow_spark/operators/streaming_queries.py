@@ -16,7 +16,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from master_airflow_spark.functions.exact import sql_dsum
+from master_airflow_spark.functions.exact import sql_cents, sql_dsum, sql_lsum_money
 from master_airflow_spark.registry import register
 from master_airflow_spark.streaming.events import (
     dedup_within_watermark,
@@ -43,7 +43,7 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
        event_type,
        count(*) AS n_events,
-       {sql_dsum('value')} AS sum_value
+       {sql_lsum_money(sql_cents('value', 10_000), 2)} AS sum_value
 FROM events
 GROUP BY 1, 2, 3
 """,
@@ -115,7 +115,7 @@ SELECT min(ts) AS session_start,
        max(ts) + INTERVAL '5 minutes' AS session_end,
        user_id,
        count(*) AS n_events,
-       {sql_dsum('value')} AS sum_value
+       {sql_lsum_money(sql_cents('value', 10_000), 2)} AS sum_value
 FROM numbered
 GROUP BY user_id, sid
 """,

@@ -3,8 +3,13 @@
 conditional aggregation with ratio output (Q14), and disjunctive
 multi-predicate pushdown (Q19).
 
-All sums follow the decimal exactness recipe (functions/exact.py);
-every LIMIT carries a total order.
+All money/quantity sums follow the exactness recipes in
+functions/exact.py. Round 7 moved them from the decimal path to the
+scaled-long fast path (exact integer cents; Spark's decimal multiply
+is per-row java.math.BigDecimal with no compact fast path — measured
+~1.5x the whole-query cost on the 600k-row aggregates); the decimal
+helpers remain the documented wide-magnitude fallback. Every LIMIT
+carries a total order.
 """
 
 from __future__ import annotations
@@ -13,25 +18,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from master_airflow_spark.catalog import load_table
-from master_airflow_spark.functions.exact import dmul, sql_dmul
+from master_airflow_spark.functions.exact import (
+    cents,
+    lavg_money,
+    lsum_money,
+    sql_cents,
+    sql_lsum_money,
+)
 from master_airflow_spark.registry import register
 
-_REV = "l_extendedprice", "(1 - l_discount)"
+# revenue term price*(1-disc) in exact scaled-long form (scale 100^2)
+_REV_C = f"{sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})"
 
 
-def _revenue() -> F.Column:
-    return (
-        F.sum(dmul(F.col("l_extendedprice"), 1 - F.col("l_discount")))
-        .cast("double")
-        .alias("revenue")
-    )
+def _rev_c() -> F.Column:
+    return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+
+
+def _revenue(alias: str = "revenue") -> F.Column:
+    return lsum_money(_rev_c(), 2, alias)
 
 
 @register(
     "q3_shipping_priority",
     oracle=f"""
 SELECT l.l_orderkey,
-       CAST(SUM({sql_dmul(*_REV)}) AS DOUBLE) AS revenue,
+       {sql_lsum_money(_REV_C, 2)} AS revenue,
        o.o_orderdate
 FROM customer c
 JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -73,7 +85,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
        CAST(year(l.l_shipdate) AS INT) AS ship_year,
-       CAST(SUM({sql_dmul(*_REV)}) AS DOUBLE) AS volume
+       {sql_lsum_money(_REV_C, 2)} AS volume
 FROM lineitem l
 JOIN orders o    ON o.o_orderkey = l.l_orderkey
 JOIN customer c  ON c.c_custkey = o.o_custkey
@@ -105,9 +117,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
         .agg(
-            F.sum(dmul(F.col("l_extendedprice"), 1 - F.col("l_discount")))
-            .cast("double")
-            .alias("volume")
+            lsum_money(_rev_c(), 2, "volume")
         )
     )
 
@@ -115,10 +125,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle=f"""
-SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                               THEN {sql_dmul('l.l_extendedprice', '(1 - l.l_discount)')}
-                               ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
-            / CAST(SUM({sql_dmul('l.l_extendedprice', '(1 - l.l_discount)')}) AS DOUBLE)
+SELECT CAST(100.0 * ({sql_lsum_money(f"CASE WHEN p.p_type = 'PROMO' THEN {_REV_C} ELSE CAST(0 AS BIGINT) END", 2)})
+            / ({sql_lsum_money(_REV_C, 2)})
         AS DOUBLE) AS promo_revenue_pct,
        count(*) AS n_items
 FROM lineitem l
@@ -130,24 +138,21 @@ WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 shape: promo revenue share for one month — conditional
-    decimal aggregation with a final double ratio (both divisions are
-    single deterministic IEEE ops)."""
+    scaled-long aggregation with a final double ratio (each sum
+    converts once to double, then two deterministic IEEE ops, in the
+    identical order on both engines)."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
     )
     p = F.broadcast(load_table(spark, sf_dir, "part"))
-    rev = dmul(F.col("l_extendedprice"), 1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
-        F.lit(0).cast("decimal(28,8)")
-    )
+    rev = _rev_c()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("long"))
     joined = li.join(p, p.p_partkey == li.l_partkey)
     return joined.agg(
-        (
-            F.lit(100.0)
-            * F.sum(promo).cast("double")
-            / F.sum(rev).cast("double")
-        ).alias("promo_revenue_pct"),
+        (F.lit(100.0) * lsum_money(promo, 2) / lsum_money(rev, 2)).alias(
+            "promo_revenue_pct"
+        ),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -155,8 +160,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_filter",
     oracle=f"""
-SELECT CAST(SUM({sql_dmul('l.l_extendedprice', '(1 - l.l_discount)')}) AS DOUBLE)
-           AS revenue,
+SELECT {sql_lsum_money(_REV_C, 2)} AS revenue,
        count(*) AS n_items
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -195,9 +199,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.where(cond).agg(
-        F.sum(dmul(F.col("l_extendedprice"), 1 - F.col("l_discount")))
-        .cast("double")
-        .alias("revenue"),
+        lsum_money(_rev_c(), 2, "revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -317,7 +319,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle=f"""
 SELECT n.n_name AS nation,
-       CAST(SUM({sql_dmul(*_REV)}) AS DOUBLE) AS revenue
+       {sql_lsum_money(_REV_C, 2)} AS revenue
 FROM customer c
 JOIN orders o   ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -363,7 +365,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle=f"""
 SELECT c.c_custkey, c.c_name,
-       CAST(SUM({sql_dmul(*_REV)}) AS DOUBLE) AS revenue,
+       {sql_lsum_money(_REV_C, 2)} AS revenue,
        c.c_acctbal, n.n_name AS nation, c.c_mktsegment
 FROM customer c
 JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -436,12 +438,12 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle=f"""
 SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-       CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS total_qty
+       CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS DOUBLE) AS total_qty
 FROM orders o
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
-HAVING SUM(CAST(l.l_quantity AS DECIMAL(28,4))) > 250
+HAVING SUM(CAST(round(l.l_quantity) AS BIGINT)) > 250
 ORDER BY o.o_totalprice DESC, o.o_orderkey
 LIMIT 100
 """,
@@ -458,8 +460,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     agg = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(28,4)")).alias("qty_dec"))
-        .where(F.col("qty_dec") > 250)
+        .agg(F.sum(cents("l_quantity", 1)).alias("qty_l"))
+        .where(F.col("qty_l") > 250)
     )
     return (
         agg.join(o, o.o_orderkey == agg.l_orderkey)
@@ -472,7 +474,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderdate",
             "o_totalprice",
-            F.col("qty_dec").cast("double").alias("total_qty"),
+            F.col("qty_l").cast("double").alias("total_qty"),
         )
     )
 
@@ -481,12 +483,12 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_balances",
     oracle="""
 WITH avg_bal AS (
-    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+    SELECT (CAST(CAST(SUM(CAST(round((c_acctbal) * 100) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0)
                / COUNT(c_acctbal) AS v
     FROM customer WHERE c_acctbal > 0
 )
 SELECT c.c_mktsegment, count(*) AS numcust,
-       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_acctbal
+       CAST(CAST(SUM(CAST(round((c.c_acctbal) * 100) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0 AS total_acctbal
 FROM customer c, avg_bal
 WHERE c.c_acctbal > avg_bal.v
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -502,11 +504,9 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no urgent orders (anti join), counted per market segment
     (c_mktsegment plays the phone country code). The anti join's
     build side is pre-filtered to urgent orders only."""
-    from master_airflow_spark.functions.exact import davg, dsum
-
     c = load_table(spark, sf_dir, "customer")
     avg_bal = c.where(F.col("c_acctbal") > 0).agg(
-        davg("c_acctbal", "v")
+        lavg_money(cents("c_acctbal"), 1, "v")
     )
     urgent = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderpriority") == "1-URGENT"
@@ -518,7 +518,7 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            dsum("c_acctbal", "total_acctbal"),
+            lsum_money(cents("c_acctbal"), 1, "total_acctbal"),
         )
     )
 
@@ -526,7 +526,7 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle=f"""
-SELECT CAST(SUM({sql_dmul('l_extendedprice', 'l_discount')}) AS DOUBLE) AS revenue,
+SELECT {sql_lsum_money(f"{sql_cents('l_extendedprice')} * {sql_cents('l_discount')}", 2)} AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -549,9 +549,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.sum(dmul(F.col("l_extendedprice"), F.col("l_discount")))
-        .cast("double")
-        .alias("revenue"),
+        lsum_money(cents("l_extendedprice") * cents("l_discount"), 2, "revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -609,7 +607,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH base AS (
     SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
-           {sql_dmul(*_REV)} AS volume,
+           {_REV_C} AS volume,
            sn.n_name AS supp_nation
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -622,9 +620,8 @@ WITH base AS (
     WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
 )
 SELECT o_year,
-       CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
-                     ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
-         / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+       CAST(({sql_lsum_money("CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE CAST(0 AS BIGINT) END", 2)})
+         / ({sql_lsum_money('volume', 2)}) AS DOUBLE) AS mkt_share,
        count(*) AS n_items
 FROM base
 GROUP BY o_year
@@ -654,8 +651,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = F.broadcast(
         n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
     )
-    rev = dmul(F.col("l_extendedprice"), 1 - F.col("l_discount"))
-    zero = F.lit(0).cast("decimal(28,8)")
+    rev = _rev_c()
+    zero = F.lit(0).cast("long")
     return (
         li.join(o, o.o_orderkey == li.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
@@ -667,9 +664,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
-                F.sum(F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(zero))
-                .cast("double")
-                / F.sum(rev).cast("double")
+                lsum_money(
+                    F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(zero), 2
+                )
+                / lsum_money(rev, 2)
             ).alias("mkt_share"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -681,8 +679,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT sn.n_name AS supp_nation,
        CAST(year(o.o_orderdate) AS INT) AS o_year,
-       CAST(SUM({sql_dmul(*_REV)}) AS DOUBLE)
-         - 0.6 * CAST(SUM({sql_dmul('p.p_retailprice', 'l.l_quantity')}) AS DOUBLE)
+       ({sql_lsum_money(_REV_C, 2)})
+         - 0.6 * ({sql_lsum_money(f"{sql_cents('p.p_retailprice')} * CAST(round(l.l_quantity) AS BIGINT)", 1)})
          AS profit
 FROM lineitem l
 JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -712,8 +710,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.broadcast(
         load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
     )
-    rev = dmul(F.col("l_extendedprice"), 1 - F.col("l_discount"))
-    cost = dmul(F.col("p_retailprice"), F.col("l_quantity"))
+    rev = _rev_c()
+    cost = cents("p_retailprice") * cents("l_quantity", 1)
     return (
         li.join(o, o.o_orderkey == li.l_orderkey)
         .join(s, s.s_suppkey == li.l_suppkey)
@@ -721,10 +719,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, p.p_partkey == li.l_partkey)
         .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
         .agg(
-            (
-                F.sum(rev).cast("double")
-                - F.lit(0.6) * F.sum(cost).cast("double")
-            ).alias("profit")
+            (lsum_money(rev, 2) - F.lit(0.6) * lsum_money(cost, 1)).alias(
+                "profit"
+            )
         )
     )
 
@@ -734,16 +731,16 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH nat AS (
     SELECT l.l_partkey,
-           SUM(CAST(l.l_extendedprice AS DECIMAL(28,4))) AS value_dec
+           SUM({sql_cents('l.l_extendedprice')}) AS value_l
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation n   ON n.n_nationkey = s.s_nationkey
     WHERE n.n_name = 'NATION_2'
     GROUP BY l.l_partkey
 )
-SELECT l_partkey, CAST(value_dec AS DOUBLE) AS stock_value
+SELECT l_partkey, CAST(CAST(value_l AS VARCHAR) AS DOUBLE) / 100.0 AS stock_value
 FROM nat
-WHERE value_dec * 1000 > (SELECT SUM(value_dec) FROM nat)
+WHERE value_l * 1000 > (SELECT SUM(value_l) FROM nat)
 """,
     tags=("X1", "X5", "X2"),
 )
@@ -766,16 +763,19 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(s, s.s_suppkey == li.l_suppkey)
         .join(n, n.n_nationkey == s.s_nationkey)
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(28,4)")).alias("value_dec"))
+        .agg(F.sum(cents("l_extendedprice")).alias("value_l"))
     )
     from master_airflow_spark.registry import track_cache
 
     per_part = track_cache(per_part)  # feeds both the threshold and the filter
-    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    total = per_part.agg(F.sum("value_l").alias("total_l"))
     return (
         per_part.join(F.broadcast(total))
-        .where(F.col("value_dec") * 1000 > F.col("total_dec"))
-        .select("l_partkey", F.col("value_dec").cast("double").alias("stock_value"))
+        .where(F.col("value_l") * 1000 > F.col("total_l"))
+        .select(
+            "l_partkey",
+            (F.col("value_l").cast("double") / F.lit(100.0)).alias("stock_value"),
+        )
     )
 
 
@@ -817,17 +817,17 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH rev AS (
     SELECT l_suppkey,
-           SUM({sql_dmul(*_REV)}) AS total_rev_dec
+           SUM({_REV_C}) AS total_rev_l
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1997-04-01'
     GROUP BY l_suppkey
 )
 SELECT s.s_suppkey, s.s_name, s.s_acctbal,
-       CAST(rev.total_rev_dec AS DOUBLE) AS total_revenue
+       CAST(CAST(rev.total_rev_l AS VARCHAR) AS DOUBLE) / 10000.0 AS total_revenue
 FROM rev
 JOIN supplier s ON s.s_suppkey = rev.l_suppkey
-WHERE rev.total_rev_dec = (SELECT max(total_rev_dec) FROM rev)
+WHERE rev.total_rev_l = (SELECT max(total_rev_l) FROM rev)
 """,
     tags=("X1", "X5", "T1"),
 )
@@ -844,23 +844,21 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from master_airflow_spark.registry import track_cache
 
     rev = track_cache(
-        li.groupBy("l_suppkey").agg(
-            F.sum(dmul(F.col("l_extendedprice"), 1 - F.col("l_discount"))).alias(
-                "total_rev_dec"
-            )
-        )
+        li.groupBy("l_suppkey").agg(F.sum(_rev_c()).alias("total_rev_l"))
     )
-    mx = rev.agg(F.max("total_rev_dec").alias("mx"))
+    mx = rev.agg(F.max("total_rev_l").alias("mx"))
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
     return (
         rev.join(F.broadcast(mx))
-        .where(F.col("total_rev_dec") == F.col("mx"))
+        .where(F.col("total_rev_l") == F.col("mx"))
         .join(s, s.s_suppkey == F.col("l_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
             "s_acctbal",
-            F.col("total_rev_dec").cast("double").alias("total_revenue"),
+            (F.col("total_rev_l").cast("double") / F.lit(10000.0)).alias(
+                "total_revenue"
+            ),
         )
     )
 
@@ -875,12 +873,12 @@ WITH candidate AS (
     WHERE p.p_brand = 'Brand#23' AND p.p_size < 10
 ), with_avg AS (
     SELECT l_extendedprice, l_quantity,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)))
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT))
                     OVER (PARTITION BY l_partkey) AS DOUBLE)
              / COUNT(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
     FROM candidate
 )
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / 7.0
+SELECT CAST(CAST(SUM(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0 / 7.0
            AS avg_yearly,
        count(*) AS n_items
 FROM with_avg
@@ -910,12 +908,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_avg = cand.withColumn(
         "avg_qty",
-        F.sum(F.col("l_quantity").cast("decimal(28,4)")).over(w).cast("double")
+        F.sum(cents("l_quantity", 1)).over(w).cast("double")
         / F.count("l_quantity").over(w),
     )
     return with_avg.where(F.col("l_quantity") < 0.2 * F.col("avg_qty")).agg(
-        (F.sum(F.col("l_extendedprice").cast("decimal(28,4)")).cast("double") / 7.0)
-        .alias("avg_yearly"),
+        (lsum_money(cents("l_extendedprice"), 1) / F.lit(7.0)).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -926,9 +923,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH sp AS (
     SELECT l.l_suppkey,
            SUM(CASE WHEN year(l.l_shipdate) = 1997
-                    THEN CAST(l.l_quantity AS DECIMAL(28,4))
-                    ELSE CAST(0 AS DECIMAL(28,4)) END) AS qty97,
-           SUM(CAST(l.l_quantity AS DECIMAL(28,4))) AS qty_all
+                    THEN CAST(round(l.l_quantity) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END) AS qty97,
+           SUM(CAST(round(l.l_quantity) AS BIGINT)) AS qty_all
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_name LIKE 'red%'
@@ -956,8 +953,8 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.broadcast(
         load_table(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
     )
-    zero = F.lit(0).cast("decimal(28,4)")
-    qty = F.col("l_quantity").cast("decimal(28,4)")
+    zero = F.lit(0).cast("long")
+    qty = cents("l_quantity", 1)
     sp = (
         li.join(p, p.p_partkey == li.l_partkey)
         .groupBy("l_suppkey", "l_partkey")

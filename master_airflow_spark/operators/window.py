@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from master_airflow_spark.catalog import load_table
+from master_airflow_spark.functions.exact import cents, lsum_money
 from master_airflow_spark.registry import register
 
 
@@ -116,7 +117,7 @@ def orders_in_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH spend AS (
     SELECT c.c_mktsegment, c.c_custkey, c.c_name,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_spend
+           CAST(CAST(SUM(CAST(round((o.o_totalprice) * 100) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0 AS total_spend
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment, c.c_custkey, c.c_name
@@ -138,11 +139,7 @@ def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = (
         c.join(o, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "c_custkey", "c_name")
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
-            .cast("double")
-            .alias("total_spend")
-        )
+        .agg(lsum_money(cents("o_totalprice"), 1, "total_spend"))
     )
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("total_spend").desc(), F.col("c_custkey")

@@ -9,11 +9,14 @@ decorator call is what keeps column names / types / tiebreakers in sync
 drift between the two is an instant failure.
 
 Float-determinism contract used throughout the registered queries:
-sums/avgs over double columns are computed by casting to DECIMAL first
-(exact, order-independent) and casting the final result back to DOUBLE,
-so Spark's parallel partial aggregates and DuckDB's single-threaded
-fold produce bit-identical values. Top-k queries always carry a total
-ordering (explicit tiebreaker keys).
+sums/avgs over double columns are made exact and order-independent
+before aggregating — either on the scaled-long fast path (integer
+cents; functions/exact.py cents/lsum_money — the default for money
+and fixed-precision columns since round 7) or by casting to DECIMAL
+(the wide-magnitude fallback) — and converted to DOUBLE once at the
+end, so Spark's parallel partial aggregates and DuckDB's
+single-threaded fold produce bit-identical values. Top-k queries
+always carry a total ordering (explicit tiebreaker keys).
 """
 
 from __future__ import annotations
@@ -61,19 +64,32 @@ def register(
 # never-certified-first, the standing rule ADVICE.md called out);
 # (1) then every query whose latest stamp is r1 or r2 (11 queries,
 # including the rows-only approx/multimodal checks and the
-# top1_price_alltime serving anchor); (2) the remaining 36 slots take
-# r3 stamps oldest-first by name, explicitly including
-# top1_price_today and top1_price_alltime — the reference's two
-# signature serving queries must never be the stalest entries again.
-# Ceding this round (r3 stamps whose file-level code paths have a
-# FRESHER sibling stamp): asof_join_tolerance (asof_join_events_orders
+# top1_price_alltime serving anchor); (1b) the 8 queries whose
+# money-sum representation moved to the scaled-long fast path THIS
+# round (new exprs + new oracles — changed code outranks stale-stamp
+# refresh, the same never-uncertified-first principle as block 0);
+# (2) the remaining 28 slots take r3 stamps oldest-first by name,
+# explicitly including top1_price_today — the serving anchors must
+# never be the stalest entries again. Ceding this round, two groups.
+# Group A (r3 stamps whose file-level code paths have a FRESHER
+# sibling stamp): asof_join_tolerance (asof_join_events_orders
 # r6, same window.py path), scd2_purchase_history (scd2_history_build
 # r6), incremental_corpus_dedup (bloom_incremental_dedup in slot 2 has
 # identical semantics + a pinned equality test), ivf_ann_exhaustive
 # (similarity.py re-stamped r6 via embedding_near_dup/_centroids),
 # apply_in_pandas_scale (udfs.py re-stamped r6 via pandas_udf_scalar /
-# pandas_udaf_median). After this window every registered query will
-# have been driver-run at least once and no stamp will predate r4.
+# pandas_udaf_median). Group B (slots reallocated to block 1b; these
+# keep valid r3 stamps on UNCHANGED code, each with a ≥r4-stamped
+# file-mate): correlated_scalar_select + lateral_join_agg
+# (subqueries.py: scalar_subquery_above_avg / correlated_exists_urgent
+# r6), multiset_set_ops (set_ops_customers r4),
+# event_transition_matrix + incremental_rollup_merge +
+# window_distribution (stats.py: percentiles_exact r6 +
+# daily_revenue_gap_filled / events_rollup_grids kept in this
+# window), cohort_retention (funnel_conversion kept; attribution.py
+# stamped r5), zipf_quality_score (quality_logit_score r6). After
+# this window every registered query will have been driver-run at
+# least once and no stamp will predate r3.
 PRIORITY: tuple[str, ...] = (
     # (0) never driver-certified — round-6 additions, judge-verified
     # green but owed an external stamp.
@@ -92,22 +108,25 @@ PRIORITY: tuple[str, ...] = (
     "rolling_hash_fingerprint",
     "term_frequencies",
     "top1_price_alltime",
-    # (2) r3 stamps (36 of 41; cessions documented above). The two
-    # serving anchors lead the block.
-    "top1_price_today",
+    # (1b) scaled-long money-sum conversions this round (changed code
+    # + changed oracles; see block comment).
     "pricing_summary",
-    "cohort_retention",
+    "q3_shipping_priority",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q19_disjunctive_filter",
+    "revenue_by_nation",
+    "top_customers_per_segment",
+    "stream_tumbling_agg",
+    "stream_session_window",
+    # (2) r3 stamps (28 of 41; cessions documented above).
+    "top1_price_today",
     "collapse_repeated_tokens",
-    "correlated_scalar_select",
     "daily_revenue_gap_filled",
     "dataset_mix_sample",
     "event_rate_anomalies",
-    "event_transition_matrix",
     "events_rollup_grids",
     "funnel_conversion",
-    "incremental_rollup_merge",
-    "lateral_join_agg",
-    "multiset_set_ops",
     "price_histogram",
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -128,8 +147,6 @@ PRIORITY: tuple[str, ...] = (
     "ratio_to_report",
     "recursive_cte_hierarchy",
     "salted_hot_key_agg",
-    "window_distribution",
-    "zipf_quality_score",
 )
 
 
