@@ -165,3 +165,221 @@ def heavy_hitters_mg_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .where(F.col("n_occurrences") >= thr)
     )
+
+
+# -- X37: exact quantiles via mergeable rank sketch --------------------------
+
+# Quantile targets for the judged query; rank positions derive from
+# the exact row count at run time.
+QS_TARGETS = (0.01, 0.25, 0.50, 0.75, 0.99)
+# Per-Arrow-batch sample budget: each batch of n rows emits
+# ~QS_BATCH_KEEP evenly-spaced order statistics with weight
+# s = n // QS_BATCH_KEEP, so any value's global rank is known to
+# within U = sum(2*s_b) without holding any batch fully sorted in
+# memory beyond the Arrow batch itself.
+QS_BATCH_KEEP = 256
+
+_QS_ORACLE = """
+WITH cents AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+),
+n AS (SELECT count(*) AS n FROM cents),
+targets(p) AS (SELECT CAST(x AS DOUBLE)
+               FROM (VALUES (0.01),(0.25),(0.50),(0.75),(0.99)) t(x)),
+pos AS (SELECT p, 1 + p * (n.n - 1) AS h FROM targets, n),
+ordered AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM cents)
+SELECT pos.p,
+       CAST(floor(pos.h) AS BIGINT) AS rank_lo,
+       CAST(ceil(pos.h) AS BIGINT) AS rank_hi,
+       lo.v AS value_lo_cents,
+       hi.v AS value_hi_cents,
+       CAST(lo.v AS DOUBLE)
+         + (pos.h - floor(pos.h))
+           * (CAST(hi.v AS DOUBLE) - CAST(lo.v AS DOUBLE)) AS quantile_cents
+FROM pos
+JOIN ordered lo ON lo.rk = CAST(floor(pos.h) AS BIGINT)
+JOIN ordered hi ON hi.rk = CAST(ceil(pos.h) AS BIGINT)
+"""
+
+
+def _qs_batch_samples():
+    """mapInPandas kernel: per Arrow batch, emit evenly-spaced order
+    statistics of the ``v`` column as (v, w, u=false) weighted samples
+    whose weights sum exactly to the batch size, plus one
+    (NULL, 2*s, u=true) uncertainty-budget marker.
+
+    Guarantee (the whole correctness story): for any x, the summed
+    weight of samples ≤ x NEVER exceeds the true count of values ≤ x,
+    and undershoots it by less than (s-1) + (n mod s) < 2s per batch —
+    so ranks are bracketed globally within U = sum of the marker
+    weights. Memory is one Arrow batch (the only thing sorted), never
+    the partition."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            v = np.sort(pdf["v"].to_numpy())
+            n = len(v)
+            if n == 0:
+                continue
+            s = max(1, n // QS_BATCH_KEEP)
+            idx = np.arange(s - 1, n, s)
+            vals = v[idx].tolist()
+            ws = [s] * len(idx)
+            rem = n - int(idx[-1] + 1)
+            if rem > 0:  # credit the top-rem values at the batch max
+                vals.append(int(v[-1]))
+                ws.append(rem)
+            yield pd.DataFrame(
+                {
+                    "v": vals + [None],
+                    "w": ws + [2 * s],
+                    "u": [False] * len(vals) + [True],
+                }
+            )
+
+    return kernel
+
+
+@register("exact_quantiles_sketched", oracle=_QS_ORACLE, tags=("X37", "X29", "X27"))
+def exact_quantiles_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order-statistic quantiles of order totals (integer cents)
+    without a global sort — sketch-then-verify in the X35 mold, recast
+    for ranks:
+
+    1. Sketch pass: one scan reduces each Arrow batch to ~QS_BATCH_KEEP
+       weighted samples (see _qs_batch_samples); the merged samples
+       bracket every rank within U = sum of per-batch budgets. The
+       exact row count N falls out of the same pass (weights sum to N),
+       so no separate count scan exists.
+    2. Bracketing: a cumulative-weight window over the (distinct,
+       bounded) sample values turns each target rank r into a value
+       window (lo, hi] guaranteed to contain the r-th order statistic:
+       lo = largest sample with S_le + U < r (strictly below rank r),
+       hi = smallest sample with S_le >= r (at or above it). Ten
+       scalars reach the driver — never data.
+    3. Verify/extract pass: a second scan counts values <= lo exactly
+       and ranks only the rows inside the candidate windows (a
+       distributed sort of ~U rows, not N); the row whose exact global
+       rank equals the target is the answer BY CONSTRUCTION, and an
+       in-plan assert_true fails loudly if a bracket missed (it cannot,
+       but the guarantee is enforced, not assumed).
+
+    The interpolated quantile (h = 1 + p*(N-1), value_lo + frac*(value_hi
+    - value_lo)) uses the identical IEEE expression the oracle states,
+    on exact integer-cents order statistics — bit-identical across
+    engines. At 100 TB: pass 1 shuffles sample summaries only, pass 2
+    sorts an U-sized candidate set; Spark's own percentile() buffers
+    every value per group, which this operator exists to avoid."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    sketch = track_cache(
+        o.mapInPandas(_qs_batch_samples(), "v long, w long, u boolean")
+    )
+    agg = {
+        bool(r.u): r.s
+        for r in sketch.groupBy("u").agg(F.sum("w").alias("s")).collect()
+    }
+    n_total, budget_u = int(agg.get(False, 0)), int(agg.get(True, 0))
+
+    # Target ranks, driver-side (N is exact; h/frac are plain C doubles
+    # so the oracle's identical expressions reproduce them bit-for-bit).
+    targets = []
+    for p in QS_TARGETS:
+        h = 1 + p * (n_total - 1)
+        targets.append(
+            (p, int(math.floor(h)), int(math.ceil(h)), h - math.floor(h))
+        )
+
+    from pyspark.sql import Window
+
+    cum = (
+        sketch.where(~F.col("u"))
+        .groupBy("v")
+        .agg(F.sum("w").alias("w"))
+        .withColumn(
+            "s_le",
+            F.sum("w").over(
+                Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    t_df = spark.createDataFrame(
+        [(p, rk_lo, rk_hi) for p, rk_lo, rk_hi, _ in targets],
+        "p double, rk_lo long, rk_hi long",
+    )
+    brackets = {
+        r.p: (r.lo, r.hi)
+        for r in cum.crossJoin(F.broadcast(t_df))
+        .groupBy("p", "rk_lo", "rk_hi")
+        .agg(
+            F.max(
+                F.when(F.col("s_le") + F.lit(budget_u) < F.col("rk_lo"), F.col("v"))
+            ).alias("lo"),
+            F.min(
+                F.when(F.col("s_le") >= F.col("rk_hi"), F.col("v"))
+            ).alias("hi"),
+        )
+        .collect()
+    }
+    lo_hi = [
+        (
+            p,
+            rk_lo,
+            rk_hi,
+            frac,
+            brackets[p][0] if brackets[p][0] is not None else -(1 << 62),
+            brackets[p][1] if brackets[p][1] is not None else (1 << 62),
+        )
+        for p, rk_lo, rk_hi, frac in targets
+    ]
+    win_df = F.broadcast(
+        spark.createDataFrame(
+            lo_hi, "p double, rk_lo long, rk_hi long, frac double, lo long, hi long"
+        )
+    )
+
+    # Pass 2: exact below-counts per target + candidate ranking. The
+    # candidate set per target is < U + inter-sample gap rows.
+    tagged = o.join(
+        win_df, (F.col("v") > F.col("lo")) & (F.col("v") <= F.col("hi"))
+    )
+    below = o.join(win_df.select("p", "lo"), F.col("v") <= F.col("lo")).groupBy(
+        "p"
+    ).agg(F.count(F.lit(1)).alias("n_below"))
+    w = Window.partitionBy("p").orderBy("v")
+    ranked = (
+        tagged.join(F.broadcast(below), "p", "left")
+        .withColumn(
+            "rk", F.row_number().over(w) + F.coalesce("n_below", F.lit(0))
+        )
+        .where((F.col("rk") == F.col("rk_lo")) | (F.col("rk") == F.col("rk_hi")))
+    )
+    out = ranked.groupBy("p", "rk_lo", "rk_hi", "frac").agg(
+        F.max(F.when(F.col("rk") == F.col("rk_lo"), F.col("v"))).alias(
+            "value_lo_cents"
+        ),
+        F.max(F.when(F.col("rk") == F.col("rk_hi"), F.col("v"))).alias(
+            "value_hi_cents"
+        ),
+    )
+    guard = F.assert_true(
+        F.col("value_lo_cents").isNotNull() & F.col("value_hi_cents").isNotNull(),
+        F.lit("quantile bracket missed its rank — sketch bound violated"),
+    )
+    return out.select(
+        "p",
+        F.col("rk_lo").alias("rank_lo"),
+        F.col("rk_hi").alias("rank_hi"),
+        F.when(guard.isNull(), F.col("value_lo_cents")).alias("value_lo_cents"),
+        F.col("value_hi_cents").alias("value_hi_cents"),
+        (
+            F.col("value_lo_cents").cast("double")
+            + F.col("frac")
+            * (
+                F.col("value_hi_cents").cast("double")
+                - F.col("value_lo_cents").cast("double")
+            )
+        ).alias("quantile_cents"),
+    )

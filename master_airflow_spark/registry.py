@@ -88,8 +88,12 @@ def register(
 # daily_revenue_gap_filled / events_rollup_grids kept in this
 # window), cohort_retention (funnel_conversion kept; attribution.py
 # stamped r5), zipf_quality_score (quality_logit_score r6). After
-# this window every registered query will have been driver-run at
-# least once and no stamp will predate r3.
+# this window every round-6-or-earlier query will have been driver-run
+# at least once and no stamp will predate r3. The ONE new query this
+# round (exact_quantiles_sketched, X37) does not fit the full window;
+# it ships with its own oracle-diff test (tests/test_sketches.py) and
+# an equality test against Spark's percentile(), and MUST lead the
+# round-8 window (never-certified-first).
 PRIORITY: tuple[str, ...] = (
     # (0) never driver-certified — round-6 additions, judge-verified
     # green but owed an external stamp.

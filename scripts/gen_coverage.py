@@ -74,6 +74,7 @@ ROWS: dict[str, str] = {
     "X34": "Exact-substring span dedup (duplicated-span report + cut)",
     "X35": "Sketch-then-verify heavy hitters (Misra-Gries + exact verify)",
     "X36": "Bloom-filter runtime join/anti-join pruning (semi-join reduction)",
+    "X37": "Exact quantiles via mergeable rank sketch (sketch-then-verify)",
     # ("graph" is an alias tag on pagerank_trade_graph; X28 is its row)
 }
 

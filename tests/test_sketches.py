@@ -95,3 +95,67 @@ def test_heavy_hitters_exact_under_forced_pruning(spark, tmp_path, monkeypatch):
     want = {g: c for g, c in true.items() if c >= thr}
     assert out == want
     assert len(want) >= 4, "crafted corpus must produce real heavy hitters"
+
+
+# -- X37 exact quantiles ------------------------------------------------------
+
+
+def test_qs_kernel_weights_sum_and_rank_bounds():
+    """Per-batch sample weights must sum exactly to the batch size, and
+    the summed weight of samples <= x must lower-bound the true count
+    of values <= x within the advertised 2s budget — the invariant the
+    bracket derivation rests on."""
+    import numpy as np
+    import pandas as pd
+
+    from master_airflow_spark.operators.sketches import _qs_batch_samples
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 10_000, size=5_000)
+    out = pd.concat(list(_qs_batch_samples()([pd.DataFrame({"v": vals})])))
+    samples = out[~out.u]
+    marker = out[out.u]
+    assert samples.w.sum() == len(vals)
+    s_budget = int(marker.w.sum())
+    v_sorted = np.sort(vals)
+    for x in [0, 17, 5_000, 9_999, int(v_sorted[len(vals) // 2])]:
+        true_le = int((vals <= x).sum())
+        s_le = int(samples[samples.v <= x].w.sum())
+        assert s_le <= true_le, (x, s_le, true_le)
+        assert true_le - s_le < s_budget, (x, s_le, true_le, s_budget)
+
+
+def test_exact_quantiles_match_spark_percentile(spark, sf_dir):
+    """The sketched two-pass result must equal Spark's own exact (but
+    value-buffering) percentile() on the same integer cents."""
+    from pyspark.sql import functions as F
+
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.operators.sketches import QS_TARGETS
+    from master_airflow_spark.registry import REGISTRY, release_caches
+
+    got = {
+        r.p: r.quantile_cents
+        for r in REGISTRY["exact_quantiles_sketched"].fn(spark, sf_dir).collect()
+    }
+    cents = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    ref = cents.agg(
+        *[
+            F.expr(f"percentile(v, {p!r})").alias(f"q{i}")
+            for i, p in enumerate(QS_TARGETS)
+        ]
+    ).first()
+    for i, p in enumerate(QS_TARGETS):
+        assert got[p] == ref[f"q{i}"], (p, got[p], ref[f"q{i}"])
+    release_caches()
+
+
+def test_exact_quantiles_oracle(spark, sf_dir):
+    from master_airflow_spark.registry import release_caches
+    from master_airflow_spark.testing import run_one
+
+    r = run_one(spark, sf_dir, "exact_quantiles_sketched")
+    assert r.ok, r.mismatches[:3]
+    release_caches()
