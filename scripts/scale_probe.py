@@ -111,6 +111,10 @@ PROBE_QUERIES = (
     "bfs_reachability_hops",
     # sketch-then-verify: bounded-memory candidates + exact verify
     "heavy_hitters_mg_verified",
+    # round-7 addition: exact quantiles via rank sketch — the curve
+    # should track the two scans (linear) since the candidate sort is
+    # ~U rows, corpus-size-bounded by the per-batch budget
+    "exact_quantiles_sketched",
 )
 
 

@@ -251,3 +251,54 @@ def test_quality_logit_bounds_and_determinism(spark, texts):
         if t in logit_by_text:
             assert logit_by_text[t] == r.logit
         logit_by_text[t] = r.logit
+
+
+@given(
+    vals=st.lists(
+        st.decimals(
+            min_value=-99_999_999_999,
+            max_value=99_999_999_999,
+            places=2,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_parts=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_scaled_long_sum_cross_engine_bit_parity(spark, vals, n_parts):
+    """functions/exact.py's scaled-long fast path: Spark's
+    CAST(SUM(long) AS DOUBLE)/scale must be bit-identical to the DuckDB
+    twin, which sums BIGINT into HUGEINT and routes through
+    VARCHAR->strtod. Magnitudes reach ~1e11 with 2 decimals, so ~1e4
+    scaled values and 60-element lists push sums past 2^53 — the regime
+    where the conversion rounds and naive hugeint->double double-
+    rounding would diverge. Partition count varies so the long sum's
+    combine order provably cannot matter."""
+    import duckdb
+
+    from master_airflow_spark.functions.exact import (
+        cents,
+        lsum_money,
+        sql_cents,
+        sql_lsum_money,
+    )
+
+    floats = [float(v) for v in vals]
+    df = spark.createDataFrame(
+        [(v,) for v in floats], "x double"
+    ).repartition(n_parts)
+    got = df.agg(
+        lsum_money(cents("x") * (F.lit(100) - cents(F.lit(0.05))), 2, "s")
+    ).first()["s"]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in floats])
+    scaled = sql_cents("x") + " * (100 - " + sql_cents("0.05") + ")"
+    want = con.execute(
+        "SELECT " + sql_lsum_money(scaled, 2) + " AS s FROM t"
+    ).fetchone()[0]
+    assert got == want, (got, want, got.hex(), want.hex())
