@@ -74,8 +74,11 @@ def sql_dmul(a: str, b: str) -> str:
 # for decimal-product-sum vs scaled-long vs raw-double on the sf0.1
 # lineitem agg. Money columns in this schema carry ≤2 fractional
 # decimal digits, so the same exact arithmetic runs on LONGs: snap each
-# factor to integer cents (round(x*100) — exact: x*100 is within 1e-9
-# of an integer for any ≤2-decimal double), multiply and sum as 64-bit
+# factor to integer cents (round(x*100) — exact: x is the double
+# nearest d/100 for integer d, so x*100 differs from d by at most a
+# few ulps — relative 2^-53, i.e. up to ~1e-3 ABSOLUTE near 1e13 —
+# always far below the 0.5 that round() needs), multiply and sum as
+# 64-bit
 # integers (exact, associative, order-independent), and convert ONCE at
 # the end: CAST(sum AS DOUBLE) is correctly rounded in both engines
 # (DuckDB sums BIGINT into HUGEINT, so its oracle twin routes through

@@ -171,7 +171,11 @@ def incremental_dedup_frame(
     yesterday = track_cache(yesterday)
     today = track_cache(today)
     words = bloom_build(yesterday, "fp")
-    maybe = bloom_might_contain(words, "fp")
+    # NULL fingerprints (null text) never match in the anti join, so
+    # the control/oracle KEEP them; a bare where(maybe)/where(~maybe)
+    # split would drop them from BOTH branches (NULL predicate).
+    # Route them to the definitely-new branch explicitly.
+    maybe = F.coalesce(bloom_might_contain(words, "fp"), F.lit(False))
     definitely_new = today.where(~maybe)
     suspects = track_cache(today.where(maybe))
     words_s = bloom_build(suspects, "fp")

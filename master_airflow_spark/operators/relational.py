@@ -25,8 +25,6 @@ from pyspark.sql import functions as F
 from master_airflow_spark.catalog import load_table
 from master_airflow_spark.functions.exact import (
     cents,
-    davg,
-    dmul,
     dsum,
     lavg_money,
     lsum_money,

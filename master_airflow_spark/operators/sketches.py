@@ -258,19 +258,25 @@ def exact_quantiles_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
        lo = largest sample with S_le + U < r (strictly below rank r),
        hi = smallest sample with S_le >= r (at or above it). Ten
        scalars reach the driver — never data.
-    3. Verify/extract pass: a second scan counts values <= lo exactly
-       and ranks only the rows inside the candidate windows (a
-       distributed sort of ~U rows, not N); the row whose exact global
-       rank equals the target is the answer BY CONSTRUCTION, and an
-       in-plan assert_true fails loudly if a bracket missed (it cannot,
-       but the guarantee is enforced, not assumed).
+    3. Verify/extract pass: ONE more scan computes, per target, the
+       exact count of values <= lo (a conditional sum) and the sorted
+       candidate list for (lo, hi] (a collect_list bounded by the
+       bracket width ~U — map-side partial aggregation keeps the
+       exchange at per-partition partials, never N rows); the value at
+       local index rank − n_below is the answer BY CONSTRUCTION. The
+       result is LEFT-joined back onto the full target list and an
+       in-plan assert_true fails loudly if any bracket missed its rank
+       — including the both-ranks-missed case, which would otherwise
+       silently drop the row (it cannot happen, but the guarantee is
+       enforced structurally, not assumed).
 
     The interpolated quantile (h = 1 + p*(N-1), value_lo + frac*(value_hi
     - value_lo)) uses the identical IEEE expression the oracle states,
     on exact integer-cents order statistics — bit-identical across
     engines. At 100 TB: pass 1 shuffles sample summaries only, pass 2
-    sorts an U-sized candidate set; Spark's own percentile() buffers
-    every value per group, which this operator exists to avoid."""
+    shuffles five (n_below, ~U-candidate-list) partials per partition;
+    Spark's own percentile() buffers every value per group, which this
+    operator exists to avoid."""
     o = load_table(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
     )
@@ -334,44 +340,67 @@ def exact_quantiles_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for p, rk_lo, rk_hi, frac in targets
     ]
-    win_df = F.broadcast(
-        spark.createDataFrame(
-            lo_hi, "p double, rk_lo long, rk_hi long, frac double, lo long, hi long"
-        )
-    )
 
-    # Pass 2: exact below-counts per target + candidate ranking. The
-    # candidate set per target is < U + inter-sample gap rows.
-    tagged = o.join(
-        win_df, (F.col("v") > F.col("lo")) & (F.col("v") <= F.col("hi"))
-    )
-    below = o.join(win_df.select("p", "lo"), F.col("v") <= F.col("lo")).groupBy(
-        "p"
-    ).agg(F.count(F.lit(1)).alias("n_below"))
-    w = Window.partitionBy("p").orderBy("v")
-    ranked = (
-        tagged.join(F.broadcast(below), "p", "left")
-        .withColumn(
-            "rk", F.row_number().over(w) + F.coalesce("n_below", F.lit(0))
+    # Pass 2, ONE scan: the five (lo, hi] brackets are driver scalars,
+    # so each target's exact below-count and sorted candidate list are
+    # plain conditional aggregate expressions — no join, no second
+    # scan, no window shuffle. collect_list drops the when()'s nulls,
+    # so each partial list holds only that partition's candidates
+    # (bounded by the bracket width), and the value at sorted index
+    # rank − n_below IS the exact order statistic.
+    aggs = []
+    for i, (_p, _rkl, _rkh, _frac, lo, hi) in enumerate(lo_hi):
+        aggs.append(
+            F.sum(F.when(F.col("v") <= F.lit(lo), 1).otherwise(0)).alias(
+                f"nb{i}"
+            )
         )
-        .where((F.col("rk") == F.col("rk_lo")) | (F.col("rk") == F.col("rk_hi")))
-    )
-    out = ranked.groupBy("p", "rk_lo", "rk_hi", "frac").agg(
-        F.max(F.when(F.col("rk") == F.col("rk_lo"), F.col("v"))).alias(
-            "value_lo_cents"
-        ),
-        F.max(F.when(F.col("rk") == F.col("rk_hi"), F.col("v"))).alias(
-            "value_hi_cents"
-        ),
-    )
+        aggs.append(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        (F.col("v") > F.lit(lo)) & (F.col("v") <= F.lit(hi)),
+                        F.col("v"),
+                    )
+                )
+            ).alias(f"cand{i}")
+        )
+    one = o.agg(*aggs)
+
+    def pick(i: int, rk: int):
+        # Index guard: a broken bracket could put rk − n_below at ≤ 0
+        # (element_at would read from the array END for negatives) or
+        # past the list (ANSI element_at throws). when + try_element_at
+        # maps every invalid index to NULL so the assert below is the
+        # single loud failure path.
+        idx = (F.lit(rk) - F.col(f"nb{i}")).cast("int")
+        return F.when(idx >= 1, F.try_element_at(F.col(f"cand{i}"), idx))
+
+    rows = []
+    for i, (p, rk_lo, rk_hi, frac, _lo, _hi) in enumerate(lo_hi):
+        rows.append(
+            F.struct(
+                F.lit(p).alias("p"),
+                F.lit(rk_lo).alias("rank_lo"),
+                F.lit(rk_hi).alias("rank_hi"),
+                F.lit(frac).alias("frac"),
+                pick(i, rk_lo).alias("value_lo_cents"),
+                pick(i, rk_hi).alias("value_hi_cents"),
+            )
+        )
+    out = one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+    # Structural guard: element_at returns NULL when a bracket missed
+    # its rank (index out of the candidate list) — assert on EVERY
+    # target row, which exists unconditionally (built by explode over
+    # literals, not by grouping rows that might be absent).
     guard = F.assert_true(
         F.col("value_lo_cents").isNotNull() & F.col("value_hi_cents").isNotNull(),
         F.lit("quantile bracket missed its rank — sketch bound violated"),
     )
     return out.select(
         "p",
-        F.col("rk_lo").alias("rank_lo"),
-        F.col("rk_hi").alias("rank_hi"),
+        "rank_lo",
+        "rank_hi",
         F.when(guard.isNull(), F.col("value_lo_cents")).alias("value_lo_cents"),
         F.col("value_hi_cents").alias("value_hi_cents"),
         (

@@ -740,7 +740,7 @@ WITH nat AS (
 )
 SELECT l_partkey, CAST(CAST(value_l AS VARCHAR) AS DOUBLE) / 100.0 AS stock_value
 FROM nat
-WHERE value_l * 1000 > (SELECT SUM(value_l) FROM nat)
+WHERE value_l > (SELECT SUM(value_l) // 1000 FROM nat)
 """,
     tags=("X1", "X5", "X2"),
 )
@@ -750,10 +750,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is computed once; the global total folds the SAME
     aggregate's output (25× fewer rows than re-scanning lineitem) and
     broadcasts as a 1-row join. Membership (value > 0.1% of total) is
-    decided as ``value × 1000 > total`` — an integer-scaled decimal
-    compare with no fractional multiply, so no rounding exists for the
-    engines to disagree on (a 0.001 decimal factor would round at
-    Spark's clamped result scale and drift the boundary)."""
+    decided as ``value > total div 1000`` — exact integer arithmetic on
+    both engines (for positive integers a*1000 > T ⟺ a > T div 1000),
+    with the floor-division on the 1-row total instead of a ×1000
+    multiply per part, which would cost 1000× of the int64 headroom
+    (a 0.001 decimal factor would instead round at Spark's clamped
+    result scale and drift the boundary)."""
     li = load_table(spark, sf_dir, "lineitem")
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
     n = F.broadcast(
@@ -771,7 +773,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = per_part.agg(F.sum("value_l").alias("total_l"))
     return (
         per_part.join(F.broadcast(total))
-        .where(F.col("value_l") * 1000 > F.col("total_l"))
+        .where(F.col("value_l") > F.expr("total_l div 1000"))
         .select(
             "l_partkey",
             (F.col("value_l").cast("double") / F.lit(100.0)).alias("stock_value"),

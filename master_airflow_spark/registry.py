@@ -64,11 +64,12 @@ def register(
 # never-certified-first, the standing rule ADVICE.md called out);
 # (1) then every query whose latest stamp is r1 or r2 (11 queries,
 # including the rows-only approx/multimodal checks and the
-# top1_price_alltime serving anchor); (1b) the 8 queries whose
+# top1_price_alltime serving anchor); (1b) the 9 queries whose
 # money-sum representation moved to the scaled-long fast path THIS
 # round (new exprs + new oracles — changed code outranks stale-stamp
-# refresh, the same never-uncertified-first principle as block 0);
-# (2) the remaining 28 slots take r3 stamps oldest-first by name,
+# refresh, the same never-uncertified-first principle as block 0;
+# pricing_summary moved here from block 2, so 8 net swap-ins);
+# (2) the remaining 27 slots take r3 stamps oldest-first by name,
 # explicitly including top1_price_today — the serving anchors must
 # never be the stalest entries again. Ceding this round, two groups.
 # Group A (r3 stamps whose file-level code paths have a FRESHER
@@ -123,7 +124,7 @@ PRIORITY: tuple[str, ...] = (
     "top_customers_per_segment",
     "stream_tumbling_agg",
     "stream_session_window",
-    # (2) r3 stamps (28 of 41; cessions documented above).
+    # (2) r3 stamps (27 of 41; cessions documented above).
     "top1_price_today",
     "collapse_repeated_tokens",
     "daily_revenue_gap_filled",
