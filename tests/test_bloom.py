@@ -117,3 +117,28 @@ def test_new_queries_match_oracles(spark, sf_dir):
         res = run_one(spark, sf_dir, name)
         assert res.ok, (name, res.mismatches[:3])
         release_caches()
+
+
+def test_incremental_dedup_keeps_null_fingerprints(spark, tmp_path):
+    """NULL text ⇒ NULL fingerprint ⇒ never matches the anti join, so
+    the oracle and the unpruned control KEEP the row; the bloom split
+    must route it to the definitely-new branch rather than dropping it
+    from both (round-7 review regression)."""
+    from master_airflow_spark.operators.bloom_prune import incremental_dedup_frame
+
+    rows = [
+        (0, "src", "shared text"),   # yesterday (even)
+        (2, "src", "only yesterday"),
+        (1, "src", "shared text"),   # today (odd): true dup -> dropped
+        (3, "src", None),            # today: NULL text -> must survive
+        (5, "src", "genuinely new"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    pruned = incremental_dedup_frame(spark, sf, use_bloom=True)
+    control = incremental_dedup_frame(spark, sf, use_bloom=False)
+    got = {r.doc_id for r in pruned.collect()}
+    want = {r.doc_id for r in control.collect()}
+    assert got == want == {3, 5}
+    release_caches()
