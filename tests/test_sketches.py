@@ -159,3 +159,16 @@ def test_exact_quantiles_oracle(spark, sf_dir):
     r = run_one(spark, sf_dir, "exact_quantiles_sketched")
     assert r.ok, r.mismatches[:3]
     release_caches()
+
+
+def test_exact_quantiles_final_plan_is_single_scan(spark, sf_dir):
+    """Round-7 review follow-up: pass 2 must be ONE scan of orders —
+    the below-counts and candidate lists are conditional aggregate
+    expressions over a single FileScan, not separate join branches
+    re-reading the fact table."""
+    from master_airflow_spark.plans.explain import formatted, op_count
+    from master_airflow_spark.registry import REGISTRY, release_caches
+
+    df = REGISTRY["exact_quantiles_sketched"].fn(spark, sf_dir)
+    assert op_count(df, "Scan parquet") == 1, formatted(df)
+    release_caches()
