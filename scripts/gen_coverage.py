@@ -196,6 +196,11 @@ def main() -> None:
         "minhash_estimate_error",
         "scd2_history_build",
         "zorder_layout_keys",
+        # round-7 additions: the bitmap filter below the merge join is
+        # the X36 claim; the single-scan conditional-aggregate pass 2
+        # is the X37 claim
+        "bloom_join_prune",
+        "exact_quantiles_sketched",
     ]
     for name in HEADLINE + [s for s in showcase if s not in HEADLINE]:
         spec = registry.REGISTRY.get(name)
