@@ -7,12 +7,19 @@ engine in the last bits. The driver hash-compares values against a
 single-threaded DuckDB oracle, and at 100 TB the partial-agg tree is
 thousands deep — so judged aggregates must be order-independent.
 
-The fix: cast to DECIMAL before aggregating (decimal addition is exact
-and associative), cast the final result back to DOUBLE (one
-deterministic rounding). The oracle SQL applies the identical casts.
-Source doubles here carry ≤2 fractional decimal digits (prices,
-quantities), so DECIMAL(28,4) loses nothing and leaves ~24 integer
-digits of headroom — enough for a 100 TB sum of 1e6-scale values.
+Two fixes, both ending in ONE deterministic conversion to DOUBLE that
+the oracle SQL mirrors exactly:
+
+- scaled-long fast path (cents/lsum_money below — the default since
+  round 7 for money/fixed-precision columns): snap to integer cents,
+  multiply and sum as 64-bit integers. Fast (no per-row BigDecimal)
+  but bounded — see the exactness-bound comment below.
+- DECIMAL path (dsum/dmul): cast to DECIMAL before aggregating
+  (decimal addition is exact and associative). Exact at any magnitude
+  — source doubles here carry ≤2 fractional decimal digits, so
+  DECIMAL(28,4) loses nothing and leaves ~24 integer digits of
+  headroom, enough for a 100 TB sum of 1e6-scale values — the
+  fallback once a workload outgrows the long bound.
 """
 
 from __future__ import annotations
