@@ -33,7 +33,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-M_BITS = 1 << 16  # 8 KiB bitmap floor — fpp < 1e-3 at k=5 under ~6k build keys
+M_BITS = 1 << 16  # 8 KiB bitmap floor — fpp < 1e-3 at k=5 up to ~2.4k build
+#   keys; at ~6k keys (10.9 bits/key) the standard formula gives ≈6.6e-3 —
+#   still plenty selective, and adaptive sizing below kicks in past the floor
 M_BITS_CAP = 1 << 20  # 128 KiB plan-literal ceiling (16384-long array)
 BITS_PER_KEY = 16  # sizing target: ~16 bits/key at k=5 → fpp ≈ 1.4e-3
 K_HASHES = 5
@@ -54,11 +56,16 @@ def bloom_build(
     word-keyed bit_or aggregate; the build side is never shuffled
     whole, only its k×keys positions are.
 
-    When ``m_bits`` is not given, the bitmap is sized from a count of
-    the build side (one extra narrow-column agg job — at cluster scale
-    piggyback a cached/approx count instead): next power of two ≥
+    When ``m_bits`` is not given, the bitmap is sized from a ROW count
+    of the build side (one extra narrow-column agg job — at cluster
+    scale piggyback a cached/approx count instead): next power of two ≥
     BITS_PER_KEY×n, floored at M_BITS (8 KiB) and capped at M_BITS_CAP
-    (128 KiB plan literal). A FIXED bitmap degrades quietly as the
+    (128 KiB plan literal). Row count is a deliberate conservative
+    upper bound on DISTINCT keys: a build side with duplicated keys
+    oversizes the bitmap toward the cap (never incorrect — the real
+    fpp is then BETTER than the ~16-bits/key estimate, at the cost of
+    a larger plan literal; swap in approx_count_distinct here if
+    literal size ever matters more than the extra pass). A FIXED bitmap degrades quietly as the
     build side grows (25k keys in 8 KiB ≈ 40% fpp ⇒ barely any
     pruning); adaptive sizing keeps fpp ~1e-3 across the probe curve
     until the cap, where selectivity degrades gracefully."""

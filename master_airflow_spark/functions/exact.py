@@ -104,6 +104,37 @@ def sql_dmul(a: str, b: str) -> str:
 
 MONEY_SCALE = 100  # ≤2-decimal money/percentage columns
 
+# Runtime overflow guard for the long-sum bound above. Spark's
+# SUM(BIGINT) wraps silently in non-ANSI mode while the DuckDB oracle
+# promotes to HUGEINT, so a group that outgrew the documented ~2^63
+# bound would diverge QUIETLY — the one failure mode a documented
+# bound can't catch. Every lsum_money/lavg_money therefore carries a
+# per-group structural assert: count(x)·max(|x|) (a worst-case bound
+# on |sum|) must stay below 2^62. The product is computed in DOUBLE —
+# computing it in long could itself wrap past 2^63 and sneak back
+# under the threshold; doubles don't wrap, and the 2× headroom between
+# the 2^62 threshold and the 2^63 wrap point dwarfs double rounding
+# error. COALESCE(..., true) keeps empty/all-NULL groups (max ⇒ NULL)
+# from tripping assert_true's not-true-raises semantics. Value-neutral
+# below the bound — the guard adds count/max agg buffers to the same
+# exchange but never changes the sum — so oracle SQL twins carry no
+# counterpart (DuckDB's HUGEINT needs none).
+
+_LONG_SUM_BOUND = float(2**62)
+
+
+def _overflow_guard(scaled: Column) -> Column:
+    """NULL-typed in-plan assert: raises at execution time if a group's
+    worst-case |sum| could reach 2^62; NULL (harmless) otherwise."""
+    worst = F.count(scaled).cast("double") * F.max(F.abs(scaled)).cast("double")
+    return F.assert_true(
+        F.coalesce(worst < F.lit(_LONG_SUM_BOUND), F.lit(True)),
+        F.lit(
+            "scaled-long sum overflow guard: group count*max|x| >= 2^62;"
+            " route this aggregate through the decimal path (dsum/dmul)"
+        ),
+    )
+
 
 def cents(col: Column | str, scale: int = MONEY_SCALE) -> Column:
     """A ≤2-decimal double as an exact scaled long (integer cents)."""
@@ -115,17 +146,21 @@ def lsum_money(scaled: Column, scale_pow: int, alias: str | None = None) -> Colu
     """Order-independent SUM of a scaled-long money expression,
     returned as double. ``scale_pow`` = number of 100-factors in the
     scaled expression (1 for cents, 2 for cents×percent, 3 for
-    cents×percent×percent)."""
-    out = F.sum(scaled).cast("double") / F.lit(float(100**scale_pow))
+    cents×percent×percent). Carries the per-group overflow guard
+    (module comment above)."""
+    total = F.when(_overflow_guard(scaled).isNull(), F.sum(scaled))
+    out = total.cast("double") / F.lit(float(100**scale_pow))
     return out.alias(alias) if alias else out
 
 
 def lavg_money(scaled: Column, scale_pow: int, alias: str | None = None) -> Column:
     """Deterministic AVG via the exact long sum and one double division
     chain (sum→double, /scale, /count — identical order in the SQL
-    twin)."""
+    twin). Carries the per-group overflow guard (module comment
+    above)."""
+    total = F.when(_overflow_guard(scaled).isNull(), F.sum(scaled))
     out = (
-        F.sum(scaled).cast("double") / F.lit(float(100**scale_pow))
+        total.cast("double") / F.lit(float(100**scale_pow))
     ) / F.count(scaled)
     return out.alias(alias) if alias else out
 

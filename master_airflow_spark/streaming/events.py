@@ -226,6 +226,99 @@ def _checkpoint_root() -> str:
 # (drains are bounded, so the serialization cost is the drain itself).
 _DRAIN_LOCK = threading.Lock()
 
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class _TriggerListener(StreamingQueryListener):
+    """StreamingQueryListener accumulating per-run triggerExecution
+    totals — uncapped BY CONSTRUCTION (every progress event is summed
+    as it arrives), unlike recentProgress whose history is bounded by
+    numRecentProgressUpdates and only complete because run_to_memory
+    raises that cap. Adopted per the round-7 ADVICE/verdict: the
+    listener is the primary drain-credit source; the recentProgress
+    sum is kept alongside as a cross-check (BENCH_DETAIL records the
+    agreement)."""
+
+    def __init__(self) -> None:
+        self.lock = threading.Lock()
+        self.trigger_ms: dict[str, float] = {}
+        self.terminated: set[str] = set()
+
+    def onQueryStarted(self, event) -> None:
+        with self.lock:
+            self.trigger_ms.setdefault(str(event.runId), 0.0)
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        ms = (p.durationMs or {}).get("triggerExecution", 0)
+        with self.lock:
+            self.trigger_ms[str(p.runId)] = (
+                self.trigger_ms.get(str(p.runId), 0.0) + float(ms)
+            )
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        with self.lock:
+            self.terminated.add(str(event.runId))
+
+
+_LISTENERS: dict[str, _TriggerListener] = {}  # session id -> listener
+
+
+def _ensure_listener(spark: SparkSession) -> _TriggerListener:
+    key = spark.sparkContext.applicationId
+    lst = _LISTENERS.get(key)
+    if lst is None:
+        lst = _TriggerListener()
+        spark.streams.addListener(lst)
+        _LISTENERS[key] = lst
+    return lst
+
+
+class track_drain_progress:
+    """Context manager attributing listener-measured triggerExecution
+    seconds to the queries STARTED inside the with-block (drains are
+    lock-serialized and bench is single-threaded, so the attribution
+    is unambiguous). ``trigger_seconds()`` waits briefly for the
+    listener bus to deliver the termination event of every tracked run
+    — progress events for a run precede its termination event on the
+    bus, so a seen termination proves the sum is complete; on timeout
+    it returns what has arrived (the recentProgress cross-check in
+    run_to_memory would expose a shortfall)."""
+
+    def __init__(self, spark: SparkSession, timeout: float = 10.0) -> None:
+        self._listener = _ensure_listener(spark)
+        self._timeout = timeout
+
+    def __enter__(self) -> "track_drain_progress":
+        with self._listener.lock:
+            self._before = set(self._listener.trigger_ms)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        return None
+
+    def _new_runs(self) -> set[str]:
+        with self._listener.lock:
+            return set(self._listener.trigger_ms) - self._before
+
+    def trigger_seconds(self) -> float:
+        import time as _t
+
+        deadline = _t.perf_counter() + self._timeout
+        while _t.perf_counter() < deadline:
+            with self._listener.lock:
+                runs = set(self._listener.trigger_ms) - self._before
+                if runs and runs <= self._listener.terminated:
+                    break
+            _t.sleep(0.02)
+        with self._listener.lock:
+            runs = set(self._listener.trigger_ms) - self._before
+            return sum(self._listener.trigger_ms[r] for r in runs) / 1000.0
+
 # Cumulative trigger-execution and wall-clock seconds of drains since
 # the last reset. A drain's wall-clock = one-time query start/stop
 # (checkpoint dir, offset WAL init, listener wiring — paid ONCE by a
@@ -235,23 +328,33 @@ _DRAIN_LOCK = threading.Lock()
 # recurring part, which is the throughput number that scales;
 # triggerExecution from StreamingQueryProgress is exactly that
 # (planning + addBatch + walCommit + commitOffsets, measured by Spark
-# itself). The WALL accumulator is recorded alongside so the size of
-# that credit is auditable in BENCH_DETAIL.json (round-6 verdict /
-# ADVICE item), and the progress-history cap is raised during drains
-# so a many-trigger drain can never silently under-credit (see
-# run_to_memory).
+# itself), accumulated from the session-wide _TriggerListener
+# (uncapped by construction — round-7 ADVICE). The recentProgress sum
+# is accumulated in parallel as a cross-check (its completeness
+# depends on the numRecentProgressUpdates cap raised below); bench
+# records both so disagreement is visible in BENCH_DETAIL.json. The
+# WALL accumulator is recorded alongside so the size of the credit is
+# auditable (round-6 verdict / ADVICE item).
 _DRAIN_TRIGGER_SEC = 0.0
+_DRAIN_TRIGGER_SEC_RECENT = 0.0
 _DRAIN_WALL_SEC = 0.0
 
 
 def reset_drain_trigger_seconds() -> None:
-    global _DRAIN_TRIGGER_SEC, _DRAIN_WALL_SEC
+    global _DRAIN_TRIGGER_SEC, _DRAIN_TRIGGER_SEC_RECENT, _DRAIN_WALL_SEC
     _DRAIN_TRIGGER_SEC = 0.0
+    _DRAIN_TRIGGER_SEC_RECENT = 0.0
     _DRAIN_WALL_SEC = 0.0
 
 
 def drain_trigger_seconds() -> float:
+    """Listener-accumulated triggerExecution seconds since reset."""
     return _DRAIN_TRIGGER_SEC
+
+
+def drain_trigger_seconds_recent() -> float:
+    """recentProgress-accumulated cross-check of the listener total."""
+    return _DRAIN_TRIGGER_SEC_RECENT
 
 
 def drain_wall_seconds() -> float:
@@ -310,18 +413,20 @@ def run_to_memory(
             # drains keep it: closed windows would otherwise never emit.
             spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         try:
-            q = (
-                stream_df.writeStream.format("memory")
-                .queryName(qname)
-                .outputMode(output_mode)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            global _DRAIN_TRIGGER_SEC, _DRAIN_WALL_SEC
+            global _DRAIN_TRIGGER_SEC, _DRAIN_TRIGGER_SEC_RECENT, _DRAIN_WALL_SEC
+            with track_drain_progress(spark) as progress:
+                q = (
+                    stream_df.writeStream.format("memory")
+                    .queryName(qname)
+                    .outputMode(output_mode)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            _DRAIN_TRIGGER_SEC += progress.trigger_seconds()
             for p in q.recentProgress:
-                _DRAIN_TRIGGER_SEC += (
+                _DRAIN_TRIGGER_SEC_RECENT += (
                     p["durationMs"].get("triggerExecution", 0) / 1000.0
                 )
         finally:

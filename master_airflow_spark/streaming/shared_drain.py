@@ -1,0 +1,238 @@
+"""Shared-scan multi-view drain: N streaming aggregates from ONE pass
+over the events source.
+
+The per-query drains (operators/streaming_queries.py) are the judged
+X19/X20 operators: each starts its own AvailableNow query, so a bench
+pass over the pair scans the events landing dir twice and pays the
+state-store fold (HDFSBackedStateStore put/merge + per-partition
+delta/commit files) for every trigger — profiled at 1.14s of a 1.46s
+session-window trigger at sf0.1. A production deployment computing
+several materialized views over one stream does neither: it reads the
+source ONCE and fans out (the foreachBatch multi-sink pattern —
+Spark's own recommended shape for multi-sink streaming, the same O5
+form as streaming/events.fan_out_stream).
+
+This module is that deployment shape, built on the classic
+partial-aggregate-then-merge design instead of per-view state stores:
+
+- Each micro-batch is persisted once; every view computes a BATCH
+  partial aggregate from it (window/session_window are batch-valid
+  expressions) and appends the partials to a scratch spool (tmpfs
+  parquet — distributed, executor-written; never driver-resident).
+- After the stream terminates, one merge per view folds the spooled
+  partials into the exact final result. Merges are associative by
+  construction: tumbling partials merge by summing per-key counts and
+  scaled-long sums (functions/exact.py — exact, order-independent);
+  session partials are intervals that merge by the gaps-and-islands
+  rule (two sessions of one user merge iff the later one starts
+  strictly within `gap` of the earlier one's last event — the same
+  closure rule session_window itself applies, see _merge_sessions).
+
+Why this is the 100 TB shape: per-trigger work is one source read
+plus K map-side-combinable partial aggregates (partials per batch are
+~|distinct keys touched|, orders below raw rows); the spool holds
+partial rows, not events; the final merges shuffle partials, not
+events. Nothing ever collects to the driver. A continuous (non-drain)
+deployment would instead merge-per-trigger into serving tables —
+foreachBatch gives that for free by swapping the spool append for a
+MERGE INTO; the drain-then-merge form here is the right one for the
+periodic AvailableNow ingests the bench models.
+
+Correctness is pinned two ways (tests/test_shared_drain.py): each
+view's shared-drain result must equal (1) the independently-certified
+per-query streaming drain and (2) the batch aggregate over the same
+events — including a multi-file landing dir that forces partials from
+several micro-batches through the interval merge.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from master_airflow_spark.functions.exact import cents, lsum_money
+
+SESSION_GAP = "5 minutes"
+_GAP_EXPR = f"INTERVAL {SESSION_GAP}"
+
+# Events `value` carries 4 judged decimal digits (see events._vsum);
+# partials spool the exact scaled long and convert to double ONCE in
+# the final merge — converting per batch would round twice.
+_VALUE_SCALE = 10_000
+
+
+def _tumbling_partial(batch: DataFrame) -> DataFrame:
+    """Per-batch partial of the tumbling view: one row per
+    (window, event_type) touched by this batch, sum kept scaled."""
+    return (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value", _VALUE_SCALE)).alias("sum_scaled"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_scaled",
+        )
+    )
+
+
+def _session_partial(batch: DataFrame) -> DataFrame:
+    """Per-batch partial of the session view: this batch's sessions as
+    intervals (start, last event ts) with their aggregates. last_ts
+    rather than session_end so the merge rule below needs no gap
+    arithmetic on the spool."""
+    return (
+        batch.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value", _VALUE_SCALE)).alias("sum_scaled"),
+        )
+        .select(
+            F.col("w.start").alias("start_ts"),
+            F.expr(f"w.end - {_GAP_EXPR}").alias("last_ts"),
+            "user_id",
+            "n_events",
+            "sum_scaled",
+        )
+    )
+
+
+def _merge_tumbling(partials: DataFrame) -> DataFrame:
+    """Fold tumbling partials: plain per-key sums (associative), one
+    scaled→double conversion at the end (lsum_money carries the
+    overflow guard)."""
+    return partials.groupBy("window_start", "window_end", "event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        lsum_money(F.col("sum_scaled"), 2, "sum_value"),
+    )
+
+
+def _merge_sessions(partials: DataFrame) -> DataFrame:
+    """Fold session partials from any number of batches into final
+    sessions.
+
+    Merge rule: within a user, sessions S1, S2 (S1.start ≤ S2.start)
+    belong to one session iff S2.start − S1.last_ts < gap. Proof
+    sketch: consecutive events inside a session are < gap apart, so
+    every instant of [start, last_ts] is < gap from some member event;
+    if the intervals overlap, or the later start is < gap past the
+    earlier last event, some cross-pair of events is < gap apart and
+    session_window would have chained them; conversely a ≥ gap void
+    between last_ts and the next start is ≥ gap between the adjacent
+    events themselves. That is gaps-and-islands over intervals — the
+    same machinery as operators/window.py sessionize — with a RUNNING
+    MAX of last_ts (not lag: late-data partials can nest an interval
+    entirely inside an earlier one).
+
+    Scale: one shuffle on user_id, windows + groupBy both satisfied by
+    it; partial-session rows are ~|sessions|, orders below raw events.
+    """
+    w = Window.partitionBy("user_id").orderBy("start_ts", "last_ts")
+    prev_last = F.max("last_ts").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = (
+        prev_last.isNull()
+        | (F.col("start_ts") >= prev_last + F.expr(_GAP_EXPR))
+    ).cast("long")
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        partials.withColumn("island", island)
+        .groupBy("user_id", "island")
+        .agg(
+            F.min("start_ts").alias("session_start"),
+            (F.max("last_ts") + F.expr(_GAP_EXPR)).alias("session_end"),
+            F.sum("n_events").alias("n_events"),
+            lsum_money(F.col("sum_scaled"), 2, "sum_value"),
+        )
+        .select(
+            "session_start", "session_end", "user_id", "n_events", "sum_value"
+        )
+    )
+
+
+# View registry: partial transform + final merge, keyed by the judged
+# query name each view must equal.
+VIEWS: dict[str, tuple] = {
+    "stream_tumbling_agg": (_tumbling_partial, _merge_tumbling),
+    "stream_session_window": (_session_partial, _merge_sessions),
+}
+
+
+def drain_events_multi(
+    spark: SparkSession,
+    sf_dir: str,
+    view_names: tuple[str, ...] = ("stream_tumbling_agg", "stream_session_window"),
+    timings: dict | None = None,
+    events_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """One AvailableNow foreachBatch pass over the events landing dir
+    feeding every requested view; returns {view: final DataFrame}
+    (schemas identical to the per-query drains).
+
+    ``timings``, when given, receives a per-view in-handler seconds
+    map under "views", the whole pass's wall under "pass_wall", and
+    Spark's own per-trigger execution time under "trigger" — the same
+    accounting surface the per-query drains expose, so bench.py can
+    attribute the shared cost from measured numbers instead of an
+    assumed split."""
+    from master_airflow_spark.streaming.events import (
+        _checkpoint_root,
+        landing_dir_for,
+        read_events_stream,
+        track_drain_progress,
+    )
+
+    if events_dir is None:
+        events_dir = landing_dir_for(os.path.join(sf_dir, "events.parquet"))
+    stream = read_events_stream(spark, events_dir)
+    run_id = uuid.uuid4().hex[:10]
+    root = os.path.join(_checkpoint_root(), "mas_shared_drain", run_id)
+    spools = {v: os.path.join(root, "spool", v) for v in view_names}
+    ckpt = os.path.join(root, "ckpt")
+    view_sec: dict[str, float] = dict.fromkeys(view_names, 0.0)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for v in view_names:
+                t0 = time.perf_counter()
+                VIEWS[v][0](batch_df).write.mode("append").parquet(spools[v])
+                view_sec[v] += time.perf_counter() - t0
+        finally:
+            batch_df.unpersist()
+
+    t_pass = time.perf_counter()
+    with track_drain_progress(spark) as progress:
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    pass_wall = time.perf_counter() - t_pass
+
+    from master_airflow_spark.registry import track_scratch_dir
+
+    # The merge plans read the spool lazily; the spool stays on disk
+    # until release_caches() — callers materialize every view before
+    # the next registered query runs (same lifecycle contract as
+    # run_to_memory's memory-sink tables).
+    out = {v: VIEWS[v][1](spark.read.parquet(spools[v])) for v in view_names}
+    track_scratch_dir(root)
+    if timings is not None:
+        timings["views"] = {v: round(s, 4) for v, s in view_sec.items()}
+        timings["pass_wall"] = round(pass_wall, 4)
+        timings["trigger"] = round(progress.trigger_seconds(), 4)
+    return out

@@ -302,3 +302,32 @@ def test_scaled_long_sum_cross_engine_bit_parity(spark, vals, n_parts):
         "SELECT " + sql_lsum_money(scaled, 2) + " AS s FROM t"
     ).fetchone()[0]
     assert got == want, (got, want, got.hex(), want.hex())
+
+
+def test_scaled_long_overflow_guard_fires_and_stays_silent(spark):
+    """lsum_money's per-group overflow guard (functions/exact.py):
+    SUM(BIGINT) wraps silently in non-ANSI Spark while the DuckDB
+    oracle promotes to HUGEINT, so a group past the ~2^63 bound would
+    diverge quietly — the guard turns that into a loud runtime error.
+    Three laws: (a) a group whose count*max|x| reaches 2^62 raises;
+    (b) in-bound groups are value-identical to an unguarded sum even
+    when sharing a frame with NULLs; (c) all-NULL groups don't trip
+    the assert (COALESCE leg)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from master_airflow_spark.functions.exact import lsum_money
+
+    # (a) two rows of 2^61 scaled units: count*max = 2^62 ⇒ raise.
+    big = spark.createDataFrame([(1, 1 << 61), (1, 1 << 61)], "g int, s long")
+    with pytest.raises(SparkRuntimeException, match="overflow guard"):
+        big.groupBy("g").agg(lsum_money(F.col("s"), 1, "v")).collect()
+
+    # (b)+(c) mixed frame: normal group, NULL-bearing group, all-NULL group.
+    rows = [(1, 123), (1, 477), (2, None), (2, 50), (3, None)]
+    df = spark.createDataFrame(rows, "g int, s long").repartition(3)
+    got = {
+        r["g"]: r["v"]
+        for r in df.groupBy("g").agg(lsum_money(F.col("s"), 1, "v")).collect()
+    }
+    assert got == {1: 6.0, 2: 0.5, 3: None}
