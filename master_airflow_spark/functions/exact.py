@@ -142,6 +142,15 @@ def cents(col: Column | str, scale: int = MONEY_SCALE) -> Column:
     return F.round(c * scale).cast("long")
 
 
+def lsum_scaled(scaled: Column, alias: str | None = None) -> Column:
+    """Guarded long SUM of a scaled expression, kept AS A LONG — for
+    partial aggregates that a later merge will sum again (e.g. the
+    shared-drain spool). The final conversion to double happens once,
+    in the merge's lsum_money."""
+    out = F.when(_overflow_guard(scaled).isNull(), F.sum(scaled))
+    return out.alias(alias) if alias else out
+
+
 def lsum_money(scaled: Column, scale_pow: int, alias: str | None = None) -> Column:
     """Order-independent SUM of a scaled-long money expression,
     returned as double. ``scale_pow`` = number of 100-factors in the

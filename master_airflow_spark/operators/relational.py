@@ -254,7 +254,12 @@ def distinct_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct (HyperLogLog++): the 100 TB answer to
     COUNT(DISTINCT) — mergeable sketches, no exact-distinct shuffle.
-    rsd=0.01. Rows-only check (sketch estimates are engine-specific)."""
+    rsd=0.01. Rows-only to the DRIVER (sketch estimates are
+    engine-specific, so no hash oracle can exist), but
+    property-verified locally: tests/test_round4_ops.py::
+    test_approx_distinct_cross_engine pins every estimate within
+    3% (≈3σ at rsd=0.01) of DuckDB's exact per-group distinct count —
+    a bounded-error oracle, not just a row count."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")

@@ -123,10 +123,14 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("approx_percentiles", oracle=None, tags=("X6",))
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (KLL-style sketch): mergeable, one pass,
-    the 100 TB form of percentiles_exact. Rows-only (sketch estimates
-    are engine-specific). The sketch's array result is projected to
-    three scalar columns — the driver canonicalizes rows-only outputs
-    too and cannot hash array cells."""
+    the 100 TB form of percentiles_exact. Rows-only to the DRIVER
+    (sketch estimates are engine-specific), but property-verified
+    locally: tests/test_round4_ops.py::
+    test_approx_percentiles_cross_engine pins every estimate within 2%
+    relative of DuckDB's exact continuous quantiles — a bounded-error
+    oracle, not just a row count. The sketch's array result is
+    projected to three scalar columns — the driver canonicalizes
+    rows-only outputs too and cannot hash array cells."""
     from master_airflow_spark.catalog import load_table
 
     pcts = (
