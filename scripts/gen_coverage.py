@@ -9,6 +9,41 @@ from collections import defaultdict
 
 sys.path.insert(0, ".")
 
+SHARED_DRAIN_DOC = """### shared-scan multi-view drain (bench methodology v6)
+
+Since round 8 the bench times the two drained views as ONE unit
+running streaming/shared_drain.py — the deployment shape a
+production multi-view pipeline runs:
+
+- ONE AvailableNow foreachBatch pass over the events landing dir;
+  each micro-batch is persisted once, then every view's BATCH partial
+  aggregate (window / session_window are batch-valid) is submitted
+  from its own thread (independent jobs overlap on the scheduler —
+  measured 1.31s→0.72s for the two views at sf0.1) and appended to a
+  tmpfs parquet spool. Partials carry scaled-long sums (exact,
+  associative — functions/exact.py) so the one double conversion
+  happens at the end.
+- After the stream terminates: one merge per view. Tumbling partials
+  merge by per-key sums; session partials are intervals merged by the
+  gaps-and-islands rule (running max of last_ts, strict < gap —
+  exactly session_window's closure rule, proof sketch in
+  _merge_sessions). A single-batch drain (the common periodic-ingest
+  shape) takes a projection fast path: its partials are already final
+  per group, so the merge is a narrow no-shuffle select.
+- Equality of the shared-drain results to the independently-certified
+  per-query state-store drains AND to the batch aggregates is pinned
+  in tests/test_shared_drain.py, including a multi-file landing dir
+  whose batches split single sessions across triggers.
+
+Why it wins: the per-query drains each rescan events and pay the
+HDFSBackedStateStore fold + per-partition delta/commit files every
+trigger (profiled r7: addBatch 1.14s of a 1.46s session trigger);
+the shared pass reads the source once and replaces state-store folds
+with map-side-combinable batch partials. At 100 TB the same shape
+holds: per-trigger work is one source read + K partial aggs whose
+output is ~|keys touched|, the spool holds partials (not events), and
+the merges shuffle partials only. Nothing collects to the driver."""
+
 # §2 inventory rows and what each means (kept in sync with SURVEY.md)
 ROWS: dict[str, str] = {
     "S2": "HTML table scan (semi-structured extraction)",
@@ -208,6 +243,8 @@ def main() -> None:
             continue
         if name.startswith("stream_"):
             chunks += [f"## {name}", "", "(streaming query — see streaming/events.py)", ""]
+            if name == "stream_session_window":
+                chunks += [SHARED_DRAIN_DOC, ""]
             continue
         df = spec.fn(spark, sf_dir)
         chunks += [f"## {name}", "", "```", formatted(df).strip(), "```", ""]

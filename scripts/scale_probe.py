@@ -286,15 +286,21 @@ def main() -> None:
         "within-copy, i.e. the dup workload grows linearly by design",
         "rather than quadratically across replicas.",
     ]
-    # Preserve the bloom_probe.py section (appended after its marker)
-    # across regenerations of the main curve.
+    # Preserve the bloom_probe.py section and the manually-curated
+    # control-experiment section (both appended after their markers)
+    # across regenerations of the main curve: keep everything from the
+    # FIRST preserved marker onward.
     tail = ""
-    marker = "## Bloom pruning probe (generated by scripts/bloom_probe.py)"
+    markers = (
+        "## Control experiments",
+        "## Bloom pruning probe (generated by scripts/bloom_probe.py)",
+    )
     if os.path.exists(OUT_MD):
         with open(OUT_MD) as f:
             old = f.read()
-        if marker in old:
-            tail = "\n" + marker + old.split(marker, 1)[1]
+        cut = min((old.find(m) for m in markers if m in old), default=-1)
+        if cut >= 0:
+            tail = "\n" + old[cut:]
     with open(OUT_MD, "w") as f:
         f.write("\n".join(lines) + "\n" + tail)
     print(f"{OUT_MD} written")
