@@ -85,6 +85,9 @@ def main() -> None:
         warm = drain_events_multi(spark, sf_dir, drain_group)
         for v in drain_group:
             n_rows[v] = warm[v].count()
+            materialize(warm[v])  # warm the EXACT noop-sink plan the
+            # timed reps run — count() alone would warm a column-pruned
+            # variant (the v5 asymmetry the module docstring describes)
         registry.release_caches()
 
     # Each query is timed REPS times back-to-back and the minimum is
@@ -125,7 +128,12 @@ def main() -> None:
                 merges[v] = time.perf_counter() - m0
             registry.release_caches()
             wall = time.perf_counter() - t0
-            credited = min(wall, wall - tm["pass_wall"] + tm["trigger"])
+            # Same trigger>0 guard as the per-query path: if the
+            # listener bus stalled and delivered nothing, fall back to
+            # wall rather than crediting away the entire pass.
+            credited = wall
+            if tm["trigger"] > 0:
+                credited = min(wall, wall - tm["pass_wall"] + tm["trigger"])
             return credited, wall, tm, merges
 
         runs = []
@@ -140,11 +148,34 @@ def main() -> None:
         views = tm["views"]
         tot_views = sum(views.values()) or 1.0
         merge_sum = sum(merges.values())
+
+        def rep_wall_split(run) -> dict[str, float]:
+            """One rep's wall attributed to views (same proportional
+            rule as the credited split)."""
+            _, r_wall, r_tm, r_merges = run
+            r_tot = sum(r_tm["views"].values()) or 1.0
+            r_msum = sum(r_merges.values())
+            return {
+                v: r_merges[v]
+                + (r_tm["views"][v] / r_tot) * max(r_wall - r_msum, 0.0)
+                for v in drain_group
+            }
+
+        # No-credit accounting: per-view MIN across reps of the rep's
+        # attributed wall — the same min-walls rule the per-query path
+        # applies (a stalled merge in the credited-min rep must not
+        # inflate value_wall_drains).
+        min_wall_split = {
+            v: min(rep_wall_split(r)[v] for r in runs) for v in drain_group
+        }
+        best_wall_split = rep_wall_split((credited, wall, tm, merges))
         for v in drain_group:
             share = views[v] / tot_views
             timings[v] = round(merges[v] + share * max(credited - merge_sum, 0.0), 4)
-            wall_timings[v] = round(merges[v] + share * max(wall - merge_sum, 0.0), 4)
-            drain_wall_sec[v] = wall_timings[v]
+            wall_timings[v] = round(min_wall_split[v], 4)
+            # audit trail: the credited-min rep's attributed wall (the
+            # run the credit was computed from)
+            drain_wall_sec[v] = round(best_wall_split[v], 4)
             reps_used[v] = len(runs)
             print(
                 f"# {v}: {timings[v]:.3f}s rows={n_rows[v]}"

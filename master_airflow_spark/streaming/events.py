@@ -30,6 +30,15 @@ from pyspark.sql import functions as F
 from master_airflow_spark.functions.exact import cents, dsum, lsum_money
 
 
+# Single source of the judged window-view parameters: the per-query
+# drains below AND the shared-scan drain (streaming/shared_drain.py)
+# both derive from these, so the two certified-equal paths cannot
+# silently diverge on gap / width / value precision.
+SESSION_GAP = "5 minutes"
+TUMBLING_WIDTH = "1 hour"
+VALUE_SCALE = 10_000  # events `value` carries 4 judged decimal digits
+
+
 def _vsum(alias: str):
     """Exact order-independent sum of the events ``value`` column at
     its judged 4-decimal precision, on the scaled-long fast path
@@ -38,7 +47,7 @@ def _vsum(alias: str):
     double conversion + scale division at the end are deterministic.
     Replaces the decimal path inside the two drained window aggs —
     the per-row Decimal wrapping was ~0.1s of each drain's addBatch."""
-    return lsum_money(cents("value", 10_000), 2, alias)
+    return lsum_money(cents("value", VALUE_SCALE), 2, alias)
 
 # ts slot depends on Spark version: 4.1+ reads parquet TIMESTAMP(NANOS)
 # natively as timestamp_ntz; older versions need nanosAsLong (bigint).
@@ -89,7 +98,7 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def tumbling_agg(events: DataFrame, width: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+def tumbling_agg(events: DataFrame, width: str = TUMBLING_WIDTH, watermark: str = "10 minutes") -> DataFrame:
     """X19: tumbling event-time windows per event type."""
     return (
         events.withWatermark("ts", watermark)
@@ -127,7 +136,7 @@ def sliding_agg(
 
 
 def session_agg(
-    events: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
+    events: DataFrame, gap: str = SESSION_GAP, watermark: str = "10 minutes"
 ) -> DataFrame:
     """X20: session windows per user — events within `gap` of each
     other merge; a session closes when the next event is ≥ gap away."""

@@ -56,20 +56,23 @@ from pyspark.sql import functions as F
 
 from master_airflow_spark.functions.exact import cents, lsum_money, lsum_scaled
 
-SESSION_GAP = "5 minutes"
-_GAP_EXPR = f"INTERVAL {SESSION_GAP}"
+# View parameters come from streaming/events.py — the SINGLE source
+# shared with the per-query drains, so the two certified-equal paths
+# cannot drift apart on gap / width / value precision.
+from master_airflow_spark.streaming.events import (
+    SESSION_GAP,
+    TUMBLING_WIDTH,
+    VALUE_SCALE as _VALUE_SCALE,
+)
 
-# Events `value` carries 4 judged decimal digits (see events._vsum);
-# partials spool the exact scaled long and convert to double ONCE in
-# the final merge — converting per batch would round twice.
-_VALUE_SCALE = 10_000
+_GAP_EXPR = f"INTERVAL {SESSION_GAP}"
 
 
 def _tumbling_partial(batch: DataFrame) -> DataFrame:
     """Per-batch partial of the tumbling view: one row per
     (window, event_type) touched by this batch, sum kept scaled."""
     return (
-        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        batch.groupBy(F.window("ts", TUMBLING_WIDTH).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             lsum_scaled(cents("value", _VALUE_SCALE), "sum_scaled"),
@@ -200,6 +203,20 @@ VIEWS: dict[str, tuple] = {
     "stream_session_window": (_session_partial, _merge_sessions, _project_sessions),
 }
 
+# Output schemas, for the zero-batch (empty landing dir) case: no
+# trigger ever fires, so no spool exists to read — return empty
+# frames of the right shape instead of an AnalysisException.
+VIEW_SCHEMAS: dict[str, str] = {
+    "stream_tumbling_agg": (
+        "window_start timestamp, window_end timestamp, event_type string,"
+        " n_events bigint, sum_value double"
+    ),
+    "stream_session_window": (
+        "session_start timestamp, session_end timestamp, user_id bigint,"
+        " n_events bigint, sum_value double"
+    ),
+}
+
 
 def drain_events_multi(
     spark: SparkSession,
@@ -266,11 +283,19 @@ def drain_events_multi(
     # windows past the watermark; this drain merges AFTER the stream,
     # so the extra trigger is a full commit cycle producing two empty
     # spool files — skip it (same reasoning as run_to_memory's
-    # complete-mode drains).
+    # complete-mode drains). The recentProgress history cap is raised
+    # for the same reason run_to_memory raises it: a many-file landing
+    # dir (one trigger per file) would silently truncate the
+    # trigger_recent cross-check below — the check must not be the
+    # broken side of the listener/recentProgress comparison.
     prev_nodata = spark.conf.get(
         "spark.sql.streaming.noDataMicroBatches.enabled", "true"
     )
+    prev_nprog = spark.conf.get(
+        "spark.sql.streaming.numRecentProgressUpdates", "100"
+    )
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
     try:
         with track_drain_progress(spark) as progress:
             q = (
@@ -283,6 +308,9 @@ def drain_events_multi(
     finally:
         spark.conf.set(
             "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", prev_nprog
         )
     pass_wall = time.perf_counter() - t_pass
     trigger_recent = sum(
@@ -298,11 +326,16 @@ def drain_events_multi(
     # run_to_memory's memory-sink tables). A single-batch drain (the
     # common shape for periodic ingests of one landing file) takes the
     # projection fast path: its partials are already final per group.
-    merge_ix = 2 if n_batches[0] == 1 else 1
-    out = {
-        v: VIEWS[v][merge_ix](spark.read.parquet(spools[v]))
-        for v in view_names
-    }
+    if n_batches[0] == 0:
+        out = {
+            v: spark.createDataFrame([], VIEW_SCHEMAS[v]) for v in view_names
+        }
+    else:
+        merge_ix = 2 if n_batches[0] == 1 else 1
+        out = {
+            v: VIEWS[v][merge_ix](spark.read.parquet(spools[v]))
+            for v in view_names
+        }
     track_scratch_dir(root)
     if timings is not None:
         timings["views"] = {v: round(s, 4) for v, s in view_sec.items()}

@@ -242,7 +242,13 @@ def main() -> None:
         if spec is None:
             continue
         if name.startswith("stream_"):
-            chunks += [f"## {name}", "", "(streaming query — see streaming/events.py)", ""]
+            note = "(streaming query — see streaming/events.py)"
+            if name == "stream_tumbling_agg":
+                note = (
+                    "(streaming query — see streaming/events.py; bench times"
+                    " the pair via the shared-scan multi-view drain below)"
+                )
+            chunks += [f"## {name}", "", note, ""]
             if name == "stream_session_window":
                 chunks += [SHARED_DRAIN_DOC, ""]
             continue

@@ -127,3 +127,32 @@ def test_session_interval_merge_nested_and_adjacent(spark):
         (1, "2024-01-01 10:25:00", "2024-01-01 10:30:00"): (1, 0.01),
         (2, "2024-01-01 10:00:00", "2024-01-01 10:19:59"): (4, 0.04),
     }
+
+
+def test_shared_drain_zero_batches_returns_empty_views(spark, tmp_path):
+    """An empty landing dir fires no trigger: the drain must return
+    empty frames with the exact output schemas, not crash on a
+    missing spool."""
+    landing = tmp_path / "empty_landing"
+    landing.mkdir()
+    # The streaming source needs a schema; read_events_stream probes a
+    # batch read first, which cannot infer from an empty dir — stage a
+    # schema-only parquet marker the way a real landing zone's ingest
+    # would (zero-row file written once at provisioning).
+    from master_airflow_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.limit(0).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "marker"))
+    import os, shutil
+
+    for f in os.listdir(tmp_path / "marker"):
+        if f.endswith(".parquet"):
+            shutil.copy(str(tmp_path / "marker" / f), str(landing / f))
+            break
+
+    shared = drain_events_multi(
+        spark, "/root/testdata/sf0.001", VIEW_NAMES, events_dir=str(landing)
+    )
+    for v in VIEW_NAMES:
+        assert shared[v].count() == 0
+        assert len(shared[v].columns) == 5
