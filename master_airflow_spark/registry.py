@@ -57,98 +57,90 @@ def register(
 
 # Exposure order for the driver contract. The driver samples the
 # FIRST 50 registry entries each round, so ordering is the lever that
-# decides which queries get externally certified. Round-8 policy (per
-# the round-7 verdict's #1 item, verbatim: "Lead the r8 PRIORITY
-# window with exact_quantiles_sketched ... Fill the remaining 49
-# slots oldest-stamp-first: the 13 r3 stamps, then r4"):
-# (0) slot 1 is exact_quantiles_sketched (X37) — the ONLY registry
-# entry never driver-certified (judge-verified green in the round-7
-# session via an independent run_one at sf0.01; oracle-diff test in
-# tests/test_sketches.py); never-certified-first, the standing rule.
-# (1) slots 2-14: all 13 queries whose latest stamp is r3 — the
-# oldest certifications left in the registry (after this window no
-# stamp predates r4). Several were ceded in r7 on fresher-sibling
-# grounds; their turn has come around regardless, because cession is
-# a one-round deferral, not an exemption.
-# (2) slots 15-50: 36 of the 45 r4 stamps, name order. The 9 ceded
-# r4 queries each keep a valid r4 stamp on unchanged code and have a
-# FRESHER same-file sibling either in this window or stamped ≥r5:
-# sql_api_top1_alltime (semantic twin top1_price_alltime r7;
-# file-mates sql_api_grouping_sets + zip_align_arrays in window),
-# simhash_near_dup (simhash_fingerprint in window shares the
-# fingerprint kernel; dedup.py stamped r6 via minhash_estimate_error),
-# ivf_ann_topk (similarity.py: cosine_topk in window,
-# embedding_near_dup r6, ann_recall_eval r5 measures this very
-# query's recall), video_frame_sample (multimodal.py stamped r7 via
-# multimodal_features; ppm_decode_resize kept in window),
-# stream_static_enrich + stream_interval_join (streaming_queries.py
-# stamped r7 ×3; stream_dedup_watermark + stream_ewma_per_user kept),
-# dedup_clusters (clusters.py: cluster_keep_longest r5 exercises the
-# same connected-components path), keyed_upsert_latest (dedup.py:
-# merge_changes_classify r5 is the same LWW kernel with a richer
-# oracle), train_test_split (sampling.py: split_leakage_audit in
-# window audits this splitter's output; stratified_sample kept).
-# Changed-code-outranks-stale-refresh note for this round: the only
-# code change touching already-r7-stamped queries is the scaled-long
-# overflow guard (functions/exact.py) — a structural assert that is
-# value-neutral below the documented 2^62 bound (hypothesis-tested),
-# so those queries keep their r7 stamps and the window stays on the
-# verdict-prescribed oldest-first fill; full driver_sim 0 (all 202)
-# re-ran green locally after the change.
+# decides which queries get externally certified. Round-9 policy (the
+# round-8 verdict's #2 item, verbatim priority order: "the 7 streaming
+# queries (events.py refactored r8; latest stamps r7), the 20
+# out-of-window tpch_like lsum_money users (overflow guard r8), then
+# the 9 r4 cessions"):
+# (1) slots 1-7: every streaming query whose latest stamp predates r8
+# — they all execute through streaming/events.py, which was refactored
+# in r8 (_TriggerListener, track_drain_progress), so their r4-r7
+# stamps are stale-on-changed-code: stream_tumbling_agg(r7),
+# stream_session_window(r7), stream_topk_users(r7),
+# stream_sliding_agg(r5), stream_unique_users_rollup(r6),
+# stream_interval_join(r4), stream_static_enrich(r4). The other two
+# streaming queries (stream_dedup_watermark, stream_ewma_per_user)
+# were stamped r8 on the refactored code already.
+# (2) slots 8-29: all 22 tpch_like.py queries whose stamps are r7 —
+# the shared scaled-long kernel they aggregate through
+# (functions/exact.py lsum_money/lavg_money) gained the overflow
+# guard in r8 after their last stamps. q21 was stamped r8 and stays
+# out. q7 additionally has a CODE change this round (AQE advisory
+# exchange on its fact-fact shuffle, round-8 verdict #4).
+# (3) slots 30-36: the 7 r4 cessions not already covered by (1)
+# (stream_interval_join / stream_static_enrich are in slots 1-7):
+# dedup_clusters, ivf_ann_topk, keyed_upsert_latest, simhash_near_dup,
+# sql_api_top1_alltime, train_test_split, video_frame_sample. After
+# this window no registry stamp predates r5 (the verdict's bar).
+# (4) slots 37-50: changed-code first — embedding_near_dup (r6 stamp;
+# its kernel is touched by this round's perf work) — then the oldest
+# r5 stamps in name order (ann_recall_eval … dedup_rate_by_source…)
+# to keep retiring the old tail.
 PRIORITY: tuple[str, ...] = (
-    # (0) never driver-certified — X37, must lead (r7 verdict #1).
-    "exact_quantiles_sketched",
-    # (1) the 13 r3 stamps — oldest left in the registry.
-    "apply_in_pandas_scale",
-    "asof_join_tolerance",
-    "cohort_retention",
-    "correlated_scalar_select",
-    "event_transition_matrix",
-    "incremental_corpus_dedup",
-    "incremental_rollup_merge",
-    "ivf_ann_exhaustive",
-    "lateral_join_agg",
-    "multiset_set_ops",
-    "scd2_purchase_history",
-    "window_distribution",
-    "zipf_quality_score",
-    # (2) 36 of the 45 r4 stamps (cessions documented above).
-    "array_hof_suite",
-    "bm25_lite_ranking",
-    "containment_pairs",
-    "corr_qty_price",
-    "cosine_topk",
-    "csv_parse_roundtrip",
-    "cube_priority_status",
-    "dedup_exact",
-    "fuzzy_customer_pairs",
-    "interpolate_sparse_series",
-    "listagg_nation_customers",
-    "minhash_near_dup",
-    "null_semantics",
-    "pivot_priority_by_status",
-    "ppm_decode_resize",
-    "q21_waiting_suppliers",
-    "range_join_price_bands",
-    "repeated_shingle_ratio",
-    "rollup_sales",
-    "semi_anti_customers",
-    "set_ops_customers",
-    "simhash_fingerprint",
-    "split_leakage_audit",
-    "sql_api_grouping_sets",
-    "stats_moments",
-    "stratified_sample",
-    "stream_dedup_watermark",
-    "stream_ewma_per_user",
-    "surrogate_keys",
-    "tfidf_top_terms",
-    "udtf_fixed_chunks",
-    "variant_semistructured",
-    "weighted_sample_per_source",
-    "winnowing_fingerprints",
-    "xml_extract_golden",
-    "zip_align_arrays",
+    # (1) streaming queries on the r8-refactored events.py.
+    "stream_tumbling_agg",
+    "stream_session_window",
+    "stream_topk_users",
+    "stream_sliding_agg",
+    "stream_unique_users_rollup",
+    "stream_interval_join",
+    "stream_static_enrich",
+    # (2) tpch_like lsum_money users stamped r7 (overflow guard r8).
+    "pricing_summary",
+    "revenue_by_nation",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q20_excess_shippers",
+    "q22_idle_balances",
+    # (3) the remaining 7 r4 cessions — oldest stamps left.
+    "dedup_clusters",
+    "ivf_ann_topk",
+    "keyed_upsert_latest",
+    "simhash_near_dup",
+    "sql_api_top1_alltime",
+    "train_test_split",
+    "video_frame_sample",
+    # (4) changed-code this round, then oldest r5 stamps name-order.
+    "embedding_near_dup",
+    "ann_recall_eval",
+    "cluster_keep_longest",
+    "composite_key",
+    "corrupt_record_quarantine",
+    "customer_order_counts",
+    "daily_event_type_pivot",
+    "date_functions",
+    "date_parse_roundtrip",
+    "dedup_rate_by_source",
+    "distinct_order_status",
+    "dq_checks",
+    "equi_depth_price_buckets",
+    "event_type_association",
 )
 
 
