@@ -94,8 +94,32 @@ def main() -> None:
     # reported: this box is multi-tenant and single runs swing ~2-3×
     # on noisy-neighbor stalls (measured: same query 1.3s and 9.1s
     # minutes apart), so best-of-N is the steady-state throughput
-    # number. Applied identically to the DuckDB oracle below.
+    # number. Applied identically to the DuckDB oracle.
+    # v7: Spark and DuckDB reps are INTERLEAVED per query (ABAB) —
+    # rounds 7-8 showed the two engines' totals drifting ±10-20% in
+    # OPPOSITE directions when timed in separate phases minutes apart
+    # (box-level contention drift), which made the ratio a coin flip
+    # on identical code. Pairing the reps puts both engines in the
+    # same contention window, so drift cancels in the ratio.
+    con = None
+    if with_oracle:
+        from master_airflow_spark.testing import duckdb_connection
+
+        con = duckdb_connection(sf_dir)
+
+    def oracle_rep(name: str) -> float | None:
+        spec = registry.REGISTRY[name]
+        if con is None or spec.oracle is None:
+            return None
+        t0 = time.perf_counter()
+        con.execute(spec.oracle).fetchall()
+        return time.perf_counter() - t0
+
+    def converged(samples: list[float]) -> bool:
+        return len(samples) >= REPS and sorted(samples)[1] <= 1.15 * min(samples)
+
     timings: dict[str, float] = {}
+    oracle_timings: dict[str, float] = {}
     reps_used: dict[str, int] = {}
     # For drain queries only: the wall-clock of the credited-min rep
     # (audit trail for the trigger-cost credit) and the min wall-clock
@@ -103,6 +127,36 @@ def main() -> None:
     drain_wall_sec: dict[str, float] = {}
     wall_timings: dict[str, float] = {}
     drain_detail: dict = {}
+
+    # Per-query state-store drain timings (the exact code paths the
+    # driver certifies), restored to the bench in v7: they feed
+    # legacy_total / legacy_total_wall so cross-round totals compare
+    # the same implementation r1→r9, and they ship in BENCH_DETAIL
+    # (per_query_drain_sec). The shared-scan unit stays the headline
+    # `value` accounting (deployment shape, adjudicated legitimate in
+    # the round-8 verdict) and its unit time remains a separate
+    # deployment-shape metric in BENCH_DETAIL.
+    per_query_drain_sec: dict[str, float] = {}
+    per_query_drain_wall: dict[str, float] = {}
+
+    def per_query_drain_rep(name: str) -> tuple[float, float]:
+        """One rep of a drained view's REGISTRY fn (state-store drain),
+        with the standard trigger credit: credited = wall − drain_wall
+        + trigger (see the per-query run_once below)."""
+        from master_airflow_spark.streaming import events as stream_events
+
+        stream_events.reset_drain_trigger_seconds()
+        t0 = time.perf_counter()
+        df = registry.REGISTRY[name].fn(spark, sf_dir)
+        materialize(df)
+        wall = time.perf_counter() - t0
+        trig = stream_events.drain_trigger_seconds()
+        dwall = stream_events.drain_wall_seconds()
+        credited = wall
+        if trig > 0:
+            credited = min(wall, wall - dwall + trig)
+        registry.release_caches()
+        return credited, wall
 
     def run_drain_group() -> None:
         """v6: the two drained window views are timed as ONE unit
@@ -114,8 +168,15 @@ def main() -> None:
         its own final-merge + materialization time and takes a share
         of the shared pass proportional to its in-handler partial-agg
         seconds. Summing the two reported times recovers the unit's
-        total exactly, under both accountings (credited and wall) —
-        no work is dropped, only attributed."""
+        total exactly under the credited accounting; the no-credit
+        wall split is taken from the single rep with the minimum unit
+        wall (v7 — per-view minima across reps could sum BELOW the
+        fastest actually-measured unit, round-8 ADVICE), so the wall
+        sum also recovers one real rep's total exactly.
+        v7 also interleaves, inside the same rep loop: the DuckDB
+        oracle reps for both views (ABAB drift cancellation) and one
+        rep of each view's certified per-query state-store drain
+        (legacy accounting + BENCH_DETAIL audit)."""
 
         def run_once():
             t0 = time.perf_counter()
@@ -137,12 +198,24 @@ def main() -> None:
             return credited, wall, tm, merges
 
         runs = []
+        pq_creds: dict[str, list[float]] = {v: [] for v in drain_group}
+        pq_walls: dict[str, list[float]] = {v: [] for v in drain_group}
+        duck: dict[str, list[float]] = {v: [] for v in drain_group}
         while True:
             runs.append(run_once())
+            for v in drain_group:  # ABAB: oracle + per-query drain reps
+                o = oracle_rep(v)
+                if o is not None:
+                    duck[v].append(o)
+                c, w = per_query_drain_rep(v)
+                pq_creds[v].append(c)
+                pq_walls[v].append(w)
             creds = [r[0] for r in runs]
-            if len(creds) >= REPS and sorted(creds)[1] <= 1.15 * min(creds):
-                break
-            if len(creds) >= REPS_MAX:
+            done = converged(creds) and all(
+                converged(pq_creds[v]) and (not duck[v] or converged(duck[v]))
+                for v in drain_group
+            )
+            if done or len(creds) >= REPS_MAX:
                 break
         credited, wall, tm, merges = min(runs, key=lambda r: r[0])
         views = tm["views"]
@@ -161,13 +234,13 @@ def main() -> None:
                 for v in drain_group
             }
 
-        # No-credit accounting: per-view MIN across reps of the rep's
-        # attributed wall — the same min-walls rule the per-query path
-        # applies (a stalled merge in the credited-min rep must not
-        # inflate value_wall_drains).
-        min_wall_split = {
-            v: min(rep_wall_split(r)[v] for r in runs) for v in drain_group
-        }
+        # No-credit accounting: the wall split of the single rep with
+        # the minimum unit wall — one coherent measured rep, so the
+        # per-view sum equals that rep's real total (round-8 ADVICE:
+        # per-view minima across reps mix reps and can sum below any
+        # actually-measured unit wall).
+        min_wall_rep = min(runs, key=lambda r: r[1])
+        min_wall_split = rep_wall_split(min_wall_rep)
         best_wall_split = rep_wall_split((credited, wall, tm, merges))
         for v in drain_group:
             share = views[v] / tot_views
@@ -177,9 +250,14 @@ def main() -> None:
             # run the credit was computed from)
             drain_wall_sec[v] = round(best_wall_split[v], 4)
             reps_used[v] = len(runs)
+            per_query_drain_sec[v] = round(min(pq_creds[v]), 4)
+            per_query_drain_wall[v] = round(min(pq_walls[v]), 4)
+            if duck[v]:
+                oracle_timings[v] = round(min(duck[v]), 4)
             print(
                 f"# {v}: {timings[v]:.3f}s rows={n_rows[v]}"
-                f" reps={len(runs)} (shared drain)",
+                f" reps={len(runs)} (shared drain;"
+                f" per-query drain {per_query_drain_sec[v]:.3f}s)",
                 file=sys.stderr,
             )
         drain_detail.update(
@@ -238,15 +316,20 @@ def main() -> None:
             registry.release_caches()
             return dt, wall
 
-        times, walls, n = [], [], n_rows[name]
+        times, walls, otimes, n = [], [], [], n_rows[name]
         while True:
             dt, wall = run_once()
             times.append(dt)
             walls.append(wall)
-            if len(times) >= REPS and sorted(times)[1] <= 1.15 * min(times):
-                break  # two runs agree → steady state reached
+            o = oracle_rep(name)  # ABAB: oracle rep in the same window
+            if o is not None:
+                otimes.append(o)
+            if converged(times) and (not otimes or converged(otimes)):
+                break  # both engines reached steady state
             if len(times) >= REPS_MAX:
                 break
+        if otimes:
+            oracle_timings[name] = round(min(otimes), 4)
         timings[name] = round(min(times), 4)
         reps_used[name] = len(times)
         best = times.index(min(times))
@@ -315,18 +398,42 @@ def main() -> None:
     # a StreamingQueryListener (uncapped by construction, round-7
     # ADVICE); BENCH_DETAIL records listener vs recentProgress
     # agreement per run.
+    # v7 (round 9), three changes, all methodology-integrity items
+    # from the round-8 verdict/ADVICE: (a) ABAB — Spark and DuckDB
+    # reps are interleaved per query inside one rep loop instead of
+    # two separate phases minutes apart, so box-level contention
+    # drift (which moved the two totals ±10-20% in OPPOSITE
+    # directions run-to-run on identical code, r7-r8) hits both
+    # engines in the same window and cancels in the ratio; (b) the
+    # two drained views' certified PER-QUERY state-store drains are
+    # timed again every rep and feed legacy_total/legacy_total_wall
+    # (cross-round comparability — v6 had moved those totals onto the
+    # shared-scan unit) and BENCH_DETAIL.per_query_drain_sec; the
+    # shared-scan unit stays the headline `value` accounting with its
+    # unit time reported separately; (c) the no-credit wall split of
+    # the drain unit comes from the single rep with minimum unit wall
+    # (v6 mixed per-view minima across reps, which could sum below
+    # any actually-measured unit wall).
+    legacy_t = round(
+        sum(per_query_drain_sec.get(n, timings[n]) for n in legacy), 4
+    )
+    legacy_t_wall = round(
+        sum(
+            per_query_drain_wall.get(n, wall_timings.get(n, timings[n]))
+            for n in legacy
+        ),
+        4,
+    )
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": {n: round(t, 3) for n, t in timings.items()},
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-        "methodology": "v6-min-of-reps",
-        "legacy_total": round(sum(timings[n] for n in legacy), 4),
+        "methodology": "v7-abab-min-of-reps",
+        "legacy_total": legacy_t,
         "value_wall_drains": total_wall,
-        "legacy_total_wall": round(
-            sum(wall_timings.get(n, timings[n]) for n in legacy), 4
-        ),
+        "legacy_total_wall": legacy_t_wall,
     }
     detail = {
         "reps": {"min": REPS, "max": REPS_MAX, "used": reps_used},
@@ -334,28 +441,12 @@ def main() -> None:
         "queries": timings,
         "drain_wall_sec": drain_wall_sec,
         "wall_timings_drains": wall_timings,
+        "per_query_drain_sec": per_query_drain_sec,
+        "per_query_drain_wall_sec": per_query_drain_wall,
         "drain_group": drain_detail,
     }
 
     if with_oracle:
-        from master_airflow_spark.testing import duckdb_connection
-
-        con = duckdb_connection(sf_dir)
-        oracle_timings: dict[str, float] = {}
-        for name in headline:
-            spec = registry.REGISTRY[name]
-            if spec.oracle is None:
-                continue
-            times: list[float] = []
-            while True:
-                t0 = time.perf_counter()
-                con.execute(spec.oracle).fetchall()
-                times.append(time.perf_counter() - t0)
-                if len(times) >= REPS and sorted(times)[1] <= 1.15 * min(times):
-                    break
-                if len(times) >= REPS_MAX:
-                    break
-            oracle_timings[name] = round(min(times), 4)
         detail["oracle_queries"] = oracle_timings
         detail["speedup_vs_oracle"] = {
             n: round(oracle_timings[n] / timings[n], 2)
