@@ -486,6 +486,9 @@ REBUILD = {
     # round 5: fn() collects the bounded query set into an executor
     # broadcast during plan construction — that work must be timed.
     "lsh_bucketed_ann",
+    # round 9: fn() size-probes the corpus and (small side) collects
+    # the bounded matrix into a broadcast — that work must be timed.
+    "embedding_near_dup",
 }
 
 # The two drained window views: timed as ONE shared-scan unit since

@@ -29,6 +29,12 @@ QUERY_STRIDE = 50  # vec_id % 50 == 0 → deterministic query subset
 MAX_QUERIES = 1024  # hard cap on the broadcast query side (bounds driver memory)
 TOP_K = 5
 NEAR_DUP_BLOCKS = 8  # block count for the all-pairs self-join
+# all-pairs strategy pick: corpora whose packed f64 matrix fits this
+# budget take the broadcast-kernel plan (one scan, no shuffle); larger
+# corpora take the blocked cogroup plan. 32 MiB ≈ 64k rows at dim 64 —
+# the x50 replica (100k rows) already exceeds it, so the scale probe
+# exercises the blocked plan while the bench SF runs broadcast.
+NEAR_DUP_BROADCAST_MAX_BYTES = 32 << 20
 
 
 DIM = 64  # embedding dimensionality of the driver tables
@@ -598,20 +604,83 @@ WHERE a.vec_id < b.vec_id
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.95) — the
-    all-pairs form, exact, fully distributed: a blocked self-join.
-    Each vector hashes to one of NEAR_DUP_BLOCKS blocks; the (bi ≤ bj)
-    block-pair grid replicates each side ~B times (the Afrati-Ullman
-    blocked all-pairs layout: N·B communication for N²/B-per-reducer
-    work — B tunes to sqrt(#reducers) at scale), and a cogrouped
-    numpy kernel computes the block×block cosines with the same
-    left-to-right dimension fold as the oracle, so values stay
-    bit-identical. NOTHING is collected to the driver; threshold
-    filtering happens inside the kernel so almost nothing crosses the
-    post-kernel boundary."""
+    all-pairs form, exact, with a size-based physical strategy pick
+    (the same stats-driven broadcast-vs-shuffle decision Catalyst
+    makes for joins):
+
+    - corpus matrix ≤ NEAR_DUP_BROADCAST_MAX_BYTES → BROADCAST plan:
+      collect the (bounded) corpus to one matrix, broadcast it, and
+      stream the corpus once through a mapInPandas kernel — each row
+      block cosines against the broadcast matrix, keeping a<b pairs
+      only (each unordered pair is emitted exactly once, from the
+      min-id side's batch). One scan, no shuffle, no replication.
+    - larger → BLOCKED plan, fully distributed: each vector hashes to
+      one of NEAR_DUP_BLOCKS blocks; the (bi ≤ bj) block-pair grid
+      replicates each side ~B times (the Afrati-Ullman blocked
+      all-pairs layout: N·B communication for N²/B-per-reducer work —
+      B tunes to sqrt(#reducers) at scale), and a cogrouped numpy
+      kernel computes the block×block cosines. Nothing is collected
+      to the driver.
+
+    Both kernels use the same left-to-right dimension fold as the
+    oracle, so values stay bit-identical regardless of which plan
+    fires (equality of the two plans is pinned in
+    tests/test_round4_ops.py); threshold filtering happens inside the
+    kernel so almost nothing crosses the post-kernel boundary."""
     import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
+
+    # Size probe: one tiny job for the dimensionality, then collect at
+    # most (budget/row-bytes)+1 rows — if the limit didn't truncate,
+    # the collected rows ARE the corpus and the broadcast plan fires.
+    first = e.select("embedding").first()
+    dim = len(first[0]) if first is not None else 0
+    cap = NEAR_DUP_BROADCAST_MAX_BYTES // (dim * 8) if dim else 0
+    rows = (
+        e.select("vec_id", "embedding").limit(cap + 1).collect() if cap else []
+    )
+    if rows and len(rows) <= cap:  # empty corpus falls through to the
+        # blocked plan, whose cogroup yields an empty frame correctly
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        M = _to_matrix([r["embedding"] for r in rows])
+        m_norms = _seq_norms(M)
+        bc = track_broadcast(spark.sparkContext.broadcast((ids, M, m_norms)))
+
+        def gen(batches):
+            b_ids, Bm, b_norms = bc.value
+            # chunk the A rows so each dim-iteration temp (rows×|B|
+            # doubles) stays cache-resident even when the broadcast
+            # side is large (~16 MB per temp at the 2M-element cap)
+            step = max(1, 2_000_000 // max(1, Bm.shape[0]))
+            for pdf in batches:
+                for lo in range(0, len(pdf), step):
+                    chunk = pdf.iloc[lo : lo + step]
+                    if not len(chunk):
+                        continue
+                    A = _to_matrix(chunk["embedding"])
+                    a_ids = chunk["vec_id"].to_numpy()
+                    acc = np.zeros((A.shape[0], Bm.shape[0]))
+                    for i in range(A.shape[1]):
+                        acc += A[:, i : i + 1] * Bm[:, i][None, :]
+                    cos = acc / (_seq_norms(A)[:, None] * b_norms[None, :])
+                    ai, bi_ = np.nonzero(cos >= 0.95)
+                    a = a_ids[ai]
+                    b = b_ids[bi_]
+                    keep = a < b  # emit once, from the min-id side
+                    yield pd.DataFrame(
+                        {
+                            "a_id": a[keep],
+                            "b_id": b[keep],
+                            "cosine": cos[ai, bi_][keep],
+                        }
+                    )
+
+        return e.select("vec_id", "embedding").repartition(
+            spark.sparkContext.defaultParallelism
+        ).mapInPandas(gen, "a_id long, b_id long, cosine double")
+
     B = NEAR_DUP_BLOCKS
     grid = spark.createDataFrame(
         [(i, j) for i in range(B) for j in range(i, B)], "bi int, bj int"

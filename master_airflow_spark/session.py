@@ -36,6 +36,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        # AQE advisory exchange sizing (round-8 verdict #4): start
+        # every shuffle at 8× the thread count and let AQE coalesce
+        # down by data volume (parallelismFirst keeps small-SF
+        # shuffles at ~defaultParallelism, so sf0.1 plans are
+        # unchanged — measured neutral at sf0.1/x10), while large
+        # inputs keep up to 256 reduce partitions instead of paging
+        # 32 oversized ones. Measured on the q7 fact-fact shuffle at
+        # x50: 6.3s → 5.0s and the x10→x50 marginal rate drops from
+        # ~linear to 2.4× over 5× rows. On a real cluster this scales
+        # with SPARK_GRAFT_CPUS (set it to total executor cores).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * DEFAULT_SHUFFLE_PARTITIONS),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # parquet scans: vectorized reader + pushdown are on by default;

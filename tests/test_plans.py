@@ -518,3 +518,29 @@ def test_heavy_hitters_verify_broadcasts_candidates(spark, sf_dir):
     # relation's description — none may execute in the live tree
     live = tree.split("InMemoryRelation")[0]
     assert "MapInPandas" not in live, "sketch kernel must not re-execute"
+
+
+def test_q7_fact_joins_broadcast_dims_only(spark, sf_dir):
+    """Q7: nation (×2 aliases) and supplier broadcast; the
+    lineitem⋈orders fact-fact join must NOT broadcast (either side
+    collected to every executor would melt at 100 TB) — it shuffles,
+    and its reduce side is AQE-advisory-sized (see the session pin
+    below)."""
+    kinds = join_kinds(_q(spark, sf_dir, "q7_volume_shipping"))
+    assert "BroadcastHashJoin" in kinds
+    assert "CartesianProduct" not in kinds
+
+
+def test_session_aqe_advisory_exchange_sizing(spark):
+    """The engine session must let AQE size reduce partitions by data
+    volume instead of pinning them to the thread count: initial
+    partition number ≥ 4× shuffle.partitions (r8 verdict #4 — at 32
+    fixed partitions the q7 x50 fact-fact shuffle paged ~1.16× over
+    linear), with coalescing enabled so small-SF plans stay at thread
+    count."""
+    conf = spark.conf
+    init = int(conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum"))
+    base = int(conf.get("spark.sql.shuffle.partitions"))
+    assert init >= 4 * base
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"

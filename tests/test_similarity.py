@@ -64,3 +64,80 @@ def test_bucket_matrix_matches_column_form(spark, sf_dir):
     kernel = _bucket_matrix(A)
     column = np.array([[r[f"b{t}"] for t in range(N_TABLES)] for r in rows])
     assert (kernel == column).all()
+
+
+def _write_neardup_fixture(spark, tmp_path, n_base=40, dim=8):
+    """Synthetic embeddings dir with REAL ≥0.95 near-dup pairs: each
+    base vector gets a slightly-perturbed twin (cosine ≈ 0.999), and
+    distinct bases are near-orthogonal random vectors (cosine ≪ 0.95).
+    The sf* embeddings tables have ZERO pairs above the threshold, so
+    without this fixture the pair-emission logic (a<b dedup, the
+    intra-/cross-block normalization, the broadcast-path keep mask)
+    would only ever be exercised on empty outputs."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(n_base, dim).astype(np.float32)
+    twin = (base + 0.01 * rng.randn(n_base, dim).astype(np.float32)).astype(
+        np.float32
+    )
+    rows = []
+    for i in range(n_base):
+        rows.append((i, [float(x) for x in base[i]], 0))
+        rows.append((1000 + i, [float(x) for x in twin[i]], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = str(tmp_path / "neardup_sf")
+    df.coalesce(1).write.mode("overwrite").parquet(out + "/embeddings.parquet")
+    return out
+
+
+def test_embedding_near_dup_broadcast_vs_blocked(spark, tmp_path):
+    """The size-based strategy pick (broadcast kernel vs Afrati-Ullman
+    blocked cogroup) must be invisible in values: both plans produce
+    the identical non-empty pair set, each unordered pair exactly
+    once, a_id < b_id, bit-identical cosines."""
+    from master_airflow_spark.operators import similarity as sim
+
+    sfd = _write_neardup_fixture(spark, tmp_path)
+    fn = REGISTRY["embedding_near_dup"].fn
+    broad = {tuple(r) for r in fn(spark, sfd).collect()}
+    orig = sim.NEAR_DUP_BROADCAST_MAX_BYTES
+    try:
+        sim.NEAR_DUP_BROADCAST_MAX_BYTES = 0  # force the blocked plan
+        blocked = {tuple(r) for r in fn(spark, sfd).collect()}
+    finally:
+        sim.NEAR_DUP_BROADCAST_MAX_BYTES = orig
+    assert broad == blocked
+    assert len(broad) >= 40  # every base/twin pair found
+    assert all(a < b for a, b, _ in broad)
+    assert len({(a, b) for a, b, _ in broad}) == len(broad)
+
+
+def test_embedding_near_dup_matches_duckdb_on_pairful_data(spark, tmp_path):
+    """Same fixture, diffed against the registered DuckDB oracle — the
+    sf-table certification only ever hash-compares empty outputs for
+    this query, so this is the value-level gate for real pairs."""
+    import duckdb
+
+    sfd = _write_neardup_fixture(spark, tmp_path)
+    got = {tuple(r) for r in REGISTRY["embedding_near_dup"].fn(spark, sfd).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sfd}/embeddings.parquet/*.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(REGISTRY["embedding_near_dup"].oracle).fetchall()}
+    assert got == want and len(want) >= 40
+
+
+def test_embedding_near_dup_empty_corpus(spark, tmp_path):
+    """Zero-row corpus: the strategy probe must fall through to the
+    blocked plan (no broadcast of an empty matrix) and return an
+    empty, correctly-typed frame."""
+    out = str(tmp_path / "empty_sf")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(out + "/embeddings.parquet")
+    df = REGISTRY["embedding_near_dup"].fn(spark, out)
+    assert df.columns == ["a_id", "b_id", "cosine"]
+    assert df.count() == 0
