@@ -101,7 +101,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH marked AS (
     SELECT user_id, event_id, ts, value,
            CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                  OR ts - lag(ts) OVER w > INTERVAL '5 minutes'
                 THEN 1 ELSE 0 END AS new_session
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -124,8 +124,11 @@ GROUP BY user_id, sid
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (5-minute gap) per user. The oracle is the
     gap-island formulation: a new session starts when the inter-event
-    gap is ≥ the session gap — the same closure rule session_window
-    applies (window end = last event + gap). state_partitions=8:
+    gap EXCEEDS the session gap — session_window's closure is
+    inclusive (events exactly `gap` apart chain into one session;
+    round-9 fix, the oracle previously said ≥ and would have diverged
+    on an exact-boundary pair — window end = last event + gap either
+    way). state_partitions=8:
     session state is per-SESSION (≈ per event on this sparse data), so
     unlike the window aggs the addBatch fold dominates the drain
     (profiled: addBatch 1.14s of a 1.46s trigger at 2 partitions) and

@@ -83,26 +83,135 @@ def test_shared_drain_multibatch_merge(spark, sf_dir, tmp_path):
     assert got["stream_tumbling_agg"] == _rows(tumbling_agg(ev))
     assert got["stream_session_window"] == _rows(session_agg(ev))
 
+    # ...and against the per-query STREAMING drains over the SAME
+    # split landing dir (round-8 ADVICE: the batch equality above
+    # alone wouldn't catch a divergence the state-store path and the
+    # partial-merge path share against batch but not against each
+    # other — e.g. watermark handling across micro-batches).
+    from master_airflow_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    pq_tumbling = _rows(
+        run_to_memory(
+            tumbling_agg(read_events_stream(spark, str(landing))),
+            "complete",
+            state_partitions=2,
+        )
+    )
+    pq_sessions = _rows(
+        run_to_memory(
+            session_agg(read_events_stream(spark, str(landing))),
+            "complete",
+            state_partitions=8,
+        )
+    )
+    registry.release_caches()
+    assert got["stream_tumbling_agg"] == pq_tumbling
+    assert got["stream_session_window"] == pq_sessions
+
+
+def test_cross_batch_exact_gap_boundary(spark, tmp_path):
+    """Sessions split ACROSS micro-batch files with inter-event gaps
+    exactly AT, just under, and just over the session gap (5 min):
+    the interval merge's closure must agree with the per-query
+    session_window drain processing the same two files — inclusive at
+    the boundary (this test CAUGHT the round-8 strict-< rule
+    diverging from session_window and drove the round-9 fix).
+    user 1: 10:00 (file A) then 10:05:00 (file B) — exactly gap ⇒
+    ONE session. user 2: 10:00 (A) then 10:04:59 (B) — merges.
+    user 3: 10:00 (A) then 10:05:01 (B) — two sessions."""
+    from master_airflow_spark import registry
+    from master_airflow_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        session_agg,
+    )
+
+    def ev_rows(spec):
+        return spark.createDataFrame(
+            [
+                (eid, uid, "click", ts, 1.0)
+                for eid, uid, ts in spec
+            ],
+            "event_id long, user_id long, event_type string,"
+            " ts string, value double",
+        ).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        )
+
+    file_a = ev_rows(
+        [
+            (1, 1, "2024-01-01 10:00:00"),
+            (2, 2, "2024-01-01 10:00:00"),
+            (3, 3, "2024-01-01 10:00:00"),
+        ]
+    )
+    file_b = ev_rows(
+        [
+            (4, 1, "2024-01-01 10:05:00"),  # exactly gap ⇒ merges
+            (5, 2, "2024-01-01 10:04:59"),  # < gap ⇒ merges
+            (6, 3, "2024-01-01 10:05:01"),  # > gap ⇒ new session
+        ]
+    )
+    landing = tmp_path / "boundary_landing"
+    landing.mkdir()
+    file_a.coalesce(1).write.parquet(str(tmp_path / "a"))
+    file_b.coalesce(1).write.parquet(str(tmp_path / "b"))
+    for src in ("a", "b"):
+        for name in os.listdir(tmp_path / src):
+            if name.endswith(".parquet"):
+                os.link(
+                    str(tmp_path / src / name), str(landing / f"{src}_{name}")
+                )
+
+    shared = drain_events_multi(
+        spark, "", ("stream_session_window",), events_dir=str(landing)
+    )
+    got = _rows(shared["stream_session_window"])
+    registry.release_caches()
+    want = _rows(
+        run_to_memory(
+            session_agg(read_events_stream(spark, str(landing))),
+            "complete",
+            state_partitions=8,
+        )
+    )
+    registry.release_caches()
+    assert got == want
+    n_sessions_per_user = {}
+    for _, _, uid, _, _ in got:
+        n_sessions_per_user[uid] = n_sessions_per_user.get(uid, 0) + 1
+    assert n_sessions_per_user == {1: 1, 2: 1, 3: 2}
+
 
 def test_session_interval_merge_nested_and_adjacent(spark):
     """Targeted laws of the gaps-and-islands merge the multi-batch path
     relies on: (a) an interval nested inside an earlier one merges via
     the running-max (lag alone would split); (b) a session starting
-    exactly `gap` after the previous last event does NOT merge (strict
-    < gap rule, matching session_window and the DuckDB oracle);
-    (c) one starting gap−1s after DOES merge."""
+    exactly `gap` after the previous last event DOES merge —
+    session_window's closure is INCLUSIVE (empirically: two events
+    exactly gap apart chain into one window; round-9 fix, the merge
+    previously used the strict-< rule); (c) one starting gap+1s after
+    does NOT merge."""
     from master_airflow_spark.streaming.shared_drain import _merge_sessions
 
     rows = [
         # user 1: [10:00, 10:20] then nested [10:05, 10:10] then
-        # exactly-at-gap 10:25 (= 10:20 + 5min ⇒ NEW) — 2 sessions.
+        # exactly-at-gap 10:25 (= 10:20 + 5min ⇒ MERGES, inclusive
+        # closure) — ONE session ending 10:25 + 5min.
         (1, "2024-01-01 10:00:00", "2024-01-01 10:20:00", 5, 500),
         (1, "2024-01-01 10:05:00", "2024-01-01 10:10:00", 2, 200),
         (1, "2024-01-01 10:25:00", "2024-01-01 10:25:00", 1, 100),
-        # user 2: [10:00, 10:10] then 10:14:59 (< gap past last) —
-        # one merged session ending 10:14:59 + 5min.
+        # user 2: [10:00, 10:10] then 10:15:01 (> gap past last) —
+        # stays TWO sessions.
         (2, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 3, 300),
-        (2, "2024-01-01 10:14:59", "2024-01-01 10:14:59", 1, 100),
+        (2, "2024-01-01 10:15:01", "2024-01-01 10:15:01", 1, 100),
     ]
     df = spark.createDataFrame(
         rows,
@@ -123,16 +232,40 @@ def test_session_interval_merge_nested_and_adjacent(spark):
         for r in _merge_sessions(df).collect()
     }
     assert out == {
-        (1, "2024-01-01 10:00:00", "2024-01-01 10:25:00"): (7, 0.07),
-        (1, "2024-01-01 10:25:00", "2024-01-01 10:30:00"): (1, 0.01),
-        (2, "2024-01-01 10:00:00", "2024-01-01 10:19:59"): (4, 0.04),
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:30:00"): (8, 0.08),
+        (2, "2024-01-01 10:00:00", "2024-01-01 10:15:00"): (3, 0.03),
+        (2, "2024-01-01 10:15:01", "2024-01-01 10:20:01"): (1, 0.01),
     }
 
 
-def test_shared_drain_zero_batches_returns_empty_views(spark, tmp_path):
-    """An empty landing dir fires no trigger: the drain must return
-    empty frames with the exact output schemas, not crash on a
-    missing spool."""
+def test_view_schemas_match_per_query_drain_schemas(spark, sf_dir):
+    """Direct unit test of the zero-batch branch's construction
+    (round-8 ADVICE: the empty-landing test below actually fires ONE
+    empty micro-batch, so a typo in VIEW_SCHEMAS would ship green):
+    an empty frame built from each VIEW_SCHEMAS entry must carry
+    exactly the certified per-query drain's schema."""
+    from master_airflow_spark import registry
+    from master_airflow_spark.streaming.shared_drain import VIEW_SCHEMAS
+
+    registry._ensure_loaded()
+    for v in VIEW_NAMES:
+        branch_df = spark.createDataFrame([], VIEW_SCHEMAS[v])
+        want = registry.REGISTRY[v].fn(spark, sf_dir).schema
+        registry.release_caches()
+        got = branch_df.schema
+        assert [(f.name, f.dataType) for f in got] == [
+            (f.name, f.dataType) for f in want
+        ], f"{v}: VIEW_SCHEMAS drifted from the per-query drain schema"
+
+
+def test_shared_drain_empty_single_batch_returns_empty_views(spark, tmp_path):
+    """A landing dir holding one zero-row marker file fires ONE empty
+    micro-batch (the file source triggers on the file, not its rows):
+    the single-batch projection path must produce empty, correctly
+    shaped views. (The literal zero-trigger branch is covered
+    schema-for-schema by test_view_schemas_match_per_query_drain_
+    schemas above — an empty dir without a marker cannot even
+    schema-probe the stream.)"""
     landing = tmp_path / "empty_landing"
     landing.mkdir()
     # The streaming source needs a schema; read_events_stream probes a
