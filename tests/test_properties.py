@@ -331,3 +331,19 @@ def test_scaled_long_overflow_guard_fires_and_stays_silent(spark):
         for r in df.groupBy("g").agg(lsum_money(F.col("s"), 1, "v")).collect()
     }
     assert got == {1: 6.0, 2: 0.5, 3: None}
+
+    # (c) extended to the sibling kernels (r9 review pass): the
+    # all-NULL group must stay NULL — never 0, never an assert trip —
+    # through lavg_money's division and lsum_scaled's long partials.
+    from master_airflow_spark.functions.exact import lavg_money, lsum_scaled
+
+    avgs = {
+        r["g"]: r["v"]
+        for r in df.groupBy("g").agg(lavg_money(F.col("s"), 1, "v")).collect()
+    }
+    assert avgs == {1: 3.0, 2: 0.5, 3: None}
+    partials = {
+        r["g"]: r["v"]
+        for r in df.groupBy("g").agg(lsum_scaled(F.col("s"), "v")).collect()
+    }
+    assert partials == {1: 600, 2: 50, 3: None}
