@@ -705,16 +705,32 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
         if not len(lpdf) or not len(rpdf):
             return empty
-        A = _to_matrix(lpdf["embedding"])
         Bm = _to_matrix(rpdf["embedding"])
-        acc = np.zeros((A.shape[0], Bm.shape[0]))
-        for i in range(A.shape[1]):
-            acc += A[:, i : i + 1] * Bm[:, i][None, :]
-        cos = acc / (_seq_norms(A)[:, None] * _seq_norms(Bm)[None, :])
-        ai, bi_ = np.nonzero(cos >= 0.95)
-        a_ids = lpdf["vec_id"].to_numpy()[ai]
-        b_ids = rpdf["vec_id"].to_numpy()[bi_]
-        out = pd.DataFrame({"a_id": a_ids, "b_id": b_ids, "cosine": cos[ai, bi_]})
+        b_norms = _seq_norms(Bm)
+        b_ids_all = rpdf["vec_id"].to_numpy()
+        # chunk the left rows so each dim-iteration temp stays bounded
+        # (~16 MB) — at x50 block sizes an unchunked (|A|×|B|) acc is
+        # ~1.25 GB per task, ×32 concurrent tasks = OOM territory
+        step = max(1, 2_000_000 // max(1, Bm.shape[0]))
+        frames = []
+        for lo in range(0, len(lpdf), step):
+            chunk = lpdf.iloc[lo : lo + step]
+            A = _to_matrix(chunk["embedding"])
+            acc = np.zeros((A.shape[0], Bm.shape[0]))
+            for i in range(A.shape[1]):
+                acc += A[:, i : i + 1] * Bm[:, i][None, :]
+            cos = acc / (_seq_norms(A)[:, None] * b_norms[None, :])
+            ai, bi_ = np.nonzero(cos >= 0.95)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "a_id": chunk["vec_id"].to_numpy()[ai],
+                        "b_id": b_ids_all[bi_],
+                        "cosine": cos[ai, bi_],
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True) if frames else empty
         if key[0] == key[1]:
             # intra-block: both orderings of each pair are present —
             # keep the a < b one (also drops the self-pair diagonal)
