@@ -201,21 +201,30 @@ def main() -> None:
         pq_creds: dict[str, list[float]] = {v: [] for v in drain_group}
         pq_walls: dict[str, list[float]] = {v: [] for v in drain_group}
         duck: dict[str, list[float]] = {v: [] for v in drain_group}
-        while True:
-            runs.append(run_once())
-            for v in drain_group:  # ABAB: oracle + per-query drain reps
-                o = oracle_rep(v)
-                if o is not None:
-                    duck[v].append(o)
-                c, w = per_query_drain_rep(v)
-                pq_creds[v].append(c)
-                pq_walls[v].append(w)
-            creds = [r[0] for r in runs]
-            done = converged(creds) and all(
+        for _ in range(REPS_MAX):
+            # Per-series convergence (r9 review): each series stops
+            # sampling once ITS two fastest agree — one noisy series
+            # must not force extra reps of the four others (the unit,
+            # two state-store drains and two oracles together cost
+            # ~4s/iteration at sf0.1). The ABAB window pairing holds:
+            # every iteration that samples anything samples its
+            # still-noisy series back-to-back in the same window.
+            if not converged([r[0] for r in runs]):
+                runs.append(run_once())
+            for v in drain_group:
+                if not converged(duck[v]):
+                    o = oracle_rep(v)
+                    if o is not None:
+                        duck[v].append(o)
+                if not converged(pq_creds[v]):
+                    c, w = per_query_drain_rep(v)
+                    pq_creds[v].append(c)
+                    pq_walls[v].append(w)
+            done = converged([r[0] for r in runs]) and all(
                 converged(pq_creds[v]) and (not duck[v] or converged(duck[v]))
                 for v in drain_group
             )
-            if done or len(creds) >= REPS_MAX:
+            if done:
                 break
         credited, wall, tm, merges = min(runs, key=lambda r: r[0])
         views = tm["views"]
@@ -317,17 +326,20 @@ def main() -> None:
             return dt, wall
 
         times, walls, otimes, n = [], [], [], n_rows[name]
-        while True:
-            dt, wall = run_once()
-            times.append(dt)
-            walls.append(wall)
-            o = oracle_rep(name)  # ABAB: oracle rep in the same window
-            if o is not None:
-                otimes.append(o)
-            if converged(times) and (not otimes or converged(otimes)):
+        has_oracle = con is not None and spec.oracle is not None
+        for _ in range(REPS_MAX):
+            if not converged(times):
+                dt, wall = run_once()
+                times.append(dt)
+                walls.append(wall)
+                if has_oracle and not converged(otimes):
+                    # ABAB: the oracle rep runs back-to-back with the
+                    # Spark rep it pairs with, in the same window
+                    otimes.append(oracle_rep(name))
+            elif has_oracle and not converged(otimes):
+                otimes.append(oracle_rep(name))
+            if converged(times) and (not has_oracle or converged(otimes)):
                 break  # both engines reached steady state
-            if len(times) >= REPS_MAX:
-                break
         if otimes:
             oracle_timings[name] = round(min(otimes), 4)
         timings[name] = round(min(times), 4)

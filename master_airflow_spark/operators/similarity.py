@@ -586,6 +586,40 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
     )
 
 
+def _threshold_pair_chunks(pdf, Bm, b_norms, b_ids):
+    """Yield (a_id, b_id, cosine) frames for pdf's vectors × matrix Bm,
+    keeping pairs with cosine ≥ 0.95. ONE implementation shared by
+    both embedding_near_dup plans (r9 review: the broadcast and
+    blocked kernels had hand-duplicated copies of this block, and the
+    cross-plan bit-equality contract rested on them staying in
+    lockstep). Rows are chunked so each dim-iteration temp
+    (rows×|B| doubles) stays bounded/cache-resident (~16 MB at the
+    2M-element cap — an unchunked x50 block would be ~1.25 GB per
+    task). The acc loop is the module's standard left-to-right
+    dimension fold — bit-identical to the DuckDB oracle's list_sum."""
+    import numpy as np
+    import pandas as pd
+
+    step = max(1, 2_000_000 // max(1, Bm.shape[0]))
+    for lo in range(0, len(pdf), step):
+        chunk = pdf.iloc[lo : lo + step]
+        if not len(chunk):
+            continue
+        A = _to_matrix(chunk["embedding"])
+        acc = np.zeros((A.shape[0], Bm.shape[0]))
+        for i in range(A.shape[1]):
+            acc += A[:, i : i + 1] * Bm[:, i][None, :]
+        cos = acc / (_seq_norms(A)[:, None] * b_norms[None, :])
+        ai, bi_ = np.nonzero(cos >= 0.95)
+        yield pd.DataFrame(
+            {
+                "a_id": chunk["vec_id"].to_numpy()[ai],
+                "b_id": b_ids[bi_],
+                "cosine": cos[ai, bi_],
+            }
+        )
+
+
 @register(
     "embedding_near_dup",
     oracle=f"""
@@ -613,36 +647,37 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       stream the corpus once through a mapInPandas kernel — each row
       block cosines against the broadcast matrix, keeping a<b pairs
       only (each unordered pair is emitted exactly once, from the
-      min-id side's batch). One scan, no shuffle, no replication.
+      min-id side's batch). One scan plus a round-robin exchange that
+      spreads the kernel across all threads (corpus-sized rows moved
+      once — tiny next to the N×N pair work); no join shuffle, no
+      replication.
     - larger → BLOCKED plan, fully distributed: each vector hashes to
       one of NEAR_DUP_BLOCKS blocks; the (bi ≤ bj) block-pair grid
       replicates each side ~B times (the Afrati-Ullman blocked
       all-pairs layout: N·B communication for N²/B-per-reducer work —
       B tunes to sqrt(#reducers) at scale), and a cogrouped numpy
       kernel computes the block×block cosines. Nothing is collected
-      to the driver.
+      to the driver — the size probe moves counts, never vectors.
 
-    Both kernels use the same left-to-right dimension fold as the
-    oracle, so values stay bit-identical regardless of which plan
-    fires (equality of the two plans is pinned in
-    tests/test_round4_ops.py); threshold filtering happens inside the
-    kernel so almost nothing crosses the post-kernel boundary."""
+    Both plans run the SAME chunked fold kernel
+    (_threshold_pair_chunks), so values stay bit-identical regardless
+    of which plan fires — pinned on pair-bearing data in
+    tests/test_similarity.py::test_embedding_near_dup_broadcast_vs_
+    blocked; threshold filtering happens inside the kernel so almost
+    nothing crosses the post-kernel boundary."""
     import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
 
-    # Size probe: one tiny job for the dimensionality, then collect at
-    # most (budget/row-bytes)+1 rows — if the limit didn't truncate,
-    # the collected rows ARE the corpus and the broadcast plan fires.
-    first = e.select("embedding").first()
+    # Size probe: count + one-row dim probe — two metadata-cheap jobs
+    # that move NO vector data, so the large-corpus path never ships
+    # embeddings to the driver just to discard them (r9 review).
+    n = e.count()
+    first = e.select("embedding").first() if n else None
     dim = len(first[0]) if first is not None else 0
-    cap = NEAR_DUP_BROADCAST_MAX_BYTES // (dim * 8) if dim else 0
-    rows = (
-        e.select("vec_id", "embedding").limit(cap + 1).collect() if cap else []
-    )
-    if rows and len(rows) <= cap:  # empty corpus falls through to the
-        # blocked plan, whose cogroup yields an empty frame correctly
+    if n and dim and n * dim * 8 <= NEAR_DUP_BROADCAST_MAX_BYTES:
+        rows = e.select("vec_id", "embedding").collect()
         ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
         M = _to_matrix([r["embedding"] for r in rows])
         m_norms = _seq_norms(M)
@@ -650,32 +685,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def gen(batches):
             b_ids, Bm, b_norms = bc.value
-            # chunk the A rows so each dim-iteration temp (rows×|B|
-            # doubles) stays cache-resident even when the broadcast
-            # side is large (~16 MB per temp at the 2M-element cap)
-            step = max(1, 2_000_000 // max(1, Bm.shape[0]))
             for pdf in batches:
-                for lo in range(0, len(pdf), step):
-                    chunk = pdf.iloc[lo : lo + step]
-                    if not len(chunk):
-                        continue
-                    A = _to_matrix(chunk["embedding"])
-                    a_ids = chunk["vec_id"].to_numpy()
-                    acc = np.zeros((A.shape[0], Bm.shape[0]))
-                    for i in range(A.shape[1]):
-                        acc += A[:, i : i + 1] * Bm[:, i][None, :]
-                    cos = acc / (_seq_norms(A)[:, None] * b_norms[None, :])
-                    ai, bi_ = np.nonzero(cos >= 0.95)
-                    a = a_ids[ai]
-                    b = b_ids[bi_]
-                    keep = a < b  # emit once, from the min-id side
-                    yield pd.DataFrame(
-                        {
-                            "a_id": a[keep],
-                            "b_id": b[keep],
-                            "cosine": cos[ai, bi_][keep],
-                        }
-                    )
+                for out in _threshold_pair_chunks(pdf, Bm, b_norms, b_ids):
+                    # emit each unordered pair once, from the min-id
+                    # side's batch (also drops the self-pair diagonal)
+                    yield out[out["a_id"] < out["b_id"]]
 
         return e.select("vec_id", "embedding").repartition(
             spark.sparkContext.defaultParallelism
@@ -706,30 +720,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not len(lpdf) or not len(rpdf):
             return empty
         Bm = _to_matrix(rpdf["embedding"])
-        b_norms = _seq_norms(Bm)
-        b_ids_all = rpdf["vec_id"].to_numpy()
-        # chunk the left rows so each dim-iteration temp stays bounded
-        # (~16 MB) — at x50 block sizes an unchunked (|A|×|B|) acc is
-        # ~1.25 GB per task, ×32 concurrent tasks = OOM territory
-        step = max(1, 2_000_000 // max(1, Bm.shape[0]))
-        frames = []
-        for lo in range(0, len(lpdf), step):
-            chunk = lpdf.iloc[lo : lo + step]
-            A = _to_matrix(chunk["embedding"])
-            acc = np.zeros((A.shape[0], Bm.shape[0]))
-            for i in range(A.shape[1]):
-                acc += A[:, i : i + 1] * Bm[:, i][None, :]
-            cos = acc / (_seq_norms(A)[:, None] * b_norms[None, :])
-            ai, bi_ = np.nonzero(cos >= 0.95)
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "a_id": chunk["vec_id"].to_numpy()[ai],
-                        "b_id": b_ids_all[bi_],
-                        "cosine": cos[ai, bi_],
-                    }
-                )
+        frames = list(
+            _threshold_pair_chunks(
+                lpdf, Bm, _seq_norms(Bm), rpdf["vec_id"].to_numpy()
             )
+        )
         out = pd.concat(frames, ignore_index=True) if frames else empty
         if key[0] == key[1]:
             # intra-block: both orderings of each pair are present —

@@ -83,15 +83,19 @@ from master_airflow_spark.streaming.events import (
 
 _GAP_EXPR = f"INTERVAL {SESSION_GAP}"
 
-# The merges below pass scale_pow=2 to lsum_money (divide by 100²) and
-# the single-batch projections divide by _VALUE_SCALE directly — both
-# must name the SAME factor the partials scaled by. Pin the coupling
-# at import time so a VALUE_SCALE change in events.py cannot silently
-# diverge the fast path from the merge path (round-8 ADVICE).
-assert _VALUE_SCALE == 100**2, (
-    "shared_drain's merge scale_pow=2 assumes VALUE_SCALE == 100**2;"
-    f" events.VALUE_SCALE is {_VALUE_SCALE}"
-)
+# The merges pass scale_pow to lsum_money (divide by 100^scale_pow)
+# and the single-batch projections divide by _VALUE_SCALE directly —
+# both must name the SAME factor the partials scaled by. DERIVE the
+# power from events.VALUE_SCALE (round-8 ADVICE; an assert alone is
+# stripped under python -O and would leave the merges hardcoded):
+# this raises at import time if VALUE_SCALE ever stops being a power
+# of 100, and tracks it automatically while it remains one.
+_SCALE_POW = {100**p: p for p in range(1, 5)}.get(_VALUE_SCALE)
+if _SCALE_POW is None:
+    raise ValueError(
+        "shared_drain requires events.VALUE_SCALE to be a power of 100"
+        f" (lsum_money's scale_pow contract); got {_VALUE_SCALE}"
+    )
 
 
 def _tumbling_partial(batch: DataFrame) -> DataFrame:
@@ -140,7 +144,7 @@ def _merge_tumbling(partials: DataFrame) -> DataFrame:
     overflow guard)."""
     return partials.groupBy("window_start", "window_end", "event_type").agg(
         F.sum("n_events").alias("n_events"),
-        lsum_money(F.col("sum_scaled"), 2, "sum_value"),
+        lsum_money(F.col("sum_scaled"), _SCALE_POW, "sum_value"),
     )
 
 
@@ -190,7 +194,7 @@ def _merge_sessions(partials: DataFrame) -> DataFrame:
             F.min("start_ts").alias("session_start"),
             (F.max("last_ts") + F.expr(_GAP_EXPR)).alias("session_end"),
             F.sum("n_events").alias("n_events"),
-            lsum_money(F.col("sum_scaled"), 2, "sum_value"),
+            lsum_money(F.col("sum_scaled"), _SCALE_POW, "sum_value"),
         )
         .select(
             "session_start", "session_end", "user_id", "n_events", "sum_value"

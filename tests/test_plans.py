@@ -521,13 +521,26 @@ def test_heavy_hitters_verify_broadcasts_candidates(spark, sf_dir):
 
 
 def test_q7_fact_joins_broadcast_dims_only(spark, sf_dir):
-    """Q7: nation (×2 aliases) and supplier broadcast; the
-    lineitem⋈orders fact-fact join must NOT broadcast (either side
-    collected to every executor would melt at 100 TB) — it shuffles,
-    and its reduce side is AQE-advisory-sized (see the session pin
-    below)."""
-    kinds = join_kinds(_q(spark, sf_dir, "q7_volume_shipping"))
-    assert "BroadcastHashJoin" in kinds
+    """Q7: the HINTED dims (nation ×2 aliases, supplier) must
+    broadcast, and the UNHINTED fact-fact joins (lineitem⋈orders⋈
+    customer) must shuffle — a fact side collected to every executor
+    melts at 100 TB. At test/bench SFs every table fits under
+    autoBroadcastJoinThreshold, so Catalyst broadcasting a fact side
+    is size-legitimate and hides the regression this test exists to
+    pin (r9 review); disabling the threshold simulates
+    larger-than-broadcastable stats — F.broadcast hints survive it,
+    size-based picks don't — and the fact joins must then plan as
+    shuffle joins."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        kinds = join_kinds(_q(spark, sf_dir, "q7_volume_shipping"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" in kinds, "hinted dims must still broadcast"
+    assert "SortMergeJoin" in kinds or "ShuffledHashJoin" in kinds, (
+        f"unhinted fact-fact joins must shuffle, got {kinds}"
+    )
     assert "CartesianProduct" not in kinds
 
 
