@@ -9,9 +9,12 @@ from collections import defaultdict
 
 sys.path.insert(0, ".")
 
-SHARED_DRAIN_DOC = """### shared-scan multi-view drain (bench methodology v6)
+SHARED_DRAIN_DOC = """### shared-scan multi-view drain (bench methodology v6/v7)
 
 Since round 8 the bench times the two drained views as ONE unit
+(and since v7 it ALSO times the certified per-query state-store
+drains every round — BENCH_DETAIL per_query_drain_sec, feeding
+legacy_total — so the two accountings stay separately visible)
 running streaming/shared_drain.py — the deployment shape a
 production multi-view pipeline runs:
 
@@ -25,9 +28,11 @@ production multi-view pipeline runs:
   happens at the end.
 - After the stream terminates: one merge per view. Tumbling partials
   merge by per-key sums; session partials are intervals merged by the
-  gaps-and-islands rule (running max of last_ts, strict < gap —
-  exactly session_window's closure rule, proof sketch in
-  _merge_sessions). A single-batch drain (the common periodic-ingest
+  gaps-and-islands rule (running max of last_ts, merge at ≤ gap —
+  exactly session_window's INCLUSIVE closure; fixed in round 9 after
+  a cross-batch exact-boundary test caught the previous strict-<
+  rule diverging, proof sketch in _merge_sessions). A
+  single-batch drain (the common periodic-ingest
   shape) takes a projection fast path: its partials are already final
   per group, so the merge is a narrow no-shuffle select.
 - Equality of the shared-drain results to the independently-certified
