@@ -670,12 +670,14 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
 
-    # Size probe: count + one-row dim probe — two metadata-cheap jobs
-    # that move NO vector data, so the large-corpus path never ships
-    # embeddings to the driver just to discard them (r9 review).
-    n = e.count()
-    first = e.select("embedding").first() if n else None
-    dim = len(first[0]) if first is not None else 0
+    # Size probe: ONE aggregate job for (row count, max dim) — moves
+    # counts, never vectors, so the large-corpus path never ships
+    # embeddings to the driver just to discard them (r9 review; max
+    # rather than first also makes ragged-dim corpora size by their
+    # widest row).
+    n, dim = e.agg(
+        F.count(F.lit(1)), F.max(F.size("embedding"))
+    ).first()
     if n and dim and n * dim * 8 <= NEAR_DUP_BROADCAST_MAX_BYTES:
         rows = e.select("vec_id", "embedding").collect()
         ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
