@@ -75,6 +75,20 @@ def get_spark(
         # 24g), so size the heap to the 32-thread working set. On a
         # real cluster this is owned by spark-submit instead.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Spark UI off by default: the live UI's per-job/stage/task
+        # event bookkeeping is pure driver-side overhead in a
+        # many-small-jobs workload — measured on this box it is half
+        # the per-action floor (1-row noop action: 0.08-0.17s with UI,
+        # 0.044-0.057s without). Production clusters that care about
+        # driver throughput run exactly this config and read the
+        # history server from the event log instead. Anything that
+        # needs the live REST API (scripts/bloom_probe.py reads
+        # per-stage shuffle bytes) opts back in via extra_conf or
+        # SPARK_GRAFT_UI=1.
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
         # saveAsTable target for bucketed tables (sinks/bucketed.py);
         # kept out of the repo tree.
         .config(

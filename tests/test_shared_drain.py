@@ -289,3 +289,61 @@ def test_shared_drain_empty_single_batch_returns_empty_views(spark, tmp_path):
     for v in VIEW_NAMES:
         assert shared[v].count() == 0
         assert len(shared[v].columns) == 5
+
+
+def test_session_oracle_matches_spark_on_exact_boundary(spark, tmp_path):
+    """The round-9 oracle fix (new session at delta > gap, not >=)
+    diffed against Spark END-TO-END on data that actually HITS the
+    boundary: the sf tables' microsecond timestamps never land exactly
+    gap apart, so driver certification can't distinguish the two
+    rules — this fixture can. Runs the registered stream_session_window
+    fn AND its registered DuckDB oracle on the same parquet dir."""
+    import duckdb
+
+    from master_airflow_spark import registry
+
+    registry._ensure_loaded()
+    import pandas as pd
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:05:00", 1, "click", 2.0, "{}"),  # exactly gap
+        (3, "2024-01-01 10:00:00", 2, "view", 3.0, "{}"),
+        (4, "2024-01-01 10:05:01", 2, "view", 4.0, "{}"),  # gap + 1s
+        (5, "2024-01-01 10:00:00", 3, "view", 5.0, "{}"),
+        (6, "2024-01-01 10:04:59", 3, "view", 6.0, "{}"),  # gap - 1s
+    ]
+    sfd = tmp_path / "boundary_oracle_sf"
+    sfd.mkdir()
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
+    # single parquet FILE, the testdata events convention (the stream
+    # landing-dir machinery symlinks the file, it does not recurse)
+    pdf.to_parquet(str(sfd / "events.parquet"))
+
+    spec = registry.REGISTRY["stream_session_window"]
+    got = sorted(
+        (str(r["session_start"]), str(r["session_end"]), r["user_id"],
+         r["n_events"], r["sum_value"])
+        for r in spec.fn(spark, str(sfd)).collect()
+    )
+    registry.release_caches()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sfd}/events.parquet')"
+    )
+    want = sorted(
+        (str(r[0]), str(r[1]), r[2], r[3], r[4])
+        for r in con.execute(spec.oracle).fetchall()
+    )
+    assert got == want
+    # and the boundary semantics themselves: u1 merged, u2 split, u3 merged
+    per_user = {}
+    for _, _, uid, _, _ in got:
+        per_user[uid] = per_user.get(uid, 0) + 1
+    assert per_user == {1: 1, 2: 2, 3: 1}
