@@ -41,24 +41,32 @@ periodic AvailableNow ingests the bench models.
 Correctness is pinned two ways (tests/test_shared_drain.py): each
 view's shared-drain result must equal (1) the independently-certified
 per-query streaming drain — on the single-file landing dir AND on a
-multi-file split landing dir, where both paths chew the same events
-as several micro-batches — and (2) the batch aggregate over the same
-events. The multi-file case forces partials from multiple
-micro-batches through the interval merge, including sessions split
-across batch boundaries.
+multi-file TIME-SPLIT landing dir, where both paths chew the same
+events as several micro-batches — and (2) the batch aggregate over
+the same events, including on an adversarial EVENT-HASH split whose
+every batch spans the full time range. The multi-file cases force
+partials from multiple micro-batches through the interval merge,
+including sessions split across batch boundaries.
 
 Watermark note: the per-query pipelines carry withWatermark("ts",
 "10 minutes") because a LONG-LIVED deployment of them needs bounded
-state eviction; their judged drains run COMPLETE output mode, where
-the watermark gates nothing (no late-row drop, full state re-emitted
-each trigger — Spark only drops late rows when evicting finalized
-windows in append/update modes). The shared drain's batch partials
-have no state to evict, so carrying a watermark expression would be
-dead code here; equality to the per-query streaming drains is what
-the tests pin, multi-batch included. A continuous merge-per-trigger
-deployment of THIS module would bound its spool by partitioning it
-on window start and compacting windows older than the horizon — the
-batch-side equivalent of eviction.
+state eviction; the shared drain's batch partials have no state to
+evict, so a watermark expression here would be dead code. The
+equality domain differs by arrival order (round-9 finding): on
+time-ordered multi-file replays — the real landing-zone shape, a
+file lands when its events have happened — no input row ever sits
+below the watermark, the state-store path drops nothing, and the two
+paths are equal (pinned). On watermark-VIOLATING replays (the
+event-hash split), Spark's contract says a stateful operator MAY
+drop input rows older than the watermark — observed both ways on the
+same data on this box — while the stateless shared drain
+deterministically keeps every row and still equals the batch
+aggregate (also pinned). I.e. under out-of-order replay the shared
+drain is strictly more complete than the state-store form, never
+less. A continuous merge-per-trigger deployment of THIS module would
+bound its spool by partitioning it on window start and compacting
+windows older than the horizon — the batch-side equivalent of
+eviction.
 """
 
 from __future__ import annotations

@@ -83,15 +83,60 @@ def test_shared_drain_multibatch_merge(spark, sf_dir, tmp_path):
     assert got["stream_tumbling_agg"] == _rows(tumbling_agg(ev))
     assert got["stream_session_window"] == _rows(session_agg(ev))
 
-    # ...and against the per-query STREAMING drains over the SAME
-    # split landing dir (round-8 ADVICE: the batch equality above
-    # alone wouldn't catch a divergence the state-store path and the
-    # partial-merge path share against batch but not against each
-    # other — e.g. watermark handling across micro-batches).
+
+
+def test_multibatch_equals_per_query_drains_time_split(spark, sf_dir, tmp_path):
+    """Multi-batch equality against the per-query STREAMING drains
+    (round-8 ADVICE: the batch equality above alone wouldn't catch a
+    divergence the state-store path and the partial-merge path share
+    against batch but not against each other). The landing dir is
+    split into three CONTIGUOUS TIME RANGES — the real landing-zone
+    arrival shape, and the domain where the state-store path is
+    deterministic: Spark's watermark contract says input rows older
+    than the watermark MAY be dropped by a stateful operator (any
+    outcome is legal — observed both ways on this box for a
+    hash-split replay whose every batch spans the full time range),
+    while the shared drain's stateless batch partials never drop
+    anything. Time-ordered files keep every arrival at-or-above the
+    watermark, so equality is well-defined — and sessions straddling
+    the cut points still force real cross-batch interval merges."""
+    from master_airflow_spark import registry
+    from master_airflow_spark.catalog import load_table
     from master_airflow_spark.streaming.events import (
         read_events_stream,
         run_to_memory,
+        session_agg,
+        tumbling_agg,
     )
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    cuts = [lo + span, lo + 2 * span]
+    landing = tmp_path / "landing_time_split"
+    landing.mkdir()
+    parts = [
+        ev.where(F.col("ts") < F.lit(cuts[0])),
+        ev.where((F.col("ts") >= F.lit(cuts[0])) & (F.col("ts") < F.lit(cuts[1]))),
+        ev.where(F.col("ts") >= F.lit(cuts[1])),
+    ]
+    import time as _time
+
+    t0 = _time.time() - 1000
+    for i, p in enumerate(parts):
+        d = tmp_path / f"slice{i}"
+        p.coalesce(1).write.parquet(str(d))
+        for name in os.listdir(d):
+            if name.endswith(".parquet"):
+                dst = str(landing / f"slice{i}_{name}")
+                os.link(str(d / name), dst)
+                os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    shared = drain_events_multi(
+        spark, sf_dir, VIEW_NAMES, events_dir=str(landing)
+    )
+    got = {v: _rows(shared[v]) for v in VIEW_NAMES}
+    registry.release_caches()
 
     pq_tumbling = _rows(
         run_to_memory(
