@@ -139,6 +139,12 @@ def main() -> None:
     # deployment-shape metric in BENCH_DETAIL.
     per_query_drain_sec: dict[str, float] = {}
     per_query_drain_wall: dict[str, float] = {}
+    # oracle times PAIRED to the per-query drain series (same-window
+    # pairing for the LEGACY accounting, r9 review second pass: the
+    # headline pairs its oracle to the shared-scan unit's best rep,
+    # so reusing that number against per_query_drain_sec would mix
+    # windows and reintroduce the skew min-of-pairs removes).
+    oracle_pq_timings: dict[str, float] = {}
 
     def per_query_drain_rep(name: str) -> tuple[float, float]:
         """One rep of a drained view's REGISTRY fn (state-store drain),
@@ -202,6 +208,7 @@ def main() -> None:
         pq_creds: dict[str, list[float]] = {v: [] for v in drain_group}
         pq_walls: dict[str, list[float]] = {v: [] for v in drain_group}
         duck: dict[str, list[float]] = {v: [] for v in drain_group}
+        duck_pq: dict[str, list[float]] = {v: [] for v in drain_group}
         for _ in range(REPS_MAX):
             # Per-series convergence (r9 review): the unit and each
             # per-query drain stop sampling once THEIR two fastest
@@ -221,6 +228,9 @@ def main() -> None:
                     c, w = per_query_drain_rep(v)
                     pq_creds[v].append(c)
                     pq_walls[v].append(w)
+                    o = oracle_rep(v)  # the pq series' own pair
+                    if o is not None:
+                        duck_pq[v].append(o)
             done = converged([r[0] for r in runs]) and all(
                 converged(pq_creds[v]) for v in drain_group
             )
@@ -259,7 +269,8 @@ def main() -> None:
             # run the credit was computed from)
             drain_wall_sec[v] = round(best_wall_split[v], 4)
             reps_used[v] = len(runs)
-            per_query_drain_sec[v] = round(min(pq_creds[v]), 4)
+            pq_best = min(range(len(pq_creds[v])), key=lambda k: pq_creds[v][k])
+            per_query_drain_sec[v] = round(pq_creds[v][pq_best], 4)
             per_query_drain_wall[v] = round(min(pq_walls[v]), 4)
             if duck[v]:
                 # min-of-pairs: the oracle time from the same
@@ -267,6 +278,10 @@ def main() -> None:
                 k_best = min(range(len(runs)), key=lambda k: runs[k][0])
                 oracle_timings[v] = round(duck[v][k_best], 4)
                 oracle_min_timings[v] = round(min(duck[v]), 4)
+            if duck_pq[v]:
+                # the legacy accounting's pair: oracle time from the
+                # same iteration as the per-query drain's credited min
+                oracle_pq_timings[v] = round(duck_pq[v][pq_best], 4)
             print(
                 f"# {v}: {timings[v]:.3f}s rows={n_rows[v]}"
                 f" reps={len(runs)} (shared drain;"
@@ -477,10 +492,18 @@ def main() -> None:
             for n in oracle_timings
             if timings.get(n)
         }
+        detail["oracle_queries_pq_drain_paired"] = oracle_pq_timings
         out["oracle_total"] = round(sum(oracle_timings.values()), 4)
         out["oracle_total_min"] = round(sum(oracle_min_timings.values()), 4)
+        # legacy: Spark side uses the per-query drains, so its oracle
+        # uses the times PAIRED to those reps (same-window rule)
         out["oracle_legacy_total"] = round(
-            sum(t for n, t in oracle_timings.items() if n in set(legacy)), 4
+            sum(
+                oracle_pq_timings.get(n, t)
+                for n, t in oracle_timings.items()
+                if n in set(legacy)
+            ),
+            4,
         )
 
     detail.update({k: v for k, v in out.items() if k != "queries"})

@@ -670,14 +670,19 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
 
-    # Size probe: ONE aggregate job for (row count, max dim) — moves
-    # counts, never vectors, so the large-corpus path never ships
-    # embeddings to the driver just to discard them (r9 review; max
-    # rather than first also makes ragged-dim corpora size by their
-    # widest row).
-    n, dim = e.agg(
-        F.count(F.lit(1)), F.max(F.size("embedding"))
-    ).first()
+    # Size probe: a column-pruned count (parquet footers) plus a
+    # LIMIT-1 dim read — two metadata-cheap jobs that never ship or
+    # even scan the vector column (r9 review, second pass: a fused
+    # agg with max(size(embedding)) reads the ENTIRE embedding column
+    # cluster-side just to learn one integer — a full extra pass over
+    # the largest column on exactly the too-big-to-broadcast corpora
+    # the probe exists to protect). The dim probe is skipped entirely
+    # when the row count alone rules broadcasting out.
+    n = e.count()
+    dim = 0
+    if n and n * 8 <= NEAR_DUP_BROADCAST_MAX_BYTES:
+        first = e.select("embedding").first()
+        dim = len(first[0]) if first is not None and first[0] is not None else 0
     if n and dim and n * dim * 8 <= NEAR_DUP_BROADCAST_MAX_BYTES:
         rows = e.select("vec_id", "embedding").collect()
         ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)

@@ -79,12 +79,12 @@ def get_spark(
         # event bookkeeping is pure driver-side overhead in a
         # many-small-jobs workload — measured on this box it is half
         # the per-action floor (1-row noop action: 0.08-0.17s with UI,
-        # 0.044-0.057s without). Production clusters that care about
-        # driver throughput run exactly this config and read the
-        # history server from the event log instead. Anything that
-        # needs the live REST API (scripts/bloom_probe.py reads
-        # per-stage shuffle bytes) opts back in via extra_conf or
-        # SPARK_GRAFT_UI=1.
+        # 0.044-0.057s without). The observability fallbacks are
+        # OPT-IN, not pre-wired: SPARK_GRAFT_UI=1 (or extra_conf, as
+        # scripts/bloom_probe.py does for its REST reads) turns the
+        # live UI back on, and SPARK_GRAFT_EVENTLOG_DIR=<dir> writes
+        # the event log a history server replays — the config a
+        # production cluster running UI-off would set.
         .config(
             "spark.ui.enabled",
             "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
@@ -96,6 +96,12 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/mas_warehouse"),
         )
     )
+    eventlog_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if eventlog_dir:
+        os.makedirs(eventlog_dir, exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", eventlog_dir
+        )
     builder = builder.master(master if master is not None else f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
