@@ -35,6 +35,11 @@ NEAR_DUP_BLOCKS = 8  # block count for the all-pairs self-join
 # the x50 replica (100k rows) already exceeds it, so the scale probe
 # exercises the blocked plan while the bench SF runs broadcast.
 NEAR_DUP_BROADCAST_MAX_BYTES = 32 << 20
+# (row count, dim) probe results per sf_dir — the probe is two
+# driver-blocking jobs, so repeated invocations on the same corpus
+# (bench reps, certification loops) reuse the first answer. dim may be
+# None (never probed because the count already ruled broadcasting out).
+_NEAR_DUP_PROBE_CACHE: dict[str, tuple[int, int | None]] = {}
 
 
 DIM = 64  # embedding dimensionality of the driver tables
@@ -657,7 +662,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       all-pairs layout: N·B communication for N²/B-per-reducer work —
       B tunes to sqrt(#reducers) at scale), and a cogrouped numpy
       kernel computes the block×block cosines. Nothing is collected
-      to the driver — the size probe moves counts, never vectors.
+      to the driver — in this regime the probe is the footer-count
+      job alone (the LIMIT-1 dim read, which does fetch one vector
+      row, only fires when the count leaves broadcasting in play).
 
     Both plans run the SAME chunked fold kernel
     (_threshold_pair_chunks), so values stay bit-identical regardless
@@ -671,18 +678,27 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
 
     # Size probe: a column-pruned count (parquet footers) plus a
-    # LIMIT-1 dim read — two metadata-cheap jobs that never ship or
-    # even scan the vector column (r9 review, second pass: a fused
-    # agg with max(size(embedding)) reads the ENTIRE embedding column
-    # cluster-side just to learn one integer — a full extra pass over
-    # the largest column on exactly the too-big-to-broadcast corpora
-    # the probe exists to protect). The dim probe is skipped entirely
-    # when the row count alone rules broadcasting out.
-    n = e.count()
-    dim = 0
-    if n and n * 8 <= NEAR_DUP_BROADCAST_MAX_BYTES:
+    # LIMIT-1 dim read. The count never touches the vector column; the
+    # dim probe DOES read one row (one row-group of the embedding
+    # column) — but only when the row count alone hasn't already ruled
+    # broadcasting out, so the too-big-to-broadcast corpora the probe
+    # protects never scan vectors (r9 review: a fused agg with
+    # max(size(embedding)) would read the ENTIRE column cluster-side
+    # just to learn one integer). The (n, dim) result is cached per
+    # sf_dir (r9 ADVICE): repeated invocations — the bench sampling
+    # loop, the certification loop — skip both driver-blocking jobs.
+    n, dim = _NEAR_DUP_PROBE_CACHE.get(sf_dir, (None, None))
+    if n is None:
+        n = e.count()
+        _NEAR_DUP_PROBE_CACHE[sf_dir] = (n, dim)
+    if dim is None and n and n * 8 <= NEAR_DUP_BROADCAST_MAX_BYTES:
+        # dim is probed (and cached) only when the row count leaves
+        # broadcasting in play under the CURRENT threshold, so a call
+        # under a tighter threshold never caches a misleading dim=0.
         first = e.select("embedding").first()
         dim = len(first[0]) if first is not None and first[0] is not None else 0
+        _NEAR_DUP_PROBE_CACHE[sf_dir] = (n, dim)
+    dim = dim or 0
     if n and dim and n * dim * 8 <= NEAR_DUP_BROADCAST_MAX_BYTES:
         rows = e.select("vec_id", "embedding").collect()
         ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
@@ -792,4 +808,157 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(TOP_K)).alias(
             "recall_at_k"
         ),
+    )
+
+
+# -- LSH-verified all-pairs near-dup (the 100 TB dedup path) -----------------
+#
+# embedding_near_dup is the EXACT all-pairs baseline — Θ(N²) by
+# problem statement, fine at bench SF, 307s at the x50 replica, dead
+# at 100 TB. The production path is candidate-generate-then-verify:
+# random-hyperplane LSH bands each vector into ND_TABLES buckets, the
+# self-join only pairs vectors sharing a (table, bucket), and an exact
+# cosine pass keeps pairs ≥ the threshold. Precision is exactly 1 by
+# construction (every emitted pair is exactly verified); recall is
+# tunable via (planes, tables): with 16 planes/table a pair AT the
+# 0.95 threshold collides per table with p = (1-θ/π)^16 ≈ 0.163, so 40
+# tables give miss ≤ (1-0.163)^40 ≈ 8e-4 at the edge, ≈ 1e-8 at
+# cosine 0.99, and 0 for exact duplicates (identical vectors share
+# every bucket). A random pair (cosine ≈ 0) collides with ≈ 2^-16 per
+# table, so candidates ≈ 40/65536 ≈ 1/1600 of all pairs — the LSH
+# theory knobs (b ≈ log2 N planes, T ≈ N^ρ tables, ρ ≈ 0.15 here).
+
+ND_LSH_PLANES = 16  # bits per band table (2^16 buckets)
+ND_LSH_TABLES = 40
+_ND_LSH_NS = 1000  # hyperplane namespace offset (disjoint from ANN's tables 0..7)
+
+
+def _nd_hyperplanes(dim: int) -> "np.ndarray":
+    """(dim, tables*planes) deterministic hyperplane matrix for the
+    near-dup bands — same splitmix64 derivation as the ANN tables but
+    offset into its own namespace so the two indexes stay decorrelated."""
+    import numpy as np
+
+    return np.array(
+        [
+            _hyperplane(dim, _ND_LSH_NS + t, p)
+            for t in range(ND_LSH_TABLES)
+            for p in range(ND_LSH_PLANES)
+        ]
+    ).T
+
+
+def _nd_band_rows(e: DataFrame) -> DataFrame:
+    """embeddings → exploded (vec_id, table, bucket) band rows, one
+    Arrow kernel pass: project each batch onto all tables*planes
+    hyperplanes with the module's dimension-ordered fold, pack sign
+    bits into int buckets, and emit ND_LSH_TABLES rows per vector.
+    Band rows are 3 ints — the ONLY thing that crosses the candidate
+    shuffle; vectors themselves never ride the self-join."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        H = None
+        weights = np.array([1 << p for p in range(ND_LSH_PLANES)])
+        tables = np.arange(ND_LSH_TABLES)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _to_matrix(pdf["embedding"])
+            if H is None:
+                H = _nd_hyperplanes(A.shape[1])
+            acc = np.zeros((A.shape[0], H.shape[1]))
+            for i in range(A.shape[1]):
+                acc += A[:, i][:, None] * H[i, :][None, :]
+            bits = (acc >= 0).reshape(len(pdf), ND_LSH_TABLES, ND_LSH_PLANES)
+            buckets = (bits * weights[None, None, :]).sum(axis=2)
+            vid = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vid, ND_LSH_TABLES),
+                    "table": np.tile(tables, len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        run, "vec_id long, table int, bucket int"
+    )
+
+
+@register(
+    "embedding_near_dup_lsh_verified",
+    # The oracle is the exact N² join — identical to embedding_near_dup's.
+    # That is the point (round-9 verdict #5): candidate generation is
+    # approximate, verification is exact, and on corpora whose
+    # above-threshold pairs sit away from the 0.95 edge (every driver
+    # table and the planted test fixture) recall is 1, so the verified
+    # pipeline's OUTPUT equals the exact baseline and certifies against
+    # the same ground truth.
+    oracle=f"""
+WITH e AS (
+    SELECT vec_id, embedding, {_SQL_NORM.format(e='embedding')} AS nrm
+    FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       {_SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+           AS cosine
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND {_SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.95
+""",
+    tags=("X24", "X25"),
+)
+def embedding_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.95) via LSH candidates +
+    exact verification — the plan that survives 100 TB, certified
+    against the SAME exact oracle as the Θ(N²) baseline:
+
+    1. one corpus scan bands every vector into ND_LSH_TABLES
+       (table, bucket) rows (Arrow kernel; band rows are 3 ints);
+    2. self-join on (table, bucket) with a_id < b_id → candidate
+       pairs; a dropDuplicates exchange collapses multi-table
+       collisions (exact duplicates collide in ALL tables);
+    3. join the two embedding sides back by id and run the exact
+       pair-cosine kernel, keeping pairs ≥ 0.95.
+
+    Shuffle volume: band rows (3 ints × T per vector) + candidate ids
+    (2 longs each, ≈ pairs/1600 of the quadratic space) + the verified
+    join (candidates × vector width) — nothing quadratic ever
+    materializes. At 100 TB (table, bucket) is the natural partition
+    key (same co-located layout as minhash LSH over documents,
+    operators/dedup.py:316); bucket granularity (ND_LSH_PLANES bits)
+    bounds per-reducer skew. The exact kernel reuses
+    _pair_cosine_kernel's dimension-ordered fold, so emitted cosines
+    are bit-identical to the oracle (and to embedding_near_dup —
+    cross-plan equality pinned in tests/test_similarity.py)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bands = _nd_band_rows(e)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.table") == F.col("b.table"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    pairs = (
+        cand.join(e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")), "a_id")
+        .join(e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")), "b_id")
+        .select(
+            F.col("a_id").alias("q_id"),
+            F.col("b_id").alias("n_id"),
+            "a_emb",
+            "b_emb",
+        )
+    )
+    scored = _pair_cosine_kernel(pairs)
+    return scored.where(F.col("cosine") >= 0.95).select(
+        F.col("q_id").alias("a_id"), F.col("n_id").alias("b_id"), "cosine"
     )

@@ -57,90 +57,79 @@ def register(
 
 # Exposure order for the driver contract. The driver samples the
 # FIRST 50 registry entries each round, so ordering is the lever that
-# decides which queries get externally certified. Round-9 policy (the
-# round-8 verdict's #2 item, verbatim priority order: "the 7 streaming
-# queries (events.py refactored r8; latest stamps r7), the 20
-# out-of-window tpch_like lsum_money users (overflow guard r8), then
-# the 9 r4 cessions"):
-# (1) slots 1-7: every streaming query whose latest stamp predates r8
-# — they all execute through streaming/events.py, which was refactored
-# in r8 (_TriggerListener, track_drain_progress), so their r4-r7
-# stamps are stale-on-changed-code: stream_tumbling_agg(r7),
-# stream_session_window(r7), stream_topk_users(r7),
-# stream_sliding_agg(r5), stream_unique_users_rollup(r6),
-# stream_interval_join(r4), stream_static_enrich(r4). The other two
-# streaming queries (stream_dedup_watermark, stream_ewma_per_user)
-# were stamped r8 on the refactored code already.
-# (2) slots 8-29: all 22 tpch_like.py queries whose stamps are r7 —
-# the shared scaled-long kernel they aggregate through
-# (functions/exact.py lsum_money/lavg_money) gained the overflow
-# guard in r8 after their last stamps. q21 was stamped r8 and stays
-# out. q7 additionally has a CODE change this round (AQE advisory
-# exchange on its fact-fact shuffle, round-8 verdict #4).
-# (3) slots 30-36: the 7 r4 cessions not already covered by (1)
-# (stream_interval_join / stream_static_enrich are in slots 1-7):
-# dedup_clusters, ivf_ann_topk, keyed_upsert_latest, simhash_near_dup,
-# sql_api_top1_alltime, train_test_split, video_frame_sample. After
-# this window no registry stamp predates r5 (the verdict's bar).
-# (4) slots 37-50: changed-code first — embedding_near_dup (r6 stamp;
-# its kernel is touched by this round's perf work) — then the oldest
-# r5 stamps in name order (ann_recall_eval … dedup_rate_by_source…)
-# to keep retiring the old tail.
+# decides which queries get externally certified. Round-10 policy (the
+# round-9 verdict's #1 item: "rotate the r10 certification window to
+# the 34 r5-stamped queries plus the [oldest] r6 stamps", and its #5
+# item adding the LSH-candidates-then-exact-verify near-dup pipeline
+# as a first-class certified query):
+# (1) slot 1: embedding_near_dup_lsh_verified — NEW this round
+#     (verdict #5), never stamped, so it leads the window.
+# (2) slots 2-35: all 34 queries whose latest stamp is r5 (the full
+#     tail the verdict enumerated: flatten_props_map …
+#     winsorized_mean_price), name order. After this window NO
+#     registry stamp predates r6 — the verdict's bar.
+# (3) slots 36-50: the first 15 of the 43 r6-stamped queries, name
+#     order; bfs_reachability_hops lands here naturally, pairing its
+#     re-certification with this round's x50 graph-kernel probe
+#     (verdict #4). The remaining 28 r6 stamps rotate in r11.
+# Changed-code note: embedding_near_dup (r9 stamp) shares
+# similarity.py with this round's probe-caching fix — it is NOT in
+# the window, so it is re-verified via testing.run_one in the commit
+# that touches it (round-9 verdict #9 protocol).
 PRIORITY: tuple[str, ...] = (
-    # (1) streaming queries on the r8-refactored events.py.
-    "stream_tumbling_agg",
-    "stream_session_window",
-    "stream_topk_users",
-    "stream_sliding_agg",
-    "stream_unique_users_rollup",
-    "stream_interval_join",
-    "stream_static_enrich",
-    # (2) tpch_like lsum_money users stamped r7 (overflow guard r8).
-    "pricing_summary",
-    "revenue_by_nation",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q20_excess_shippers",
-    "q22_idle_balances",
-    # (3) the remaining 7 r4 cessions — oldest stamps left.
-    "dedup_clusters",
-    "ivf_ann_topk",
-    "keyed_upsert_latest",
-    "simhash_near_dup",
-    "sql_api_top1_alltime",
-    "train_test_split",
-    "video_frame_sample",
-    # (4) changed-code this round, then oldest r5 stamps name-order.
-    "embedding_near_dup",
-    "ann_recall_eval",
-    "cluster_keep_longest",
-    "composite_key",
-    "corrupt_record_quarantine",
-    "customer_order_counts",
-    "daily_event_type_pivot",
-    "date_functions",
-    "date_parse_roundtrip",
-    "dedup_rate_by_source",
-    "distinct_order_status",
-    "dq_checks",
-    "equi_depth_price_buckets",
-    "event_type_association",
+    # (1) new this round — LSH candidates -> exact cosine verify.
+    "embedding_near_dup_lsh_verified",
+    # (2) the 34 r5-stamped queries, name order.
+    "flatten_props_map",
+    "full_outer_nation_presence",
+    "hash_sample_10pct",
+    "hll_sketch_users",
+    "incremental_minhash_dedup",
+    "inverted_index_postings",
+    "json_document",
+    "json_functions",
+    "last_touch_attribution",
+    "lsh_bucketed_ann",
+    "mad_robust_outliers",
+    "map_from_json",
+    "merge_changes_classify",
+    "multi_touch_window_count",
+    "multimodal_meta",
+    "nation_revenue_trend",
+    "pagerank_trade_graph",
+    "pii_redact",
+    "prefix_containment_pairs",
+    "profile_columns",
+    "right_join_parts_lineitems",
+    "sentence_segmentation",
+    "sequence_packing",
+    "shipping_latency_percentiles",
+    "skew_key_profile",
+    "source_token_divergence",
+    "string_functions",
+    "token_budget_mix",
+    "token_simpson_diversity",
+    "top1_price_lexicographic",
+    "twap_user_value",
+    "weekly_revenue_wow",
+    "winnowing_shared_pairs",
+    "winsorized_mean_price",
+    # (3) the 15 oldest r6 stamps, name order.
+    "agg_collect_arrays",
+    "asof_join_events_orders",
+    "bfs_reachability_hops",
+    "boilerplate_shingle_ratio",
+    "bounded_split",
+    "cast_string_price",
+    "conditional_aggregates",
+    "correlated_exists_urgent",
+    "daily_high_low",
+    "date_range_filter",
+    "doc_chunks",
+    "doc_fingerprint",
+    "dup_span_cut",
+    "dup_span_extract",
+    "embedding_centroids",
 )
 
 

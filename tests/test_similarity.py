@@ -130,6 +130,91 @@ def test_embedding_near_dup_matches_duckdb_on_pairful_data(spark, tmp_path):
     assert got == want and len(want) >= 40
 
 
+def test_lsh_verified_equals_exact_on_pairful_data(spark, tmp_path):
+    """The scale path (LSH candidates → exact verify) must reproduce
+    the exact Θ(N²) baseline's pair set bit-for-bit on data with real
+    ≥0.95 pairs: same pairs, same cosines (both funnels end in the
+    same dimension-ordered fold). The fixture's twins sit at ~0.999
+    where the per-pair miss probability is ≈1e-8 across 40 tables —
+    and the hyperplanes are deterministic, so this equality is a fixed
+    property of the code, not a draw."""
+    sfd = _write_neardup_fixture(spark, tmp_path)
+    exact = {tuple(r) for r in REGISTRY["embedding_near_dup"].fn(spark, sfd).collect()}
+    lsh = {
+        tuple(r)
+        for r in REGISTRY["embedding_near_dup_lsh_verified"].fn(spark, sfd).collect()
+    }
+    assert lsh == exact and len(exact) >= 40
+
+
+def test_lsh_verified_matches_duckdb_on_pairful_data(spark, tmp_path):
+    """Same fixture, diffed against the registered oracle (the exact
+    N² join) — the sf-table certification only hash-compares empty
+    outputs for this query, so this is the value-level gate."""
+    import duckdb
+
+    sfd = _write_neardup_fixture(spark, tmp_path)
+    spec = REGISTRY["embedding_near_dup_lsh_verified"]
+    got = {tuple(r) for r in spec.fn(spark, sfd).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sfd}/embeddings.parquet/*.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(spec.oracle).fetchall()}
+    assert got == want and len(want) >= 40
+
+
+def test_lsh_verified_candidate_pruning(spark, sf_dir):
+    """Candidate generation must actually prune: on the sf corpus
+    (no qualifying pairs, near-orthogonal vectors) the deduped
+    candidate count stays well under the quadratic pair space —
+    otherwise the 'beats Θ(N²)' claim is vacuous."""
+    from pyspark.sql import functions as F
+
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.operators.similarity import _nd_band_rows
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    bands = _nd_band_rows(e)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.table") == F.col("b.table"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .count()
+    )
+    assert cand < 0.05 * n * (n - 1) / 2
+
+
+def test_ivf_recall_floor_vs_exhaustive_sf001(spark):
+    """Round-9 verdict #6: ivf_ann_topk is rows-only by design, so a
+    quantizer regression would ship green without a pinned recall
+    bound. Recall@5 vs ivf_ann_exhaustive (the certified exact
+    equivalent of the same machinery) at sf0.01 is deterministic —
+    sampled k-means quantizer, hash-derived everything — so the floor
+    is a fixed property of the code, not a statistical draw."""
+    sfd = "/root/testdata/sf0.01"
+    exact = {
+        (r.q_id, r.n_id)
+        for r in REGISTRY["ivf_ann_exhaustive"].fn(spark, sfd).collect()
+    }
+    approx = {
+        (r.q_id, r.n_id) for r in REGISTRY["ivf_ann_topk"].fn(spark, sfd).collect()
+    }
+    # measured 0.42 exactly (deterministic); floor pinned just below —
+    # a quantizer/probe regression that costs even one more hit fails.
+    assert len(exact & approx) / len(exact) >= 0.4
+
+
 def test_embedding_near_dup_empty_corpus(spark, tmp_path):
     """Zero-row corpus: the strategy probe must fall through to the
     blocked plan (no broadcast of an empty matrix) and return an
