@@ -1,0 +1,122 @@
+"""Streaming-drain amortization probe (round-9 verdict #3).
+
+The two perf-weak bench queries — stream_tumbling_agg and
+stream_session_window — are defended by "the AvailableNow trigger
+floor is fixed while the per-trigger work grows, so the drain-vs-
+oracle ratio closes at scale". That claim was asserted, never
+measured. This script measures it: at x1/x10/x50 key-shifted
+replicas of sf0.1 (the same dirs scripts/scale_probe.py builds) it
+times, per view:
+
+- the certified PER-QUERY state-store drain (the exact registry fn
+  the driver certifies), both credited (wall − drain_wall + trigger,
+  bench.py's standard accounting) and raw wall;
+- the DuckDB oracle on the same replica dir (single-threaded batch
+  reference);
+
+and prints the credited/oracle and wall/oracle ratio at each scale.
+"Done" per the verdict = ratio ≤ 2× by x10, or the measured floor
+decomposition committed if not.
+
+Optionally (DRAIN_ROCKSDB=1) re-times the drains under the RocksDB
+state-store provider for an A/B of the addBatch-dominated profile.
+
+Run AFTER the x-replicas exist (scripts/scale_probe.py builds them):
+    python scripts/drain_scale_probe.py
+    DRAIN_FACTORS="1 10" DRAIN_ROCKSDB=1 python scripts/drain_scale_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from master_airflow_spark import registry  # noqa: E402
+from master_airflow_spark.session import get_spark  # noqa: E402
+from master_airflow_spark.testing import duckdb_connection  # noqa: E402
+
+VIEWS = ("stream_tumbling_agg", "stream_session_window")
+FACTORS = [int(x) for x in os.environ.get("DRAIN_FACTORS", "1 10 50").split()]
+OUT_ROOT = "/tmp/mas_scale"
+ROCKSDB = os.environ.get("DRAIN_ROCKSDB") == "1"
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def drain_rep(spark, name: str, sf_dir: str) -> tuple[float, float]:
+    """One rep of the certified per-query state-store drain — same
+    credited accounting as bench.py's per_query_drain_rep."""
+    from master_airflow_spark.streaming import events as stream_events
+
+    stream_events.reset_drain_trigger_seconds()
+    t0 = time.perf_counter()
+    df = registry.REGISTRY[name].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    trig = stream_events.drain_trigger_seconds()
+    dwall = stream_events.drain_wall_seconds()
+    credited = wall
+    if trig > 0:
+        credited = min(wall, wall - dwall + trig)
+    registry.release_caches()
+    return credited, wall
+
+
+def main() -> None:
+    spark = get_spark(app_name="mas-drain-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry._ensure_loaded()
+
+    provider_rows = [("hdfs-default", None)]
+    if ROCKSDB:
+        provider_rows.append(("rocksdb", _ROCKSDB_PROVIDER))
+
+    print("| view | scale | provider | credited (s) | wall (s) | oracle (s) "
+          "| credited/oracle | wall/oracle |")
+    print("|---|---|---|---|---|---|---|---|")
+    for k in FACTORS:
+        sf_dir = os.path.join(OUT_ROOT, f"x{k}")
+        if not os.path.isdir(sf_dir):
+            print(f"x{k}: replica dir missing — run scripts/scale_probe.py first",
+                  file=sys.stderr)
+            continue
+        con = duckdb_connection(sf_dir)
+        try:
+            for name in VIEWS:
+                spec = registry.REGISTRY[name]
+                ora = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    con.execute(spec.oracle).fetchall()
+                    ora.append(time.perf_counter() - t0)
+                o = sorted(ora)[1]
+                for label, provider in provider_rows:
+                    if provider is not None:
+                        spark.conf.set(
+                            "spark.sql.streaming.stateStore.providerClass", provider
+                        )
+                    try:
+                        drain_rep(spark, name, sf_dir)  # warm
+                        reps = [drain_rep(spark, name, sf_dir) for _ in range(3)]
+                    finally:
+                        if provider is not None:
+                            spark.conf.unset(
+                                "spark.sql.streaming.stateStore.providerClass"
+                            )
+                    cred = sorted(r[0] for r in reps)[1]
+                    wall = sorted(r[1] for r in reps)[1]
+                    print(
+                        f"| {name} | x{k} | {label} | {cred:.3f} | {wall:.3f} "
+                        f"| {o:.3f} | {cred / o:.2f}× | {wall / o:.2f}× |",
+                        flush=True,
+                    )
+        finally:
+            con.close()
+
+
+if __name__ == "__main__":
+    main()
