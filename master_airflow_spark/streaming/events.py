@@ -64,10 +64,24 @@ _TS_TYPE_CACHE: dict[str, str] = {}
 def landing_dir_for(parquet_file: str) -> str:
     """The file-stream source requires a *directory* (a landing zone —
     in production this is the bucket prefix ingest appends to). For a
-    single static file, stage a symlink in a content-addressed tmp dir."""
+    single static file, stage a symlink in a content-addressed tmp dir.
+    A Spark-written table DIRECTORY (name.parquet/part-*.parquet — the
+    scale-probe replicas) stages one symlink per part file instead:
+    the stream source does not recurse into a symlinked subdirectory,
+    and per-part staging gives the multi-file arrival shape a real
+    landing zone has (one micro-batch per file under
+    maxFilesPerTrigger=1)."""
     key = hashlib.sha256(parquet_file.encode()).hexdigest()[:16]
     d = os.path.join(tempfile.gettempdir(), "mas_stream_landing", key)
     os.makedirs(d, exist_ok=True)
+    if os.path.isdir(parquet_file):
+        for name in sorted(os.listdir(parquet_file)):
+            if not name.endswith(".parquet"):
+                continue
+            link = os.path.join(d, name)
+            if not os.path.lexists(link):
+                os.symlink(os.path.join(parquet_file, name), link)
+        return d
     link = os.path.join(d, os.path.basename(parquet_file))
     if not os.path.lexists(link):
         os.symlink(parquet_file, link)

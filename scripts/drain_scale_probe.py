@@ -36,15 +36,65 @@ sys.path.insert(0, ".")
 
 from master_airflow_spark import registry  # noqa: E402
 from master_airflow_spark.session import get_spark  # noqa: E402
-from master_airflow_spark.testing import duckdb_connection  # noqa: E402
+
+
+def _duckdb_connection(sf_dir: str):
+    """Like testing.duckdb_connection, but replica tables are
+    Spark-WRITTEN parquet directories (name.parquet/part-*.parquet),
+    so directory paths get a glob."""
+    import duckdb
+
+    from master_airflow_spark.catalog import TABLES, table_path
+
+    con = duckdb.connect()
+    for name in TABLES:
+        p = table_path(sf_dir, name)
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')"
+        )
+    return con
 
 VIEWS = ("stream_tumbling_agg", "stream_session_window")
 FACTORS = [int(x) for x in os.environ.get("DRAIN_FACTORS", "1 10 50").split()]
 OUT_ROOT = "/tmp/mas_scale"
 ROCKSDB = os.environ.get("DRAIN_ROCKSDB") == "1"
+# DRAIN_SINGLE_FILE=1: stage each replica's events as ONE parquet file
+# so every scale runs exactly ONE AvailableNow trigger. The default
+# replica layout has one part file per copy (x50 = 50 files = 50
+# micro-batches under maxFilesPerTrigger=1), so the default run
+# measures the multi-file ARRIVAL shape — per-trigger floor × file
+# count — while the single-file control isolates the amortization
+# claim proper: fixed trigger count, per-trigger work growing with
+# rows. Both shapes belong in SCALE.md.
+SINGLE_FILE = os.environ.get("DRAIN_SINGLE_FILE") == "1"
+STAGE_ROOT = "/tmp/mas_scale_drain1"
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
+
+
+def _stage_single_file(spark, k: int) -> str:
+    """Replica dir with events coalesced to a single part file (one
+    trigger) and every other table symlinked from the base replica."""
+    src = os.path.join(OUT_ROOT, f"x{k}")
+    dst = os.path.join(STAGE_ROOT, f"x{k}")
+    if os.path.isdir(dst):
+        return dst
+    from master_airflow_spark.catalog import TABLES, load_table
+
+    os.makedirs(dst, exist_ok=True)
+    load_table(spark, src, "events").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(dst, "events.parquet")
+    )
+    for t in TABLES:
+        if t == "events":
+            continue
+        os.symlink(
+            os.path.join(src, f"{t}.parquet"), os.path.join(dst, f"{t}.parquet")
+        )
+    return dst
 
 
 def drain_rep(spark, name: str, sf_dir: str) -> tuple[float, float]:
@@ -84,7 +134,9 @@ def main() -> None:
             print(f"x{k}: replica dir missing — run scripts/scale_probe.py first",
                   file=sys.stderr)
             continue
-        con = duckdb_connection(sf_dir)
+        if SINGLE_FILE:
+            sf_dir = _stage_single_file(spark, k)
+        con = _duckdb_connection(sf_dir)
         try:
             for name in VIEWS:
                 spec = registry.REGISTRY[name]

@@ -35,6 +35,39 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
     )
 
 
+def test_bucketed_join_exchange_free_under_forced_large_shuffle(
+    spark, bucketed_tables
+):
+    """Round-9 verdict #7 review item: the session's AQE advisory
+    exchange sizing (initialPartitionNum = 8×threads, session.py) must
+    not cause AQE to re-shuffle a bucketed join whose sides already
+    satisfy the partitioning requirement. Re-pin the Exchange-free
+    plan in a sibling session configured for a far LARGER synthetic
+    shuffle than the 8-bucket layout (shuffle.partitions=256,
+    initialPartitionNum=512): advisory sizing applies to exchanges
+    Catalyst INSERTS, not to partitionings the scan already provides,
+    and a follow-up aggregate on the join key must reuse the bucket
+    partitioning too (zero Exchanges end-to-end)."""
+    left, right = bucketed_tables
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "256")
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+    try:
+        j = bucketed_join(s2, left, right, "o_orderkey", "l_orderkey")
+        plan = formatted(j)
+        assert "Exchange" not in plan, plan
+        from pyspark.sql import functions as F
+
+        agg = j.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+        agg_plan = formatted(agg)
+        assert "Exchange" not in agg_plan, agg_plan
+        assert agg.count() > 0
+    finally:
+        s2.conf.unset("spark.sql.shuffle.partitions")
+        s2.conf.unset("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+
+
 def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
     left, right = bucketed_tables
     j = bucketed_join(spark, left, right, "o_orderkey", "l_orderkey")
