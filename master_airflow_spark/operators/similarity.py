@@ -887,6 +887,25 @@ def _nd_band_rows(e: DataFrame) -> DataFrame:
     )
 
 
+def _nd_candidates(bands: DataFrame) -> DataFrame:
+    """(table, bucket) self-join of band rows → deduped candidate id
+    pairs (a_id < b_id). Shared by the operator and its pruning test
+    so the candidate definition cannot drift between them."""
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.table") == F.col("b.table"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
 @register(
     "embedding_near_dup_lsh_verified",
     # The oracle is the exact N² join — identical to embedding_near_dup's.
@@ -934,20 +953,16 @@ def embedding_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFra
     are bit-identical to the oracle (and to embedding_near_dup —
     cross-plan equality pinned in tests/test_similarity.py)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bands = _nd_band_rows(e)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a.table") == F.col("b.table"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.vec_id") < F.col("b.vec_id"),
-            ],
-        )
-        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    # Persist the band rows: both sides of the self-join read them, and
+    # without the persist each side re-runs the signature kernel (the
+    # T×P hyperplane projection pass over the whole corpus — measured
+    # as the dominant non-join cost at x50). Tracked, so the harness
+    # frees it after the result is materialized; correctness never
+    # depends on the persist sticking (registry.queries contract).
+    from master_airflow_spark.registry import track_cache
+
+    bands = track_cache(_nd_band_rows(e))
+    cand = _nd_candidates(bands)
     pairs = (
         cand.join(e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")), "a_id")
         .join(e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")), "b_id")

@@ -170,28 +170,15 @@ def test_lsh_verified_candidate_pruning(spark, sf_dir):
     (no qualifying pairs, near-orthogonal vectors) the deduped
     candidate count stays well under the quadratic pair space —
     otherwise the 'beats Θ(N²)' claim is vacuous."""
-    from pyspark.sql import functions as F
-
     from master_airflow_spark.catalog import load_table
-    from master_airflow_spark.operators.similarity import _nd_band_rows
+    from master_airflow_spark.operators.similarity import (
+        _nd_band_rows,
+        _nd_candidates,
+    )
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = e.count()
-    bands = _nd_band_rows(e)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a.table") == F.col("b.table"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.vec_id") < F.col("b.vec_id"),
-            ],
-        )
-        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
-        .count()
-    )
+    cand = _nd_candidates(_nd_band_rows(e)).count()
     assert cand < 0.05 * n * (n - 1) / 2
 
 
