@@ -182,6 +182,33 @@ def test_lsh_verified_candidate_pruning(spark, sf_dir):
     assert cand < 0.05 * n * (n - 1) / 2
 
 
+def test_nd_band_rows_deterministic_and_duplicate_complete(spark, sf_dir):
+    """Two invariants the verified near-dup pipeline's recall story
+    rests on: (a) banding is deterministic — two independent runs over
+    the same corpus produce the identical (vec_id, table, bucket) set
+    (hash-derived hyperplanes, no RNG); (b) byte-identical vectors get
+    identical bucket rows in EVERY table, which is why candidate
+    recall on exact duplicates is exactly 1 (the x50 equal-output
+    claim in SCALE.md)."""
+    from pyspark.sql import functions as F
+
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.operators.similarity import (
+        ND_LSH_TABLES,
+        _nd_band_rows,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(64)
+    r1 = {tuple(r) for r in _nd_band_rows(e).collect()}
+    r2 = {tuple(r) for r in _nd_band_rows(e).collect()}
+    assert r1 == r2 and len(r1) == 64 * ND_LSH_TABLES
+    # duplicate completeness: clone each vector under a shifted id —
+    # the clone's (table, bucket) rows must equal the original's.
+    twin = e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    rt = {(v - 1_000_000, t, b) for v, t, b in _nd_band_rows(twin).collect()}
+    assert rt == r1
+
+
 def test_ivf_recall_floor_vs_exhaustive_sf001(spark):
     """Round-9 verdict #6: ivf_ann_topk is rows-only by design, so a
     quantizer regression would ship green without a pinned recall
