@@ -111,6 +111,9 @@ PROBE_QUERIES = (
     "bfs_reachability_hops",
     # sketch-then-verify: bounded-memory candidates + exact verify
     "heavy_hitters_mg_verified",
+    # round-10 addition: LSH-candidates-then-exact-verify near-dup —
+    # the 100 TB all-pairs path (x1/x10/x50 row in SCALE.md §round-10)
+    "embedding_near_dup_lsh_verified",
     # round-7 addition: exact quantiles via rank sketch — the curve
     # should track the two scans (linear) since the candidate sort is
     # ~U rows, corpus-size-bounded by the per-batch budget
