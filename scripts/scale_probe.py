@@ -288,6 +288,14 @@ def main() -> None:
         "disjoint per-copy gram vocabulary keeps duplicated pairs",
         "within-copy, i.e. the dup workload grows linearly by design",
         "rather than quadratically across replicas.",
+        "embedding_near_dup_lsh_verified: embeddings replicate UNSALTED",
+        "(byte-identical vectors under shifted ids), so its TRUE-pair",
+        "output grows ~k² by data construction — 0 pairs at x1 (the sf0.1",
+        "base has none ≥0.95) vs 2000·C(k,2) cross-copy pairs after (90k",
+        "at x10). Its growth cell is therefore time over a ~100×-growing",
+        "pair workload, not over the 10× row column — 3× time over 100×",
+        "pairs is the LSH pipeline doing its job (cf. the x50 section:",
+        "16.8× faster than exact all-pairs at equal output).",
     ]
     # Preserve the bloom_probe.py section and the manually-curated
     # control-experiment section (both appended after their markers)
