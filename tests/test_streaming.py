@@ -340,3 +340,43 @@ def test_dedup_within_watermark_full_value_oracle(spark, tmp_path):
         (7, "2024-01-01 10:46:00", 2, "view", 6.5, '{"f":6}'),
     }
     assert got == want
+
+
+def test_max_files_per_trigger_knob_preserves_results(spark, tmp_path, monkeypatch):
+    """The production file-batching knob (round 10:
+    SPARK_GRAFT_MAX_FILES_PER_TRIGGER, streaming/events.py) must only
+    change batch BOUNDARIES, never answers: on a time-split landing
+    (watermark-compatible arrival — the deterministic replay domain),
+    draining the tumbling aggregate one-file-per-trigger and
+    all-files-in-one-trigger must produce the identical row set, and
+    both must equal the batch aggregate over the same data."""
+    from master_airflow_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    rows = ev.orderBy("ts").collect()
+    third = max(1, len(rows) // 3)
+    batches = [
+        [tuple(r[c] for c in ("event_id", "ts", "user_id", "event_type", "value", "props"))
+         for r in rows[i : i + third]]
+        for i in range(0, len(rows), third)
+    ]
+    d = _stage(tmp_path, batches)
+
+    def drain(knob: str):
+        monkeypatch.setenv("SPARK_GRAFT_MAX_FILES_PER_TRIGGER", knob)
+        out = run_to_memory(tumbling_agg(read_events_stream(spark, d)), "complete")
+        return {tuple(r) for r in out.collect()}
+
+    one_per_file = drain("1")
+    one_trigger = drain("1000")
+    assert one_per_file == one_trigger and len(one_trigger) > 0
+    batch_ev = spark.read.parquet(d)
+    # same ts normalization rule as read_events_stream: the staged
+    # pandas parquet carries ns timestamps, surfaced as bigint under
+    # the session's nanosAsLong default
+    if dict(batch_ev.dtypes)["ts"] == "bigint":
+        batch_ev = batch_ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        batch_ev = batch_ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {tuple(r) for r in tumbling_agg(batch_ev).collect()}
+    assert one_trigger == want
