@@ -75,25 +75,62 @@ def landing_dir_for(parquet_file: str) -> str:
     d = os.path.join(tempfile.gettempdir(), "mas_stream_landing", key)
     os.makedirs(d, exist_ok=True)
     if os.path.isdir(parquet_file):
-        for name in sorted(os.listdir(parquet_file)):
-            if not name.endswith(".parquet"):
-                continue
-            link = os.path.join(d, name)
-            if not os.path.lexists(link):
-                os.symlink(os.path.join(parquet_file, name), link)
-        return d
-    link = os.path.join(d, os.path.basename(parquet_file))
-    if not os.path.lexists(link):
-        os.symlink(parquet_file, link)
+        desired = {
+            name: os.path.join(parquet_file, name)
+            for name in sorted(os.listdir(parquet_file))
+            if name.endswith(".parquet")
+        }
+    else:
+        desired = {os.path.basename(parquet_file): parquet_file}
+    # Reconcile against the CURRENT source listing (round-10 ADVICE):
+    # the landing dir is content-addressed by source PATH, so a
+    # regenerated source (Spark writes fresh unique part names) would
+    # otherwise leave dangling links (loud drain failure) or replay
+    # superseded old parts alongside new ones (silent corruption).
+    # Drop anything that is not a symlink to the exact desired target,
+    # or whose target no longer exists, then add what's missing.
+    for name in os.listdir(d):
+        p = os.path.join(d, name)
+        ok = (
+            name in desired
+            and os.path.islink(p)
+            and os.readlink(p) == desired[name]
+            and os.path.exists(p)  # follows the link: target still there
+        )
+        if not ok:
+            os.unlink(p)
+    for name, target in desired.items():
+        link = os.path.join(d, name)
+        if not os.path.lexists(link):
+            os.symlink(target, link)
     return d
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, events_dir: str, max_files: int | None = None
+) -> DataFrame:
     """File-source stream over a directory of events parquet files.
     The explicit schema must match how this Spark version surfaces
     parquet ns timestamps (see catalog._nanos_timestamp_cols), so probe
     with a footer-only batch read; ts is normalized to TimestampType —
-    one rule for batch and stream."""
+    one rule for batch and stream.
+
+    File batching (round-11 default flip): the SHIPPING default batches
+    ALL available files into each trigger (maxFilesPerTrigger unset —
+    for a bounded AvailableNow drain that is one micro-batch), because
+    the per-trigger planning+commit floor is the dominant drain cost on
+    many-file landing zones (SCALE.md round-10: the 50-file
+    one-file-per-trigger shape ran 411× the single-trigger cost; the
+    batched shape collapsed tumbling 18.4s→1.41s). Batching width never
+    changes answers — per-batch semantics (watermark advance, state
+    merge) are identical, pinned by test_max_files_per_trigger_knob —
+    so wide batches are strictly cheaper for bounded drains. Callers
+    that NEED the deterministic ordered multi-batch replay (the
+    watermark/late-data/state-expiry tests, scale probes of the
+    per-trigger floor) pass ``max_files=1`` explicitly, or set
+    SPARK_GRAFT_MAX_FILES_PER_TRIGGER=N (values < 1 or garbage fall
+    back to the batched default rather than failing the session —
+    round-10 ADVICE)."""
     from master_airflow_spark.catalog import ensure_session_defaults
 
     ensure_session_defaults(spark)
@@ -101,23 +138,21 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     if ts_type is None:
         ts_type = dict(spark.read.parquet(events_dir).dtypes)["ts"]
         _TS_TYPE_CACHE[events_dir] = ts_type
-    # File-batching knob: 1 (default) replays one landing file per
-    # micro-batch — the deterministic multi-batch shape every replay
-    # test and certified drain is pinned on. Production drains over
-    # many-file landing zones raise it (SPARK_GRAFT_MAX_FILES_PER_
-    # TRIGGER=N batches N files per trigger) so the per-trigger
-    # planning+commit floor amortizes over more input — measured in
-    # SCALE.md's round-10 drain section: the 50-file arrival shape's
-    # 411× tumbling ratio collapses to the single-trigger column once
-    # files batch. The knob only widens batches; per-batch semantics
-    # (watermark, state merge) are unchanged.
-    max_files = int(os.environ.get("SPARK_GRAFT_MAX_FILES_PER_TRIGGER", "1"))
-    raw = (
-        spark.readStream.format("parquet")
-        .schema(EVENTS_SCHEMA_TEMPLATE.format(ts_type=ts_type))
-        .option("maxFilesPerTrigger", max_files)
-        .load(events_dir)
+    if max_files is None:
+        raw_env = os.environ.get("SPARK_GRAFT_MAX_FILES_PER_TRIGGER", "").strip()
+        if raw_env:
+            try:
+                v = int(raw_env)
+            except ValueError:
+                v = 0
+            if v >= 1:
+                max_files = v
+    reader = spark.readStream.format("parquet").schema(
+        EVENTS_SCHEMA_TEMPLATE.format(ts_type=ts_type)
     )
+    if max_files is not None and max_files >= 1:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    raw = reader.load(events_dir)
     if ts_type == "bigint":  # legacy nanosAsLong read
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))

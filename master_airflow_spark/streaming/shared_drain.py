@@ -270,6 +270,7 @@ def drain_events_multi(
     view_names: tuple[str, ...] = ("stream_tumbling_agg", "stream_session_window"),
     timings: dict | None = None,
     events_dir: str | None = None,
+    max_files: int | None = None,
 ) -> dict[str, DataFrame]:
     """One AvailableNow foreachBatch pass over the events landing dir
     feeding every requested view; returns {view: final DataFrame}
@@ -290,7 +291,11 @@ def drain_events_multi(
 
     if events_dir is None:
         events_dir = landing_dir_for(os.path.join(sf_dir, "events.parquet"))
-    stream = read_events_stream(spark, events_dir)
+    # max_files follows read_events_stream's contract: None (default)
+    # batches every available file per trigger — the shipping shape;
+    # tests of the cross-batch MERGE paths pass 1 to force one
+    # micro-batch per landing file.
+    stream = read_events_stream(spark, events_dir, max_files=max_files)
     run_id = uuid.uuid4().hex[:10]
     root = os.path.join(_checkpoint_root(), "mas_shared_drain", run_id)
     spools = {v: os.path.join(root, "spool", v) for v in view_names}

@@ -75,7 +75,7 @@ def test_shared_drain_multibatch_merge(spark, sf_dir, tmp_path):
     assert n_files >= 2, "split produced a single file; test needs several"
 
     shared = drain_events_multi(
-        spark, sf_dir, VIEW_NAMES, events_dir=str(landing)
+        spark, sf_dir, VIEW_NAMES, events_dir=str(landing), max_files=1
     )
     got = {v: _rows(shared[v]) for v in VIEW_NAMES}
     registry.release_caches()
@@ -133,21 +133,21 @@ def test_multibatch_equals_per_query_drains_time_split(spark, sf_dir, tmp_path):
                 os.utime(dst, (t0 + i * 10, t0 + i * 10))
 
     shared = drain_events_multi(
-        spark, sf_dir, VIEW_NAMES, events_dir=str(landing)
+        spark, sf_dir, VIEW_NAMES, events_dir=str(landing), max_files=1
     )
     got = {v: _rows(shared[v]) for v in VIEW_NAMES}
     registry.release_caches()
 
     pq_tumbling = _rows(
         run_to_memory(
-            tumbling_agg(read_events_stream(spark, str(landing))),
+            tumbling_agg(read_events_stream(spark, str(landing), max_files=1)),
             "complete",
             state_partitions=2,
         )
     )
     pq_sessions = _rows(
         run_to_memory(
-            session_agg(read_events_stream(spark, str(landing))),
+            session_agg(read_events_stream(spark, str(landing), max_files=1)),
             "complete",
             state_partitions=8,
         )
@@ -216,13 +216,13 @@ def test_cross_batch_exact_gap_boundary(spark, tmp_path):
                 )
 
     shared = drain_events_multi(
-        spark, "", ("stream_session_window",), events_dir=str(landing)
+        spark, "", ("stream_session_window",), events_dir=str(landing), max_files=1
     )
     got = _rows(shared["stream_session_window"])
     registry.release_caches()
     want = _rows(
         run_to_memory(
-            session_agg(read_events_stream(spark, str(landing))),
+            session_agg(read_events_stream(spark, str(landing), max_files=1)),
             "complete",
             state_partitions=8,
         )

@@ -43,7 +43,9 @@ def test_spend_tracker_accumulates_across_batches(spark, tmp_path):
             [(4, "2024-01-01 10:10:00", 1, "buy", 30.0, "{}")],
         ],
     )
-    out = run_to_memory(spend_alerts(read_events_stream(spark, d)), "append")
+    out = run_to_memory(
+        spend_alerts(read_events_stream(spark, d, max_files=1)), "append"
+    )
     rows = {(r.user_id, r.n_events, r.total_value, r.crossed_multiple)
             for r in out.collect()}
     assert rows == {

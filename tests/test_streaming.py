@@ -2,9 +2,11 @@
 dedup expiry, batch-replay equivalence, foreachBatch fan-out.
 
 Files are staged into a tmp landing dir with increasing mtimes and
-maxFilesPerTrigger=1, so AvailableNow replays them as ordered
-micro-batches — the scenario shape the single-snapshot DuckDB oracle
-cannot express (SURVEY.md §5.3).
+read with an explicit ``max_files=1``, so AvailableNow replays them as
+ordered micro-batches — the scenario shape the single-snapshot DuckDB
+oracle cannot express (SURVEY.md §5.3). (The SHIPPING default since
+round 11 batches all available files per trigger; these tests pin
+multi-batch state semantics, so they opt into the replay shape.)
 """
 
 from __future__ import annotations
@@ -59,7 +61,9 @@ def test_watermark_drops_late_rows(spark, tmp_path):
             [(4, "2024-01-01 10:30:00", 1, "click", 100.0, "{}")],
         ],
     )
-    out = run_to_memory(tumbling_agg(read_events_stream(spark, d)), "append")
+    out = run_to_memory(
+        tumbling_agg(read_events_stream(spark, d, max_files=1)), "append"
+    )
     rows = {(str(r.window_start), r.n_events, r.sum_value) for r in out.collect()}
     # [10:00,11:00) finalized WITHOUT the late 100.0 event; [11:00,12:00)
     # finalized in batch 2 (end 12:00 ≤ wm 12:20); [12:00,13:00) still open
@@ -91,7 +95,7 @@ def test_dedup_within_watermark_expires_state(spark, tmp_path):
         ],
     )
     out = run_to_memory(
-        dedup_within_watermark(read_events_stream(spark, d)), "append"
+        dedup_within_watermark(read_events_stream(spark, d, max_files=1)), "append"
     )
     clicks = sorted(
         r.event_id for r in out.where("user_id = 1 AND event_type = 'click'").collect()
@@ -161,7 +165,7 @@ def test_interval_join_across_batches(spark, tmp_path):
         ],
     )
     out = run_to_memory(
-        attribution_join(read_events_stream(spark, d)), "append"
+        attribution_join(read_events_stream(spark, d, max_files=1)), "append"
     ).collect()
     pairs = {(r.click_id, r.purchase_id) for r in out}
     assert pairs == {(1, 2)}
@@ -188,7 +192,8 @@ def test_stream_static_enrich_across_batches(spark, tmp_path):
         [(1, "BUILDING"), (2, "MACHINERY")], ["c_custkey", "c_mktsegment"]
     )
     out = run_to_memory(
-        enriched_segment_agg(read_events_stream(spark, d), dim), "complete"
+        enriched_segment_agg(read_events_stream(spark, d, max_files=1), dim),
+        "complete",
     ).collect()
     got = {(r.c_mktsegment, r.n_events, r.sum_value) for r in out}
     assert got == {("BUILDING", 2, 7.0), ("MACHINERY", 1, 3.0)}
@@ -215,7 +220,9 @@ def test_ewma_state_continuity_across_batches(spark, tmp_path):
             ],
         ],
     )
-    out = run_to_memory(ewma_per_user(read_events_stream(spark, d)), "update")
+    out = run_to_memory(
+        ewma_per_user(read_events_stream(spark, d, max_files=1)), "update"
+    )
     rows = {(r.user_id, r.n_events): r.ewma for r in out.collect()}
     # batch 0: user 7 folds 1.0 then 2.0 -> 0.5*2 + 0.5*1 = 1.5
     assert rows[(7, 2)] == 1.5
@@ -272,7 +279,7 @@ def test_unique_users_rollup_across_batches(spark, tmp_path):
         ],
     )
     per_user = (
-        read_events_stream(spark, d)
+        read_events_stream(spark, d, max_files=1)
         .where(F.col("user_id").isNotNull())
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
@@ -325,7 +332,7 @@ def test_dedup_within_watermark_full_value_oracle(spark, tmp_path):
         ],
     )
     out = run_to_memory(
-        dedup_within_watermark(read_events_stream(spark, d)), "append"
+        dedup_within_watermark(read_events_stream(spark, d, max_files=1)), "append"
     )
     got = {
         (r.event_id, str(r.ts), r.user_id, r.event_type, r.value, r.props)
@@ -343,13 +350,16 @@ def test_dedup_within_watermark_full_value_oracle(spark, tmp_path):
 
 
 def test_max_files_per_trigger_knob_preserves_results(spark, tmp_path, monkeypatch):
-    """The production file-batching knob (round 10:
-    SPARK_GRAFT_MAX_FILES_PER_TRIGGER, streaming/events.py) must only
-    change batch BOUNDARIES, never answers: on a time-split landing
-    (watermark-compatible arrival — the deterministic replay domain),
-    draining the tumbling aggregate one-file-per-trigger and
-    all-files-in-one-trigger must produce the identical row set, and
-    both must equal the batch aggregate over the same data."""
+    """File batching (SPARK_GRAFT_MAX_FILES_PER_TRIGGER / the round-11
+    batch-all default) must only change batch BOUNDARIES, never
+    answers: on a time-split landing (watermark-compatible arrival —
+    the deterministic replay domain), draining the tumbling aggregate
+    one-file-per-trigger, 1000-files-per-trigger, and under the
+    shipping default (env unset → all available files in one trigger)
+    must produce the identical row set, and all must equal the batch
+    aggregate over the same data. Garbage / non-positive env values
+    must fall back to the default, not fail the session (round-10
+    ADVICE)."""
     from master_airflow_spark.catalog import load_table
 
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
@@ -362,14 +372,23 @@ def test_max_files_per_trigger_knob_preserves_results(spark, tmp_path, monkeypat
     ]
     d = _stage(tmp_path, batches)
 
-    def drain(knob: str):
-        monkeypatch.setenv("SPARK_GRAFT_MAX_FILES_PER_TRIGGER", knob)
+    def drain(knob: str | None):
+        if knob is None:
+            monkeypatch.delenv("SPARK_GRAFT_MAX_FILES_PER_TRIGGER", raising=False)
+        else:
+            monkeypatch.setenv("SPARK_GRAFT_MAX_FILES_PER_TRIGGER", knob)
         out = run_to_memory(tumbling_agg(read_events_stream(spark, d)), "complete")
         return {tuple(r) for r in out.collect()}
 
     one_per_file = drain("1")
     one_trigger = drain("1000")
+    default_shape = drain(None)
+    garbage = drain("not-a-number")  # falls back to the batched default
+    zero = drain("0")  # non-positive → batched default too
     assert one_per_file == one_trigger and len(one_trigger) > 0
+    assert default_shape == one_trigger
+    assert garbage == one_trigger
+    assert zero == one_trigger
     batch_ev = spark.read.parquet(d)
     # same ts normalization rule as read_events_stream: the staged
     # pandas parquet carries ns timestamps, surfaced as bigint under
@@ -380,3 +399,38 @@ def test_max_files_per_trigger_knob_preserves_results(spark, tmp_path, monkeypat
         batch_ev = batch_ev.withColumn("ts", F.col("ts").cast("timestamp"))
     want = {tuple(r) for r in tumbling_agg(batch_ev).collect()}
     assert one_trigger == want
+
+
+def test_landing_dir_reconciles_regenerated_source(spark, tmp_path):
+    """landing_dir_for is content-addressed by source PATH; when the
+    source table directory is REGENERATED (Spark overwrite writes new
+    unique part names), the cached landing dir must drop links to
+    deleted parts and must not replay superseded data alongside fresh
+    data (round-10 ADVICE, medium)."""
+    from master_airflow_spark.streaming.events import landing_dir_for
+
+    src = tmp_path / "regen_table"
+    gen1 = spark.range(3).withColumnRenamed("id", "v")
+    gen1.coalesce(1).write.mode("overwrite").parquet(str(src))
+    d = landing_dir_for(str(src))
+    first_links = sorted(os.listdir(d))
+    assert first_links, "landing dir should hold the gen-1 part link"
+
+    # regenerate: different row count, new unique part file names
+    gen2 = spark.range(10).withColumnRenamed("id", "v")
+    gen2.coalesce(2).write.mode("overwrite").parquet(str(src))
+    d2 = landing_dir_for(str(src))
+    assert d2 == d  # same content address (same source path)
+    links = sorted(os.listdir(d))
+    # every link resolves, targets are exactly the current source parts
+    targets = {os.readlink(os.path.join(d, n)) for n in links}
+    want = {
+        os.path.join(str(src), n)
+        for n in os.listdir(src)
+        if n.endswith(".parquet")
+    }
+    assert targets == want
+    for n in links:
+        assert os.path.exists(os.path.join(d, n)), f"dangling link {n}"
+    # and the replayed data is exactly generation 2
+    assert spark.read.parquet(d).count() == 10
