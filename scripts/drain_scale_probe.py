@@ -77,14 +77,41 @@ _ROCKSDB_PROVIDER = (
 
 def _stage_single_file(spark, k: int) -> str:
     """Replica dir with events coalesced to a single part file (one
-    trigger) and every other table symlinked from the base replica."""
+    trigger) and every other table symlinked from the base replica.
+    A cached staging is reused only while the SOURCE replica is
+    unchanged (round-10 ADVICE): a rebuilt x-replica invalidates the
+    stage via a source-mtime marker, so the single-file amortization
+    numbers never silently measure stale data."""
+    import shutil
+
     src = os.path.join(OUT_ROOT, f"x{k}")
     dst = os.path.join(STAGE_ROOT, f"x{k}")
+    src_events = os.path.join(src, "events.parquet")
+    # Source identity = sorted (name, mtime_ns, size) of the events
+    # parts; other tables are symlinked (always follow the source).
+    parts = []
+    if os.path.isdir(src_events):
+        for name in sorted(os.listdir(src_events)):
+            if name.endswith(".parquet"):
+                st = os.stat(os.path.join(src_events, name))
+                parts.append((name, st.st_mtime_ns, st.st_size))
+    elif os.path.exists(src_events):
+        st = os.stat(src_events)
+        parts.append(("events.parquet", st.st_mtime_ns, st.st_size))
+    marker = os.path.join(dst, ".source_id")
+    source_id = repr(parts)
     if os.path.isdir(dst):
-        return dst
+        try:
+            if open(marker).read() == source_id:
+                return dst
+        except OSError:
+            pass
+        shutil.rmtree(dst)  # stale or unmarked: restage from scratch
     from master_airflow_spark.catalog import TABLES, load_table
 
     os.makedirs(dst, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write(source_id)
     load_table(spark, src, "events").coalesce(1).write.mode("overwrite").parquet(
         os.path.join(dst, "events.parquet")
     )
