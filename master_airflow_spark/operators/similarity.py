@@ -266,8 +266,19 @@ def _broadcast_queries(spark: SparkSession, q_df: DataFrame):
 
 # -- LSH-bucketed ANN (scale path) ------------------------------------------
 
-N_PLANES = 4  # bits per table (16 buckets/table)
-N_TABLES = 8  # candidate = same bucket in ANY table
+# Index strength (round-11 retune, driven by the measured corpus): the
+# synthetic embeddings are near-isotropic — true top-5 neighbors sit at
+# cosine ≈ 0.27-0.44 while random pairs sit at 0 ± 0.12 — so per-table
+# collision probability for a true neighbor (p = 1-θ/π ≈ 0.61 at
+# cosine 0.35) barely beats random (0.5). More, narrower tables buy
+# recall without widening the candidate set: 6 planes × 40 tables
+# measures recall@5 = 0.88 at sf0.01 / 0.94 at sf0.1 (vs 0.82 / 0.705
+# under the old 4×8) at a near-identical candidate fraction (0.47 vs
+# 0.41 of the corpus). Banding cost is a numpy matmul (dim × T·P), and
+# the oracle replays the same planes, so both engines pay the same
+# index build.
+N_PLANES = 6  # bits per table (64 buckets/table)
+N_TABLES = 40  # candidate = same bucket in ANY table
 
 
 def _hyperplane(dim: int, table: int, plane: int) -> list[float]:
@@ -483,7 +494,15 @@ def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CELLS = 16
 KMEANS_ITERS = 3
-N_PROBE = 2
+# Probe width (round-11 retune): on the near-isotropic synthetic
+# embeddings the coarse cells carry weak signal — recall tracks the
+# probed corpus fraction (measured at sf0.01: n_probe 2/3/4/6/8 →
+# recall@5 0.42/0.52/0.56/0.74/0.82). 6 of 16 cells (37.5% of the
+# corpus) lands recall ≈ 0.74, about 2× better than a random scan of
+# the same fraction — the honest ceiling for IVF on clusterless data;
+# real embedding corpora (which cluster) probe far fewer cells for the
+# same recall. The LSH index (above) is the stronger ANN path here.
+N_PROBE = 6
 IVF_SAMPLE = 4096  # k-means training sample cap — bounds driver memory
 
 
@@ -857,7 +876,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ND_LSH_PLANES = 16  # bits per band table (2^16 buckets)
 ND_LSH_TABLES = 40
-_ND_LSH_NS = 1000  # hyperplane namespace offset (disjoint from ANN's tables 0..7)
+_ND_LSH_NS = 1000  # hyperplane namespace offset (disjoint from the ANN tables)
 
 
 def _nd_hyperplanes(dim: int) -> "np.ndarray":

@@ -28,6 +28,24 @@ def test_ivf_recall(spark, sf_dir, exact_pairs):
     assert _recall(spark, sf_dir, "ivf_ann_topk", exact_pairs) >= 0.3
 
 
+def test_lsh_recall_floor_sf001(spark):
+    """Round-10 verdict #4: the LSH ANN index must hold recall@5 ≥ 0.8
+    against the exact brute-force ground truth. Deterministic
+    (hash-derived hyperplanes, total-ordered top-k), so the floor is a
+    fixed property of the (N_PLANES, N_TABLES) configuration — the
+    round-11 6×40 retune measures 0.88 at sf0.01 (and 0.94 at sf0.1)."""
+    from pyspark.sql import functions as F
+
+    sfd = "/root/testdata/sf0.01"
+    avg = (
+        REGISTRY["ann_recall_eval"]
+        .fn(spark, sfd)
+        .agg(F.avg("recall_at_k"))
+        .first()[0]
+    )
+    assert avg >= 0.8, f"lsh recall@5 regressed: {avg}"
+
+
 def test_exact_topk_is_k_per_query(spark, sf_dir):
     import collections
 
@@ -224,9 +242,10 @@ def test_ivf_recall_floor_vs_exhaustive_sf001(spark):
     approx = {
         (r.q_id, r.n_id) for r in REGISTRY["ivf_ann_topk"].fn(spark, sfd).collect()
     }
-    # measured 0.42 exactly (deterministic); floor pinned just below —
-    # a quantizer/probe regression that costs even one more hit fails.
-    assert len(exact & approx) / len(exact) >= 0.4
+    # measured 0.74 exactly under the round-11 N_PROBE=6 retune
+    # (deterministic); floor pinned just below — a quantizer/probe
+    # regression that costs even one more hit fails.
+    assert len(exact & approx) / len(exact) >= 0.7
 
 
 def test_embedding_near_dup_empty_corpus(spark, tmp_path):
