@@ -268,6 +268,55 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_distinct_error",
+    # Oracle strategy (round-10 verdict #7, the minhash_estimate_error
+    # treatment for the HLL family): the sketch ESTIMATE is
+    # engine-specific and can never hash-match, so the judged columns
+    # are the exact per-group distinct count plus a WITHIN-BOUND flag.
+    # Spark computes |approx − exact|/exact ≤ 3·rsd from its own
+    # sketch; the oracle's exact side satisfies the bound by identity
+    # (TRUE literal). If Spark's estimator ever drifts past 3σ, the
+    # flag flips and the driver's value-hash fails — a certified error
+    # bound, not just a row count.
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_3sigma
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY event_type
+""",
+    tags=("X6", "quality"),
+)
+def approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-bound audit of approx_count_distinct (HLL++, rsd=0.01):
+    per event type, the EXACT distinct-user count next to a flag
+    asserting the sketch estimate landed within 3·rsd (= 3σ = 3%) of
+    it. One pass, one shuffle: both aggregates share the groupBy. HLL
+    merge is commutative/idempotent, so the estimate — and therefore
+    the flag — is deterministic under any partition order. This is
+    the judged companion that turns the rows-only
+    ``approx_distinct_users`` into a driver-certified bounded-error
+    operator (the role minhash_estimate_error plays for the MinHash
+    index)."""
+    rsd = 0.01
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+    )
+    rel_err = (
+        F.abs(F.col("approx_users") - F.col("exact_users")).cast("double")
+        / F.col("exact_users")
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (rel_err <= F.lit(3 * rsd)).alias("within_3sigma"),
+    )
+
+
+@register(
     "rollup_sales",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,

@@ -151,6 +151,63 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_percentiles_error",
+    # Same oracle strategy as approx_distinct_error (round-10 verdict
+    # #7): sketch estimates are engine-specific, so the judged columns
+    # are the EXACT interpolated percentiles (bit-identical to DuckDB's
+    # quantile_cont — the percentiles_exact law) plus a within-bound
+    # flag Spark computes from its own sketch and the oracle satisfies
+    # by identity. A percentile_approx regression past 2% relative
+    # error flips the flag and fails the driver's value-hash.
+    oracle="""
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.50) AS p50,
+       quantile_cont(o_totalprice, 0.75) AS p75,
+       TRUE AS within_2pct
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("X6", "quality"),
+)
+def approx_percentiles_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-bound audit of percentile_approx: per order status, the
+    exact interpolated p25/p50/p75 next to a flag asserting every
+    sketch estimate landed within 2% relative of its exact
+    counterpart. Exact and approximate aggregates share one groupBy
+    pass; only exact values and the boolean cross the driver
+    boundary, so the result hash-certifies in DuckDB while the bound
+    is enforced on Spark's own sketch (the judged companion that
+    upgrades rows-only ``approx_percentiles`` to a certified
+    bounded-error operator)."""
+    from master_airflow_spark.catalog import load_table
+
+    o_ = F.col("o_totalprice")
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile(o_, F.lit(0.25)).alias("p25"),
+            F.percentile(o_, F.lit(0.50)).alias("p50"),
+            F.percentile(o_, F.lit(0.75)).alias("p75"),
+            F.percentile_approx(o_, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)).alias("ap"),
+        )
+    )
+
+    def _ok(exact, idx):
+        a = F.element_at("ap", idx).cast("double")
+        return F.abs(a - F.col(exact)) / F.abs(F.col(exact)) <= F.lit(0.02)
+
+    return agg.select(
+        "o_orderstatus",
+        "p25",
+        "p50",
+        "p75",
+        (_ok("p25", 1) & _ok("p50", 2) & _ok("p75", 3)).alias("within_2pct"),
+    )
+
+
+@register(
     "surrogate_keys",
     oracle="""
 SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS surrogate_id,
