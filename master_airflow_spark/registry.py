@@ -57,79 +57,90 @@ def register(
 
 # Exposure order for the driver contract. The driver samples the
 # FIRST 50 registry entries each round, so ordering is the lever that
-# decides which queries get externally certified. Round-10 policy (the
-# round-9 verdict's #1 item: "rotate the r10 certification window to
-# the 34 r5-stamped queries plus the [oldest] r6 stamps", and its #5
-# item adding the LSH-candidates-then-exact-verify near-dup pipeline
-# as a first-class certified query):
-# (1) slot 1: embedding_near_dup_lsh_verified — NEW this round
-#     (verdict #5), never stamped, so it leads the window.
-# (2) slots 2-35: all 34 queries whose latest stamp is r5 (the full
-#     tail the verdict enumerated: flatten_props_map …
-#     winsorized_mean_price), name order. After this window NO
-#     registry stamp predates r6 — the verdict's bar.
-# (3) slots 36-50: the first 15 of the 43 r6-stamped queries, name
-#     order; bfs_reachability_hops lands here naturally, pairing its
-#     re-certification with this round's x50 graph-kernel probe
-#     (verdict #4). The remaining 28 r6 stamps rotate in r11.
-# Changed-code note: embedding_near_dup (r9 stamp) shares
-# similarity.py with this round's probe-caching fix — it is NOT in
-# the window, so it is re-verified via testing.run_one in the commit
-# that touches it (round-9 verdict #9 protocol).
+# decides which queries get externally certified. Round-11 policy (the
+# round-10 verdict's #1/#3/#4/#7 items):
+# (1) slots 1-2: the two NEW error-bound companions for the approx
+#     family (verdict #7) — never stamped, they lead the window.
+# (2) slots 3-4: lsh_bucketed_ann + ann_recall_eval — their code
+#     changed this round (6x40 index retune, verdict #4), so their r10
+#     stamps describe the old configuration; re-certify on the new one.
+# (3) slots 5-13: all 9 streaming queries — the shipping drain default
+#     flipped to batched files-per-trigger this round (verdict #3), so
+#     their r8/r9 stamps predate the change. (At the driver's sf0.01
+#     single-file landing the batching width is moot, but the stamp
+#     must postdate the code.)
+# (4) slots 14-41: the 28 queries whose latest stamp is r6 (verdict
+#     #1, the full list it enumerated), name order. After this window
+#     NO registry stamp predates r7.
+# (5) slots 42-49: the 8 oldest r7 stamps, name order (the remaining
+#     17 r7 stamps rotate in r12).
+# (6) slot 50: png_decode_stats — NEW this round (verdict #6, the
+#     pure-stdlib PNG codec), rows-only by nature (binary pipeline);
+#     its kernel self-verifies the decode round-trip, so a green row
+#     count proves the codec ran.
+# Changed-code note: embedding_near_dup / embedding_near_dup_lsh_verified
+# (r9/r10 stamps) share similarity.py with this round's probe-cache
+# fingerprint fix — they are NOT in the window, so they are re-verified
+# via testing.run_one in the touching commit (round-9 verdict protocol),
+# as is ivf_ann_topk (rows-only; N_PROBE retune re-verified by the
+# pinned recall-floor test at 0.7).
 PRIORITY: tuple[str, ...] = (
-    # (1) new this round — LSH candidates -> exact cosine verify.
-    "embedding_near_dup_lsh_verified",
-    # (2) the 34 r5-stamped queries, name order.
-    "flatten_props_map",
-    "full_outer_nation_presence",
-    "hash_sample_10pct",
-    "hll_sketch_users",
-    "incremental_minhash_dedup",
-    "inverted_index_postings",
-    "json_document",
-    "json_functions",
-    "last_touch_attribution",
+    # (1) new this round — certified error bounds for approx sketches.
+    "approx_distinct_error",
+    "approx_percentiles_error",
+    # (2) changed-code ANN re-certs (6-plane x 40-table retune).
     "lsh_bucketed_ann",
-    "mad_robust_outliers",
-    "map_from_json",
-    "merge_changes_classify",
-    "multi_touch_window_count",
-    "multimodal_meta",
-    "nation_revenue_trend",
-    "pagerank_trade_graph",
-    "pii_redact",
-    "prefix_containment_pairs",
-    "profile_columns",
-    "right_join_parts_lineitems",
-    "sentence_segmentation",
-    "sequence_packing",
-    "shipping_latency_percentiles",
-    "skew_key_profile",
-    "source_token_divergence",
-    "string_functions",
-    "token_budget_mix",
-    "token_simpson_diversity",
-    "top1_price_lexicographic",
-    "twap_user_value",
-    "weekly_revenue_wow",
-    "winnowing_shared_pairs",
-    "winsorized_mean_price",
-    # (3) the 15 oldest r6 stamps, name order.
-    "agg_collect_arrays",
-    "asof_join_events_orders",
-    "bfs_reachability_hops",
-    "boilerplate_shingle_ratio",
-    "bounded_split",
-    "cast_string_price",
-    "conditional_aggregates",
-    "correlated_exists_urgent",
-    "daily_high_low",
-    "date_range_filter",
-    "doc_chunks",
-    "doc_fingerprint",
-    "dup_span_cut",
-    "dup_span_extract",
-    "embedding_centroids",
+    "ann_recall_eval",
+    # (3) the 9 streaming queries under the batched-drain default.
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_window",
+    "stream_ewma_per_user",
+    "stream_dedup_watermark",
+    "stream_interval_join",
+    "stream_static_enrich",
+    "stream_unique_users_rollup",
+    "stream_topk_users",
+    # (4) the 28 r6-stamped queries, name order.
+    "heavy_hitters_mg_verified",
+    "html_scrape_pipeline",
+    "jaccard_block_pairs",
+    "lang_id_heuristic",
+    "membership_filter",
+    "minhash_estimate_error",
+    "multikey_sort_nulls",
+    "ngram_contamination",
+    "ngram_jaccard_pairs",
+    "normalize_whitespace",
+    "orders_in_trailing_30d",
+    "pandas_udaf_median",
+    "pandas_udf_scalar",
+    "percentiles_exact",
+    "quality_logit_score",
+    "rank_orders_window",
+    "running_totals",
+    "scalar_subquery_above_avg",
+    "scd2_history_build",
+    "sessionize_events",
+    "text_quality",
+    "text_stats",
+    "token_count_bpe",
+    "top_bigram_repetition",
+    "training_corpus_pipeline",
+    "triangle_count_cosuppliers",
+    "unpivot_lineitem_measures",
+    "zorder_layout_keys",
+    # (5) the 8 oldest r7 stamps, name order.
+    "approx_distinct_users",
+    "approx_percentiles",
+    "array_functions",
+    "bloom_incremental_dedup",
+    "bloom_join_prune",
+    "collapse_repeated_tokens",
+    "daily_revenue_gap_filled",
+    "dataset_mix_sample",
+    # (6) the new PNG-codec query (rows-only, self-verifying kernel).
+    "png_decode_stats",
 )
 
 
