@@ -69,8 +69,13 @@ def test_decode_ppm_errors():
 
 def test_decode_image_dispatch():
     assert decode_image(_ppm(2, 2))[:2] == (2, 2)
-    with pytest.raises(NotImplementedError):
+    # PNG decodes natively since round 11 — a malformed PNG is a
+    # ValueError (parse failure), not a stub
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+    # formats with no stdlib codec stay loud stubs (JPEG magic)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0....")
 
 
 def test_ppm_dims_distributed(spark):
