@@ -203,7 +203,28 @@ def main() -> None:
         "metadata structs, `mapInPandas` Arrow batch shapes, partitioning, and",
         "schema contracts are all tested end-to-end. Wiring a real codec in is",
         "a one-function change at the marked `NotImplementedError` sites;",
-        "nothing in the plan layer would move.",
+        "nothing in the plan layer would move. Since round 11 the boundary",
+        "is narrower: 8-bit PNG decodes natively (pure-stdlib zlib codec,",
+        "all five scanline filters — `png_decode_stats` self-verifies the",
+        "round-trip inside its kernel), leaving only JPEG/audio/video on",
+        "the loud-stub side.",
+        "",
+        "## Approximation caveats (expected-behavior triage notes)",
+        "",
+        "- `embedding_near_dup_lsh_verified` is certified against the exact",
+        "  N² oracle; candidate recall carries a documented ~8e-4 per-pair",
+        "  miss bound for pairs exactly AT the 0.95 cosine edge (registration",
+        "  comment, `operators/similarity.py`). A few-pair mismatch on a",
+        "  future edge-dense corpus is the approximation bound at work, not a",
+        "  regression — check the missing pairs' cosines against 0.95 first.",
+        "- `approx_distinct_error` / `approx_percentiles_error` hash-certify",
+        "  EXACT values plus a within-bound flag computed from Spark's own",
+        "  sketch (3·rsd for HLL, 2% relative for percentile_approx): an",
+        "  estimator drifting past its bound flips the flag and fails the",
+        "  driver's value-hash.",
+        "- `lsh_bucketed_ann` recall@5 is pinned ≥ 0.8 at sf0.01",
+        "  (deterministic; measured 0.88, and 0.94 at sf0.1 under the",
+        "  round-11 6-plane × 40-table index).",
         "",
     ]
     with open("COVERAGE.md", "w") as f:
