@@ -604,3 +604,73 @@ def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
         ).select(F.lit("__all__").alias("event_type"), "est_users")
     )
+
+
+@register(
+    "hll_sketch_error",
+    # Same oracle strategy as approx_distinct_error (the round-10
+    # verdict's "missing #3": the DataSketches HLL family had no
+    # error-bound certification): judged columns are the EXACT distinct
+    # counts — per type AND the global rollup, the re-aggregatable path
+    # hll_sketch_users exists for — plus a within-bound flag computed
+    # from Spark's own sketch estimates; the oracle's exact side
+    # satisfies the bound by identity. Estimator drift past 3σ flips
+    # the flag and fails the driver's value-hash.
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS within_3sigma
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__all__' AS event_type, count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_3sigma
+FROM events
+""",
+    tags=("X6", "quality"),
+)
+def hll_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-bound audit of the DataSketches HLL path (hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate): exact distinct users per
+    event type and for the unioned global sketch, each with a flag
+    asserting the sketch estimate landed within 3σ (σ ≈ 1.04/√2^12 ≈
+    1.6% at the default lgConfigK=12 → bound 5%). Covers the UNION
+    path specifically — the re-aggregatable capability the one-shot
+    approx_count_distinct lacks — so a register-merge regression is
+    caught, not just a single-sketch one. Exact and sketch aggregates
+    share the per-type groupBy pass; the global row folds per-type
+    exact-distinct sets and sketches in one more exchange."""
+    bound = 0.05
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_agg("user_id").alias("sk"),
+    )
+    # global: exact distinct over the whole table + union of sketches.
+    # (countDistinct over the union of per-type sets ≠ sum of per-type
+    # counts — one user spans types — so fold from the base table.)
+    g_exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    g_est = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    )
+
+    def flagged(df):
+        rel = (
+            F.abs(F.col("est_users") - F.col("exact_users")).cast("double")
+            / F.col("exact_users")
+        )
+        ok = ((F.col("exact_users") == 0) & (F.col("est_users") == 0)) | (
+            rel <= F.lit(bound)
+        )
+        return df.select("event_type", "exact_users", ok.alias("within_3sigma"))
+
+    per = flagged(
+        per_type.select(
+            "event_type",
+            "exact_users",
+            F.hll_sketch_estimate("sk").alias("est_users"),
+        )
+    )
+    glob = flagged(
+        g_exact.crossJoin(g_est).select(
+            F.lit("__all__").alias("event_type"), "exact_users", "est_users"
+        )
+    )
+    return per.unionByName(glob)

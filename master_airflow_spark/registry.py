@@ -59,8 +59,9 @@ def register(
 # FIRST 50 registry entries each round, so ordering is the lever that
 # decides which queries get externally certified. Round-11 policy (the
 # round-10 verdict's #1/#3/#4/#7 items):
-# (1) slots 1-2: the two NEW error-bound companions for the approx
-#     family (verdict #7) — never stamped, they lead the window.
+# (1) slots 1-3: the three NEW error-bound companions for the approx
+#     family (verdict #7 + "missing #3": the DataSketches HLL union
+#     path) — never stamped, they lead the window.
 # (2) slots 3-4: lsh_bucketed_ann + ann_recall_eval — their code
 #     changed this round (6x40 index retune, verdict #4), so their r10
 #     stamps describe the old configuration; re-certify on the new one.
@@ -72,8 +73,8 @@ def register(
 # (4) slots 14-41: the 28 queries whose latest stamp is r6 (verdict
 #     #1, the full list it enumerated), name order. After this window
 #     NO registry stamp predates r7.
-# (5) slots 42-49: the 8 oldest r7 stamps, name order (the remaining
-#     17 r7 stamps rotate in r12).
+# (5) slots 43-49: the 7 oldest r7 stamps, name order (the remaining
+#     18 r7 stamps rotate in r12, dataset_mix_sample onward).
 # (6) slot 50: png_decode_stats — NEW this round (verdict #6, the
 #     pure-stdlib PNG codec), rows-only by nature (binary pipeline);
 #     its kernel self-verifies the decode round-trip, so a green row
@@ -88,6 +89,7 @@ PRIORITY: tuple[str, ...] = (
     # (1) new this round — certified error bounds for approx sketches.
     "approx_distinct_error",
     "approx_percentiles_error",
+    "hll_sketch_error",
     # (2) changed-code ANN re-certs (6-plane x 40-table retune).
     "lsh_bucketed_ann",
     "ann_recall_eval",
@@ -130,7 +132,7 @@ PRIORITY: tuple[str, ...] = (
     "triangle_count_cosuppliers",
     "unpivot_lineitem_measures",
     "zorder_layout_keys",
-    # (5) the 8 oldest r7 stamps, name order.
+    # (5) the 7 oldest r7 stamps, name order.
     "approx_distinct_users",
     "approx_percentiles",
     "array_functions",
@@ -138,7 +140,6 @@ PRIORITY: tuple[str, ...] = (
     "bloom_join_prune",
     "collapse_repeated_tokens",
     "daily_revenue_gap_filled",
-    "dataset_mix_sample",
     # (6) the new PNG-codec query (rows-only, self-verifying kernel).
     "png_decode_stats",
 )
