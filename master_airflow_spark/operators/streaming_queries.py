@@ -36,6 +36,37 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_bytes(sf_dir: str) -> int:
+    """Driver-side (os.stat, no Spark job) byte size of the events
+    table — the cheap signal the size-adaptive state-partition picks
+    key on."""
+    p = os.path.join(sf_dir, "events.parquet")
+    try:
+        if os.path.isdir(p):
+            return sum(
+                os.stat(os.path.join(p, n)).st_size
+                for n in os.listdir(p)
+                if n.endswith(".parquet")
+            )
+        return os.stat(p).st_size
+    except OSError:
+        return 0
+
+
+def _session_state_partitions(sf_dir: str) -> int:
+    """Size-adaptive state-partition count for the session drain.
+    Session state is per-SESSION (≈ per event on sparse data), so the
+    addBatch fold is the dominant trigger cost and parallelism pays —
+    but each partition also writes its own state-store delta/commit
+    files per trigger, so small drains want few partitions. Measured
+    sweet spots: 8 at sf0.1 (2MB events; 4/8/16 → 0.91/0.82/0.92s
+    per trigger) and 16 at the x50 replica (78MB; 8/16/32 → trigger
+    medians 13.2/9.1/14.1s — round-11 sweep). Threshold at 16MB,
+    between the two regimes; a long-lived cluster deployment sizes to
+    key cardinality instead (see run_to_memory)."""
+    return 16 if _events_bytes(sf_dir) > (16 << 20) else 8
+
+
 @register(
     "stream_tumbling_agg",
     oracle=f"""
@@ -136,9 +167,14 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 gives 1.50/1.20/1.05/1.17/1.56s. Round 7: the
     sessionsInLocalPartition local merge (session.py) cuts the
     per-trigger cost a further ~17% (0.99→0.82s at 8 partitions;
-    re-sweep 4/8/16 = 0.91/0.82/0.92s, 8 still the sweet spot)."""
+    re-sweep 4/8/16 = 0.91/0.82/0.92s, 8 still the sweet spot).
+    Round 11: the partition count adapts to input size — 8 at bench
+    SF, 16 above 16MB of events (the x50 sweep put 16 ~30% ahead of
+    8 there; see _session_state_partitions)."""
     return run_to_memory(
-        session_agg(_events_stream(spark, sf_dir)), "complete", state_partitions=8
+        session_agg(_events_stream(spark, sf_dir)),
+        "complete",
+        state_partitions=_session_state_partitions(sf_dir),
     )
 
 
