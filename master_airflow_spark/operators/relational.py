@@ -618,11 +618,11 @@ def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the flag and fails the driver's value-hash.
     oracle="""
 SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS within_3sigma
-FROM events GROUP BY event_type
+FROM events WHERE user_id IS NOT NULL GROUP BY event_type
 UNION ALL
 SELECT '__all__' AS event_type, count(DISTINCT user_id) AS exact_users,
        TRUE AS within_3sigma
-FROM events
+FROM events WHERE user_id IS NOT NULL
 """,
     tags=("X6", "quality"),
 )
@@ -634,19 +634,40 @@ def hll_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.6% at the default lgConfigK=12 → bound 5%). Covers the UNION
     path specifically — the re-aggregatable capability the one-shot
     approx_count_distinct lacks — so a register-merge regression is
-    caught, not just a single-sketch one. Exact and sketch aggregates
-    share the per-type groupBy pass; the global row folds per-type
-    exact-distinct sets and sketches in one more exchange."""
+    caught, not just a single-sketch one. One corpus scan: HLL
+    insertion is duplicate-insensitive (registers max-merge), so every
+    output — per-type exact count, per-type sketch, global exact,
+    unioned global sketch — derives from ONE distinct
+    (event_type, user_id) pre-aggregation (map-side combinable; at
+    100 TB the second full scan a naive exact-global would pay is the
+    dominant cost, and the pair set is orders smaller than raw
+    events)."""
     bound = 0.05
-    e = load_table(spark, sf_dir, "events")
-    per_type = e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users"),
+    # NULL user_id is excluded up front (both engines' DISTINCT
+    # semantics skip NULL, and hll_sketch_agg ignores it — the filter
+    # keeps the pair-count == count(DISTINCT) identity exact; the
+    # oracle filters identically, so a window containing only
+    # NULL-user events can't diverge the group sets).
+    from master_airflow_spark.registry import track_cache
+
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    # Persisted because THREE consumers fold it (per-type agg, global
+    # exact, global sketch union) and Catalyst/AQE only reuses some of
+    # the exchanges (measured: 1 ReusedExchange, still >1 scan). The
+    # pair set is |types|x|users| rows — orders smaller than events —
+    # so caching it is the cheap side of the trade at any scale;
+    # correctness never depends on the persist (registry contract).
+    pairs = track_cache(
+        e.groupBy("event_type", "user_id").agg(F.lit(1).alias("one"))
+    )
+    per_type = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_users"),  # pair rows are distinct
         F.hll_sketch_agg("user_id").alias("sk"),
     )
-    # global: exact distinct over the whole table + union of sketches.
-    # (countDistinct over the union of per-type sets ≠ sum of per-type
-    # counts — one user spans types — so fold from the base table.)
-    g_exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    # global: exact distinct + sketch union fold from the SAME pair set
+    # (count of per-type rows would double-count users spanning types;
+    # distinct user_id over the pairs does not).
+    g_exact = pairs.agg(F.countDistinct("user_id").alias("exact_users"))
     g_est = per_type.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
     )
