@@ -39,6 +39,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def parquet_part_stats(path: str) -> list[tuple[str, int, int]]:
+    """Driver-side (os.stat, no Spark job) identity of a parquet table
+    at ``path`` — a single file or a directory of part files — as
+    sorted (name, mtime_ns, size) tuples. Empty list if the path is
+    missing. The ONE walker behind every cheap table fingerprint in
+    the repo (near-dup probe cache invalidation, size-adaptive state
+    partitioning, scale-probe staging markers), so a future change —
+    nested partition dirs, atomicity markers — lands once."""
+    try:
+        if os.path.isdir(path):
+            out = []
+            for name in sorted(os.listdir(path)):
+                if name.endswith(".parquet"):
+                    st = os.stat(os.path.join(path, name))
+                    out.append((name, st.st_mtime_ns, st.st_size))
+            return out
+        st = os.stat(path)
+        return [(os.path.basename(path), st.st_mtime_ns, st.st_size)]
+    except OSError:
+        return []
+
+
 def ensure_session_defaults(spark: SparkSession) -> None:
     """Set the runtime-settable confs the engine's semantics depend on.
 

@@ -484,9 +484,11 @@ def ppm_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("png_decode_stats", oracle=None, tags=("multimodal", "X27"))
 def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-codec decode over binary payloads (round-10 verdict
-    #6): synthesize an 8-bit RGB PNG per document (6x4 pixels from an
-    md5 byte stream, scanlines cycling through ALL FIVE PNG filter
-    types so the zlib decode path is non-trivial), then decode it with
+    #6): synthesize an 8-bit RGB PNG per document (6x5 pixels from an
+    md5 byte stream — FIVE scanlines so filters=[0,1,2,3,4] really
+    encodes one row under EACH PNG filter type, Paeth included
+    (round-11 review fix: a 4-row image silently skipped filter 4) —
+    making the zlib decode path non-trivial), then decode it with
     the pure-stdlib PNG decoder inside an Arrow-batched mapInPandas
     kernel — dims, mean pixel luminance (x1000, integer — exact), and
     an md5 of the recovered RGB bytes. Rows-only (binary codec
@@ -501,17 +503,17 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed = text.encode("utf-8")
         out = b""
         counter = 0
-        while len(out) < 72:  # 6x4 RGB
+        while len(out) < 90:  # 6x5 RGB — 5 rows, one per filter type
             out += hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
             counter += 1
-        return out[:72]
+        return out[:90]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 rgb = synth_rgb(text)
-                png = encode_png(6, 4, rgb, filters=[0, 1, 2, 3, 4])
+                png = encode_png(6, 5, rgb, filters=[0, 1, 2, 3, 4])
                 w, h, back = decode_png(png)
                 if back != rgb:  # self-verifying round-trip, fails loud
                     raise ValueError(f"PNG round-trip mismatch for doc {doc_id}")

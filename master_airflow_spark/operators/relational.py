@@ -673,11 +673,16 @@ def hll_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def flagged(df):
-        rel = (
-            F.abs(F.col("est_users") - F.col("exact_users")).cast("double")
-            / F.col("exact_users")
+        # est is NULL-coalesced: hll_union_agg over ZERO sketches (an
+        # empty or all-NULL-user table) estimates NULL, and the oracle's
+        # exact side still emits ('__all__', 0, TRUE) — the zero case
+        # must short-circuit the division, not NULL-propagate through
+        # it (round-11 review fix; the previous guard was dead).
+        est = F.coalesce(F.col("est_users"), F.lit(0))
+        rel = F.abs(est - F.col("exact_users")).cast("double") / F.col(
+            "exact_users"
         )
-        ok = ((F.col("exact_users") == 0) & (F.col("est_users") == 0)) | (
+        ok = F.when(F.col("exact_users") == 0, est == F.lit(0)).otherwise(
             rel <= F.lit(bound)
         )
         return df.select("event_type", "exact_users", ok.alias("within_3sigma"))

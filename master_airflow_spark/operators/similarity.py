@@ -35,37 +35,27 @@ NEAR_DUP_BLOCKS = 8  # block count for the all-pairs self-join
 # the x50 replica (100k rows) already exceeds it, so the scale probe
 # exercises the blocked plan while the bench SF runs broadcast.
 NEAR_DUP_BROADCAST_MAX_BYTES = 32 << 20
-# (row count, dim) probe results keyed by (sf_dir, corpus fingerprint)
-# — the probe is two driver-blocking jobs, so repeated invocations on
-# the same corpus (bench reps, certification loops) reuse the first
+# sf_dir -> (corpus fingerprint, row count, dim) probe results — the
+# probe is two driver-blocking jobs, so repeated invocations on the
+# same corpus (bench reps, certification loops) reuse the first
 # answer. dim may be None (never probed because the count already
-# ruled broadcasting out). The fingerprint (embeddings parquet
-# mtime/size, computed driver-side from os.stat — no Spark job) keys
-# out regenerated corpora at a stable path (round-10 ADVICE): a
-# replaced /tmp replica invalidates the entry instead of steering a
-# now-too-large corpus onto the driver-collect broadcast plan.
-_NEAR_DUP_PROBE_CACHE: dict[tuple[str, tuple], tuple[int, int | None]] = {}
+# ruled broadcasting out). The fingerprint (embeddings parquet part
+# stats, computed driver-side from os.stat — no Spark job) keys out
+# regenerated corpora at a stable path (round-10 ADVICE): a replaced
+# /tmp replica REPLACES the entry — bounded dict, one entry per
+# sf_dir — instead of steering a now-too-large corpus onto the
+# driver-collect broadcast plan.
+_NEAR_DUP_PROBE_CACHE: dict[str, tuple[tuple, int, int | None]] = {}
 
 
 def _corpus_fingerprint(sf_dir: str) -> tuple:
-    """Cheap (no-Spark) identity of the embeddings table under sf_dir:
-    (mtime_ns, size) of the parquet file, or the sorted per-part
-    (name, mtime_ns, size) tuples for a directory table."""
+    """Cheap (no-Spark) identity of the embeddings table under sf_dir
+    (catalog.parquet_part_stats — the shared walker)."""
     import os
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        if os.path.isdir(path):
-            out = []
-            for name in sorted(os.listdir(path)):
-                if name.endswith(".parquet"):
-                    st = os.stat(os.path.join(path, name))
-                    out.append((name, st.st_mtime_ns, st.st_size))
-            return tuple(out)
-        st = os.stat(path)
-        return (st.st_mtime_ns, st.st_size)
-    except OSError:
-        return ("missing",)
+    from master_airflow_spark.catalog import parquet_part_stats
+
+    return tuple(parquet_part_stats(os.path.join(sf_dir, "embeddings.parquet")))
 
 
 DIM = 64  # embedding dimensionality of the driver tables
@@ -732,18 +722,19 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # just to learn one integer). The (n, dim) result is cached per
     # sf_dir (r9 ADVICE): repeated invocations — the bench sampling
     # loop, the certification loop — skip both driver-blocking jobs.
-    cache_key = (sf_dir, _corpus_fingerprint(sf_dir))
-    n, dim = _NEAR_DUP_PROBE_CACHE.get(cache_key, (None, None))
+    fp = _corpus_fingerprint(sf_dir)
+    cached = _NEAR_DUP_PROBE_CACHE.get(sf_dir)
+    n, dim = (cached[1], cached[2]) if cached and cached[0] == fp else (None, None)
     if n is None:
         n = e.count()
-        _NEAR_DUP_PROBE_CACHE[cache_key] = (n, dim)
+        _NEAR_DUP_PROBE_CACHE[sf_dir] = (fp, n, dim)
     if dim is None and n and n * 8 <= NEAR_DUP_BROADCAST_MAX_BYTES:
         # dim is probed (and cached) only when the row count leaves
         # broadcasting in play under the CURRENT threshold, so a call
         # under a tighter threshold never caches a misleading dim=0.
         first = e.select("embedding").first()
         dim = len(first[0]) if first is not None and first[0] is not None else 0
-        _NEAR_DUP_PROBE_CACHE[cache_key] = (n, dim)
+        _NEAR_DUP_PROBE_CACHE[sf_dir] = (fp, n, dim)
     dim = dim or 0
     if n and dim and n * dim * 8 <= NEAR_DUP_BROADCAST_MAX_BYTES:
         rows = e.select("vec_id", "embedding").collect()

@@ -39,18 +39,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _events_bytes(sf_dir: str) -> int:
     """Driver-side (os.stat, no Spark job) byte size of the events
     table — the cheap signal the size-adaptive state-partition picks
-    key on."""
-    p = os.path.join(sf_dir, "events.parquet")
-    try:
-        if os.path.isdir(p):
-            return sum(
-                os.stat(os.path.join(p, n)).st_size
-                for n in os.listdir(p)
-                if n.endswith(".parquet")
-            )
-        return os.stat(p).st_size
-    except OSError:
-        return 0
+    key on (catalog.parquet_part_stats — the shared walker)."""
+    from master_airflow_spark.catalog import parquet_part_stats
+
+    return sum(
+        size
+        for _, _, size in parquet_part_stats(os.path.join(sf_dir, "events.parquet"))
+    )
 
 
 def _session_state_partitions(sf_dir: str) -> int:

@@ -62,15 +62,15 @@ def register(
 # (1) slots 1-3: the three NEW error-bound companions for the approx
 #     family (verdict #7 + "missing #3": the DataSketches HLL union
 #     path) — never stamped, they lead the window.
-# (2) slots 3-4: lsh_bucketed_ann + ann_recall_eval — their code
+# (2) slots 4-5: lsh_bucketed_ann + ann_recall_eval — their code
 #     changed this round (6x40 index retune, verdict #4), so their r10
 #     stamps describe the old configuration; re-certify on the new one.
-# (3) slots 5-13: all 9 streaming queries — the shipping drain default
+# (3) slots 6-14: all 9 streaming queries — the shipping drain default
 #     flipped to batched files-per-trigger this round (verdict #3), so
 #     their r8/r9 stamps predate the change. (At the driver's sf0.01
 #     single-file landing the batching width is moot, but the stamp
 #     must postdate the code.)
-# (4) slots 14-41: the 28 queries whose latest stamp is r6 (verdict
+# (4) slots 15-42: the 28 queries whose latest stamp is r6 (verdict
 #     #1, the full list it enumerated), name order. After this window
 #     NO registry stamp predates r7.
 # (5) slots 43-49: the 7 oldest r7 stamps, name order (the remaining

@@ -60,15 +60,23 @@ VIEWS = ("stream_tumbling_agg", "stream_session_window")
 FACTORS = [int(x) for x in os.environ.get("DRAIN_FACTORS", "1 10 50").split()]
 OUT_ROOT = "/tmp/mas_scale"
 ROCKSDB = os.environ.get("DRAIN_ROCKSDB") == "1"
-# DRAIN_SINGLE_FILE=1: stage each replica's events as ONE parquet file
-# so every scale runs exactly ONE AvailableNow trigger. The default
-# replica layout has one part file per copy (x50 = 50 files = 50
-# micro-batches under maxFilesPerTrigger=1), so the default run
-# measures the multi-file ARRIVAL shape — per-trigger floor × file
-# count — while the single-file control isolates the amortization
-# claim proper: fixed trigger count, per-trigger work growing with
-# rows. Both shapes belong in SCALE.md.
+# Shapes (round-11 update — the engine's SHIPPING default now batches
+# every available file into one AvailableNow trigger, so the probe's
+# plain run measures THAT, no longer the one-file-per-trigger arrival
+# shape round 10 recorded):
+#   default run            — shipping config: replicas keep one part
+#                            file per copy, but the drain reads them
+#                            all in one trigger (SCALE.md §round-11).
+#   DRAIN_SINGLE_FILE=1    — control: events coalesced to ONE file, so
+#                            the single-trigger claim is isolated from
+#                            multi-file scan parallelism.
+#   DRAIN_ONE_FILE_PER_TRIGGER=1 — reproduces the round-10 arrival
+#                            shape (50 files = 50 micro-batches) by
+#                            exporting SPARK_GRAFT_MAX_FILES_PER_
+#                            TRIGGER=1 for the run.
 SINGLE_FILE = os.environ.get("DRAIN_SINGLE_FILE") == "1"
+if os.environ.get("DRAIN_ONE_FILE_PER_TRIGGER") == "1":
+    os.environ["SPARK_GRAFT_MAX_FILES_PER_TRIGGER"] = "1"
 STAGE_ROOT = "/tmp/mas_scale_drain1"
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -84,34 +92,23 @@ def _stage_single_file(spark, k: int) -> str:
     numbers never silently measure stale data."""
     import shutil
 
+    from master_airflow_spark.catalog import TABLES, load_table, parquet_part_stats
+
     src = os.path.join(OUT_ROOT, f"x{k}")
     dst = os.path.join(STAGE_ROOT, f"x{k}")
-    src_events = os.path.join(src, "events.parquet")
-    # Source identity = sorted (name, mtime_ns, size) of the events
-    # parts; other tables are symlinked (always follow the source).
-    parts = []
-    if os.path.isdir(src_events):
-        for name in sorted(os.listdir(src_events)):
-            if name.endswith(".parquet"):
-                st = os.stat(os.path.join(src_events, name))
-                parts.append((name, st.st_mtime_ns, st.st_size))
-    elif os.path.exists(src_events):
-        st = os.stat(src_events)
-        parts.append(("events.parquet", st.st_mtime_ns, st.st_size))
+    # Source identity = the shared part-stat walker over the events
+    # table; other tables are symlinked (always follow the source).
     marker = os.path.join(dst, ".source_id")
-    source_id = repr(parts)
+    source_id = repr(parquet_part_stats(os.path.join(src, "events.parquet")))
     if os.path.isdir(dst):
         try:
             if open(marker).read() == source_id:
                 return dst
         except OSError:
             pass
-        shutil.rmtree(dst)  # stale or unmarked: restage from scratch
-    from master_airflow_spark.catalog import TABLES, load_table
+        shutil.rmtree(dst)  # stale, unmarked, or interrupted: restage
 
     os.makedirs(dst, exist_ok=True)
-    with open(marker, "w") as fh:
-        fh.write(source_id)
     load_table(spark, src, "events").coalesce(1).write.mode("overwrite").parquet(
         os.path.join(dst, "events.parquet")
     )
@@ -121,6 +118,11 @@ def _stage_single_file(spark, k: int) -> str:
         os.symlink(
             os.path.join(src, f"{t}.parquet"), os.path.join(dst, f"{t}.parquet")
         )
+    # Marker is written LAST: an interrupted staging (no marker, or a
+    # marker from a previous generation) is restaged from scratch on
+    # the next run instead of being silently reused half-built.
+    with open(marker, "w") as fh:
+        fh.write(source_id)
     return dst
 
 

@@ -134,9 +134,22 @@ def test_png_roundtrip_every_filter_type():
         w, h, back = decode_png(png)
         assert (w, h) == (6, 4)
         assert back == rgb, f"filter {f} failed to round-trip"
-    # mixed filters across rows (the shape png_decode_stats uses)
-    png = encode_png(6, 4, rgb, filters=[0, 1, 2, 3, 4])
-    assert decode_png(png) == (6, 4, rgb)
+    # mixed filters across rows (the shape png_decode_stats uses): a
+    # FIVE-row image so every filter type encodes exactly one row —
+    # and verify the encoder actually wrote [0,1,2,3,4] filter bytes
+    rgb5 = bytes((i * 53 + 7) % 256 for i in range(6 * 5 * 3))
+    png = encode_png(6, 5, rgb5, filters=[0, 1, 2, 3, 4])
+    assert decode_png(png) == (6, 5, rgb5)
+    import struct, zlib
+    pos, idat = 8, b""
+    while pos + 8 <= len(png):
+        ln, ct = struct.unpack_from(">I4s", png, pos)
+        if ct == b"IDAT":
+            idat += png[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = 6 * 3
+    assert [raw[r * (stride + 1)] for r in range(5)] == [0, 1, 2, 3, 4]
 
 
 def test_png_known_bytes_fixture():
@@ -243,7 +256,7 @@ def test_png_decode_stats_query(spark, sf_dir):
     rows = df.collect()
     assert len(rows) > 0
     for r in rows[:5]:
-        assert (r.width, r.height) == (6, 4)
+        assert (r.width, r.height) == (6, 5)
         assert len(r.rgb_md5) == 32
         assert 0 <= r.mean_byte_x1000 <= 255_000
         assert r.png_bytes > 60  # header + compressed payload

@@ -234,3 +234,42 @@ def test_hll_sketch_error_bound_and_union_law(spark, sf_dir):
     assert set(est) == set(exact)
     for k, v in exact.items():
         assert abs(est[k] - v) <= max(1, 0.03 * v), (k, est[k], v)
+
+
+def test_hll_sketch_error_degenerate_tables_match_oracle(spark, tmp_path):
+    """Round-11 review fix: an EMPTY or all-NULL-user events table must
+    yield exactly the oracle's ('__all__', 0, TRUE) global row — the
+    union of zero sketches estimates NULL, which must short-circuit
+    the zero case instead of NULL-propagating through the division."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from master_airflow_spark import registry
+    from master_airflow_spark.catalog import load_table
+
+    registry._ensure_loaded()
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+
+    def stage(df, name):
+        d = tmp_path / name
+        d.mkdir()
+        df.coalesce(1).write.mode("overwrite").parquet(str(d / "tmp"))
+        for f in os.listdir(d / "tmp"):
+            if f.endswith(".parquet"):
+                shutil.copy(str(d / "tmp" / f), str(d / "events.parquet"))
+                break
+        return str(d)
+
+    for fixture in (
+        stage(ev.limit(0), "empty_events"),
+        stage(ev.limit(5).withColumn("user_id", F.lit(None).cast("bigint")),
+              "allnull_events"),
+    ):
+        rows = [
+            (r.event_type, r.exact_users, r.within_3sigma)
+            for r in registry.REGISTRY["hll_sketch_error"].fn(spark, fixture).collect()
+        ]
+        registry.release_caches()
+        assert rows == [("__all__", 0, True)], rows
