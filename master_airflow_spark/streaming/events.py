@@ -56,9 +56,13 @@ EVENTS_SCHEMA_TEMPLATE = (
     "value double, props string"
 )
 
-# events_dir -> how this runtime surfaces the parquet ts column
-# (footer-only probe, but still a Spark job worth doing once per dir).
-_TS_TYPE_CACHE: dict[str, str] = {}
+# events_dir -> (part-stat fingerprint, how this runtime surfaces the
+# parquet ts column). Footer-only probe, but still a Spark job worth
+# doing once per dir; the fingerprint keys out a REGENERATED dir whose
+# writer changed the physical ts type (same staleness class as the
+# landing-dir reconcile / near-dup probe cache — round-10 ADVICE
+# pattern, applied uniformly).
+_TS_TYPE_CACHE: dict[str, tuple[tuple, str]] = {}
 
 
 def landing_dir_for(parquet_file: str) -> str:
@@ -134,10 +138,14 @@ def read_events_stream(
     from master_airflow_spark.catalog import ensure_session_defaults
 
     ensure_session_defaults(spark)
-    ts_type = _TS_TYPE_CACHE.get(events_dir)
+    from master_airflow_spark.catalog import parquet_part_stats
+
+    fp = tuple(parquet_part_stats(events_dir))
+    cached = _TS_TYPE_CACHE.get(events_dir)
+    ts_type = cached[1] if cached and cached[0] == fp else None
     if ts_type is None:
         ts_type = dict(spark.read.parquet(events_dir).dtypes)["ts"]
-        _TS_TYPE_CACHE[events_dir] = ts_type
+        _TS_TYPE_CACHE[events_dir] = (fp, ts_type)
     if max_files is None:
         raw_env = os.environ.get("SPARK_GRAFT_MAX_FILES_PER_TRIGGER", "").strip()
         if raw_env:
