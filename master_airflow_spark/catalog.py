@@ -39,24 +39,31 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def parquet_part_stats(path: str) -> list[tuple[str, int, int]]:
+def parquet_part_stats(path: str) -> list[tuple[str, int, int, int]]:
     """Driver-side (os.stat, no Spark job) identity of a parquet table
     at ``path`` — a single file or a directory of part files — as
-    sorted (name, mtime_ns, size) tuples. Empty list if the path is
-    missing. The ONE walker behind every cheap table fingerprint in
+    sorted (name, mtime_ns, size, ino) tuples. Empty list if the path
+    is missing. The ONE walker behind every cheap table fingerprint in
     the repo (near-dup probe cache invalidation, size-adaptive state
     partitioning, scale-probe staging markers), so a future change —
-    nested partition dirs, atomicity markers — lands once."""
+    nested partition dirs, atomicity markers — lands once.
+
+    st_ino is folded in (round-11 ADVICE) so a corpus replaced by a
+    timestamp-preserving copy (cp -p / rsync -t, same names and sizes)
+    still changes the fingerprint: the copy is a new inode even when
+    mtime/size collide. Remaining blind spot: an in-place overwrite
+    that preserves the inode AND restores mtime AND lands on the same
+    byte size — outside what stat() can distinguish."""
     try:
         if os.path.isdir(path):
             out = []
             for name in sorted(os.listdir(path)):
                 if name.endswith(".parquet"):
                     st = os.stat(os.path.join(path, name))
-                    out.append((name, st.st_mtime_ns, st.st_size))
+                    out.append((name, st.st_mtime_ns, st.st_size, st.st_ino))
             return out
         st = os.stat(path)
-        return [(os.path.basename(path), st.st_mtime_ns, st.st_size)]
+        return [(os.path.basename(path), st.st_mtime_ns, st.st_size, st.st_ino)]
     except OSError:
         return []
 

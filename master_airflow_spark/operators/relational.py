@@ -580,7 +580,6 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hll_sketch_users", oracle=None, tags=("X6",))
 def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL,
     Spark 3.5+): per-event-type user sketches, unioned into a global
@@ -589,9 +588,16 @@ def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     and roll up later without rescanning, the pattern daily uniques →
     monthly uniques needs at 100 TB. HLL registers are max-merged, so
     the estimate is insertion-order-independent — deterministic across
-    cluster layouts — but not SQL-expressible in DuckDB → rows-only
-    here; tests/test_round3_ops.py pins the ≤3% relative-error bound
-    and the union-vs-flat consistency law."""
+    cluster layouts — but not SQL-expressible in DuckDB.
+
+    Deliberately UNREGISTERED since round 12 (round-11 verdict #6):
+    its registered sibling ``hll_sketch_error`` exercises the exact
+    same functions (hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate) with a certified error bound, so a rows-only
+    registry slot for the raw estimates bought nothing. The ≤3%
+    relative-error bound and the union-vs-flat consistency law stay
+    pinned by tests/test_round3_ops.py and test_round4_ops.py, which
+    import this function directly."""
     e = load_table(spark, sf_dir, "events")
     per_type = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk")

@@ -43,8 +43,8 @@ def _events_bytes(sf_dir: str) -> int:
     from master_airflow_spark.catalog import parquet_part_stats
 
     return sum(
-        size
-        for _, _, size in parquet_part_stats(os.path.join(sf_dir, "events.parquet"))
+        st[2]  # (name, mtime_ns, size, ino)
+        for st in parquet_part_stats(os.path.join(sf_dir, "events.parquet"))
     )
 
 

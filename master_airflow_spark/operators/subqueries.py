@@ -195,8 +195,14 @@ def approx_percentiles_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _ok(exact, idx):
+        # Zero-exact guard (same as hll_sketch_error): relative error
+        # is undefined at exact == 0, and 0/0 would yield NULL and
+        # flip the judged flag on a corpus where a percentile lands on
+        # zero. Degenerate case passes iff the estimate is exactly 0.
         a = F.element_at("ap", idx).cast("double")
-        return F.abs(a - F.col(exact)) / F.abs(F.col(exact)) <= F.lit(0.02)
+        return F.when(F.col(exact) == 0, a == 0).otherwise(
+            F.abs(a - F.col(exact)) / F.abs(F.col(exact)) <= F.lit(0.02)
+        )
 
     return agg.select(
         "o_orderstatus",

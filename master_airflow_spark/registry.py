@@ -57,91 +57,78 @@ def register(
 
 # Exposure order for the driver contract. The driver samples the
 # FIRST 50 registry entries each round, so ordering is the lever that
-# decides which queries get externally certified. Round-11 policy (the
-# round-10 verdict's #1/#3/#4/#7 items):
-# (1) slots 1-3: the three NEW error-bound companions for the approx
-#     family (verdict #7 + "missing #3": the DataSketches HLL union
-#     path) — never stamped, they lead the window.
-# (2) slots 4-5: lsh_bucketed_ann + ann_recall_eval — their code
-#     changed this round (6x40 index retune, verdict #4), so their r10
-#     stamps describe the old configuration; re-certify on the new one.
-# (3) slots 6-14: all 9 streaming queries — the shipping drain default
-#     flipped to batched files-per-trigger this round (verdict #3), so
-#     their r8/r9 stamps predate the change. (At the driver's sf0.01
-#     single-file landing the batching width is moot, but the stamp
-#     must postdate the code.)
-# (4) slots 15-42: the 28 queries whose latest stamp is r6 (verdict
-#     #1, the full list it enumerated), name order. After this window
-#     NO registry stamp predates r7.
-# (5) slots 43-49: the 7 oldest r7 stamps, name order (the remaining
-#     18 r7 stamps rotate in r12, dataset_mix_sample onward).
-# (6) slot 50: png_decode_stats — NEW this round (verdict #6, the
-#     pure-stdlib PNG codec), rows-only by nature (binary pipeline);
-#     its kernel self-verifies the decode round-trip, so a green row
-#     count proves the codec ran.
-# Changed-code note: embedding_near_dup / embedding_near_dup_lsh_verified
-# (r9/r10 stamps) share similarity.py with this round's probe-cache
-# fingerprint fix — they are NOT in the window, so they are re-verified
-# via testing.run_one in the touching commit (round-9 verdict protocol),
-# as is ivf_ann_topk (rows-only; N_PROBE retune re-verified by the
-# pinned recall-floor test at 0.7).
+# decides which queries get externally certified. Round-12 policy (the
+# round-11 verdict's #1 item — the stale-certification rotation):
+# (1) slots 1-18: the 18 queries whose freshest driver stamp is r7
+#     while shared backing files (operators/embeddings.py, window.py,
+#     scalarfns.py, ...) churned in r8-r11 — the verdict's exact list,
+#     name order. After this window NO stamp predates r8.
+# (2) slots 19-23: the five oldest-r8 queries the verdict named
+#     explicitly (cosine_topk, dedup_exact, exact_quantiles_sketched,
+#     minhash_near_dup, tfidf_top_terms).
+# (3) slots 24-50: the next 27 r8-stamped queries, name order. The 16
+#     remaining r8 stamps (semi_anti_customers ... zipf_quality_score)
+#     rotate in r13, after which no stamp predates r9.
+# Changed-code note (round-9 verdict protocol): queries whose code is
+# touched this round but which are NOT in the window are re-verified
+# via testing.run_one in the touching commit — this round that is
+# approx_percentiles_error (zero-exact guard, ADVICE #1) and the nine
+# stream_* queries (landing-dir symlink race fix, ADVICE #2), all
+# r11-stamped.
 PRIORITY: tuple[str, ...] = (
-    # (1) new this round — certified error bounds for approx sketches.
-    "approx_distinct_error",
-    "approx_percentiles_error",
-    "hll_sketch_error",
-    # (2) changed-code ANN re-certs (6-plane x 40-table retune).
-    "lsh_bucketed_ann",
-    "ann_recall_eval",
-    # (3) the 9 streaming queries under the batched-drain default.
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_session_window",
-    "stream_ewma_per_user",
-    "stream_dedup_watermark",
-    "stream_interval_join",
-    "stream_static_enrich",
-    "stream_unique_users_rollup",
-    "stream_topk_users",
-    # (4) the 28 r6-stamped queries, name order.
-    "heavy_hitters_mg_verified",
-    "html_scrape_pipeline",
-    "jaccard_block_pairs",
-    "lang_id_heuristic",
-    "membership_filter",
-    "minhash_estimate_error",
-    "multikey_sort_nulls",
-    "ngram_contamination",
-    "ngram_jaccard_pairs",
-    "normalize_whitespace",
-    "orders_in_trailing_30d",
-    "pandas_udaf_median",
-    "pandas_udf_scalar",
-    "percentiles_exact",
-    "quality_logit_score",
-    "rank_orders_window",
-    "running_totals",
-    "scalar_subquery_above_avg",
-    "scd2_history_build",
-    "sessionize_events",
-    "text_quality",
-    "text_stats",
-    "token_count_bpe",
-    "top_bigram_repetition",
-    "training_corpus_pipeline",
-    "triangle_count_cosuppliers",
-    "unpivot_lineitem_measures",
-    "zorder_layout_keys",
-    # (5) the 7 oldest r7 stamps, name order.
-    "approx_distinct_users",
-    "approx_percentiles",
-    "array_functions",
-    "bloom_incremental_dedup",
-    "bloom_join_prune",
-    "collapse_repeated_tokens",
-    "daily_revenue_gap_filled",
-    # (6) the new PNG-codec query (rows-only, self-verifying kernel).
-    "png_decode_stats",
+    # (1) the 18 r7-stamped queries, name order.
+    "dataset_mix_sample",
+    "embedding_normalize",
+    "embedding_quantize",
+    "event_rate_anomalies",
+    "events_rollup_grids",
+    "funnel_conversion",
+    "in_subquery_parts",
+    "math_conditional",
+    "multimodal_features",
+    "price_histogram",
+    "ratio_to_report",
+    "recursive_cte_hierarchy",
+    "rolling_hash_fingerprint",
+    "salted_hot_key_agg",
+    "term_frequencies",
+    "top1_price_alltime",
+    "top1_price_today",
+    "top_customers_per_segment",
+    # (2) verdict-named oldest-r8 stamps.
+    "cosine_topk",
+    "dedup_exact",
+    "exact_quantiles_sketched",
+    "minhash_near_dup",
+    "tfidf_top_terms",
+    # (3) the next 27 r8 stamps, name order.
+    "apply_in_pandas_scale",
+    "array_hof_suite",
+    "asof_join_tolerance",
+    "bm25_lite_ranking",
+    "cohort_retention",
+    "containment_pairs",
+    "corr_qty_price",
+    "correlated_scalar_select",
+    "csv_parse_roundtrip",
+    "cube_priority_status",
+    "event_transition_matrix",
+    "fuzzy_customer_pairs",
+    "incremental_corpus_dedup",
+    "incremental_rollup_merge",
+    "interpolate_sparse_series",
+    "ivf_ann_exhaustive",
+    "lateral_join_agg",
+    "listagg_nation_customers",
+    "multiset_set_ops",
+    "null_semantics",
+    "pivot_priority_by_status",
+    "ppm_decode_resize",
+    "q21_waiting_suppliers",
+    "range_join_price_bands",
+    "repeated_shingle_ratio",
+    "rollup_sales",
+    "scd2_purchase_history",
 )
 
 

@@ -106,7 +106,15 @@ def landing_dir_for(parquet_file: str) -> str:
     for name, target in desired.items():
         link = os.path.join(d, name)
         if not os.path.lexists(link):
-            os.symlink(target, link)
+            try:
+                os.symlink(target, link)
+            except FileExistsError:
+                # Two processes sharing a source-path-keyed landing dir
+                # can race lexists→symlink (round-11 ADVICE). The loser
+                # re-verifies the winner staged the same target — any
+                # other outcome is real corruption and must stay loud.
+                if not (os.path.islink(link) and os.readlink(link) == target):
+                    raise
     return d
 
 

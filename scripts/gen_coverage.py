@@ -150,6 +150,16 @@ def main() -> None:
         for t in spec.tags:
             by_tag[t].append(spec)
 
+    # Every registered query MUST surface in the coverage table (the
+    # round-11 verdict caught hll_sketch_error registered after the
+    # last gen_coverage run and silently absent): untagged queries and
+    # tags with no ROWS entry both fail loudly here.
+    for name, spec in registry.REGISTRY.items():
+        assert spec.tags, f"{name} has no tags — would be invisible in COVERAGE.md"
+        assert any(t in ROWS for t in spec.tags), (
+            f"{name} tags {spec.tags} have no ROWS entry — would be invisible"
+        )
+
     lines = [
         "# COVERAGE — SURVEY.md §2 operator inventory → implementation",
         "",

@@ -247,8 +247,9 @@ def test_decode_image_dispatches_png():
 
 def test_png_decode_stats_query(spark, sf_dir):
     """The registered png_decode_stats query: every document yields a
-    6x4 decode with a self-verified round-trip (the kernel raises on
-    mismatch, so green rows prove the codec ran)."""
+    6x5 decode (five rows, one per PNG filter type) with a
+    self-verified round-trip (the kernel raises on mismatch, so green
+    rows prove the codec ran)."""
     from master_airflow_spark import registry
 
     registry._ensure_loaded()
