@@ -13,12 +13,17 @@ production paths documented for scale:
 - continuous feeds: land pages into a directory/Kafka topic and let
   Structured Streaming own delivery (streaming/events.py shape).
 
-Network access is gated: ``requests`` may be missing and the build
-container has no egress, so everything is injectable and the tests
-use canned fetchers. Never called from judged queries (determinism).
+Network access is gated behind injectable fetchers so tests stay
+deterministic, but the DEFAULT fetcher is real: ``requests`` when
+installed (the reference's client), else stdlib ``urllib.request`` —
+always present, so the end-to-end fetch path executes even in this
+container (tests/test_http_source.py drives it against a localhost
+``http.server``). Never called from judged queries (determinism).
 """
 
 from __future__ import annotations
+
+import urllib.request
 
 from collections.abc import Callable, Iterator
 
@@ -26,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 USER_AGENT = "Mozilla/5.0 (compatible; master-airflow-spark/0.1)"
 
-try:  # pragma: no cover - exercised only where egress exists
+try:  # pragma: no cover - exercised only where requests is installed
     import requests
 
     HAS_REQUESTS = True
@@ -36,12 +41,19 @@ except ImportError:  # pragma: no cover
 
 
 def default_fetcher(url: str) -> str:
-    """GET one page with the reference's header convention."""
-    if not HAS_REQUESTS:
-        raise NotImplementedError("requests is not installed; inject a fetcher")
-    resp = requests.get(url, headers={"User-Agent": USER_AGENT}, timeout=30)
-    resp.raise_for_status()
-    return resp.text
+    """GET one page with the reference's header convention
+    (dags/get_prices_load_mongodb.py:15-20): ``requests`` when
+    available, else stdlib urllib — same URL in, decoded body out,
+    non-2xx raises either way (requests.HTTPError / urllib
+    HTTPError share the OSError-rooted contract)."""
+    if HAS_REQUESTS:
+        resp = requests.get(url, headers={"User-Agent": USER_AGENT}, timeout=30)
+        resp.raise_for_status()
+        return resp.text
+    req = urllib.request.Request(url, headers={"User-Agent": USER_AGENT})
+    with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+        charset = resp.headers.get_content_charset() or "utf-8"
+        return resp.read().decode(charset, errors="replace")
 
 
 def fetch_pages(
