@@ -434,3 +434,34 @@ def test_landing_dir_reconciles_regenerated_source(spark, tmp_path):
         assert os.path.exists(os.path.join(d, n)), f"dangling link {n}"
     # and the replayed data is exactly generation 2
     assert spark.read.parquet(d).count() == 10
+
+
+def test_session_drain_rocksdb_provider_equal(spark, sf_dir):
+    """The 100 TB session-drain deployment swaps the state store to
+    RocksDB when live-session state outgrows executor heap (the local
+    x50 A/B in SCALE.md round 12 shows it is NOT a throughput win when
+    state fits in memory — 1.9x slower — but it is the survival config
+    when state does not). This pins that the swap is semantics-free:
+    the certified session query returns identical rows under either
+    provider."""
+    from master_airflow_spark import registry
+
+    registry._ensure_loaded()
+    fn = registry.REGISTRY["stream_session_window"].fn
+
+    def rows():
+        out = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        registry.release_caches()
+        return out
+
+    base = rows()
+    assert base, "session drain returned no rows"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = rows()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert rocks == base
