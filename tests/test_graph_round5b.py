@@ -137,3 +137,23 @@ def test_bfs_min_hop_wins(spark, tmp_path):
     release_caches()
     # hop0: supp1; hop1: cust100; hop2: supp2; hop3: cust300; hop4: supp3
     assert hist == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_bfs_shuffle_fallback_equals_broadcast(spark, sf_dir, monkeypatch):
+    """The BFS join strategy is size-gated (broadcast the node-sized
+    frontier/visited set while the node bound fits, shuffle joins
+    past it — the 100 TB path). Both formulations must produce the
+    identical hop histogram."""
+    from master_airflow_spark.operators import graph
+    from master_airflow_spark.registry import release_caches
+
+    broad = sorted(
+        map(tuple, graph.bfs_reachability_hops(spark, sf_dir).collect())
+    )
+    release_caches()
+    monkeypatch.setattr(graph, "_BFS_BROADCAST_NODES", 0)  # force shuffle path
+    shuf = sorted(
+        map(tuple, graph.bfs_reachability_hops(spark, sf_dir).collect())
+    )
+    release_caches()
+    assert broad and shuf == broad
