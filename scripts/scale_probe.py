@@ -159,6 +159,17 @@ def _copy(df, t: str, keys: tuple[str, ...], i: int, shift: int):
         out = out.withColumn(
             "text", F.regexp_replace("text", r"(\S+)", f"$1c{i}")
         )
+    if t == "customer" and i > 0 and not UNSALTED:
+        # Same construction-vs-plan argument for NAME-keyed pair
+        # queries (fuzzy_customer_pairs, round 12): unsalted copies
+        # make every base name reappear k times at edit distance 0,
+        # so TRUE pair output grows k² by data construction. The
+        # doubled two-digit copy code keeps every cross-copy pair at
+        # Levenshtein ≥ 2 (any two distinct codes differ in ≥1 digit,
+        # and the code appears twice), while each copy's internal
+        # distance-≤1 structure stays identical to the base.
+        code = f"{i:02d}"
+        out = out.withColumn("c_name", F.concat("c_name", F.lit(code + code)))
     return out
 
 

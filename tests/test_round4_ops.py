@@ -203,3 +203,44 @@ def test_incremental_minhash_consistency_with_full(spark, sf_dir):
         for r in incremental_minhash_dedup(spark, sf_dir).collect()
     }
     assert inc == full
+
+
+def test_fuzzy_pairs_deletion_neighborhood_lossless(spark, tmp_path):
+    """FastSS blocking (round 12): deletion-neighborhood candidates
+    must be LOSSLESS for Levenshtein <= 1 — equal names, substitution,
+    insertion/deletion (length-differing) pairs all surface; a
+    distance-2 pair sharing a deletion variant is generated as a
+    candidate but filtered by the exact verify; same-nation blocking
+    still applies."""
+    from master_airflow_spark.operators.relational import fuzzy_customer_pairs
+
+    rows = [
+        (1, "alpha", 0),    # equal to 2 (distance 0)
+        (2, "alpha", 0),
+        (3, "alphb", 0),    # substitution of "alpha" (distance 1)
+        (4, "alpha!", 0),   # insertion at end vs "alpha" (distance 1)
+        (5, "lpha", 0),     # deletion at front vs "alpha" (distance 1)
+        (6, "alxhb", 0),    # distance 2 from "alpha"; shares del-variants with 3
+        (7, "alpha", 1),    # other nation: blocked from all pair output
+    ]
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey long"
+    )
+    d = tmp_path / "sfX"
+    d.mkdir()
+    df.write.parquet(str(d / "customer.parquet"))
+
+    got = {
+        (r.a_key, r.b_key): r.edit_dist
+        for r in fuzzy_customer_pairs(spark, str(d)).collect()
+    }
+    assert got == {
+        (1, 2): 0,
+        (1, 3): 1,
+        (2, 3): 1,
+        (1, 4): 1,
+        (2, 4): 1,
+        (1, 5): 1,
+        (2, 5): 1,
+        (3, 6): 1,  # alphb -> alxhb is one substitution
+    }
