@@ -773,12 +773,28 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment). Directional: both (a,b) and (b,a) can appear with
     different scores. 8-char shingles are rare enough that the
     inverted-index equi-join on (gram, source) emits only truly
-    overlapping candidate pairs — no all-pairs product, no prefix
-    filter needed. The join key is the raw 8-char gram (8 bytes, no
-    wider than a hashed id would be): the oracle intersects exact
-    strings, so hashing the gram first would open a silent collision
-    divergence channel for zero shuffle savings. Exactly the oracle's
-    quadratic all-pairs result, at index-join cost."""
+    overlapping candidate pairs — no all-pairs product. The join key
+    is the raw 8-char gram (8 bytes, no wider than a hashed id would
+    be): the oracle intersects exact strings, so hashing the gram
+    first would open a silent collision divergence channel for zero
+    shuffle savings. Exactly the oracle's quadratic all-pairs result,
+    at index-join cost.
+
+    Measured dense-corpus boundary (round-12 x50 probe, SCALE.md):
+    on a templated small-vocabulary corpus nearly every same-source
+    pair shares SOME gram, so the index join's output is Σ df² rows
+    into a pair-keyed aggregate and the x50 cell runs ~2× over linear
+    (spilling partials). Two exact alternatives were implemented and
+    MEASURED SLOWER on this corpus before being rejected: dictionary-
+    encoding the gram key (210s vs 201s at x50 — the key width was
+    not the driver) and a lossless containment prefix filter (the
+    ⌊(1−t)|A|⌋+1-rarest-grams theorem; 353s — rare grams are not rare
+    in a dense gram space, and the candidate-then-verify form pays
+    its array joins on ~every pair anyway). The structure is
+    candidate-volume-bound, which is inherent to EXACT containment on
+    dense text; the 100 TB scale path for that regime is the sparser
+    winnowing index (winnowing_shared_pairs) or LSH candidates
+    (ngram_jaccard_pairs), both measured sublinear at x50."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, F.col("doc_id")
     )

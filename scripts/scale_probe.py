@@ -12,7 +12,7 @@ Run: python scripts/scale_probe.py            (writes SCALE.md)
 
 Control-experiment knobs (round-6 verdict item #3 — prove the salt
 explanation for the two superlinear cells, don't just assert it):
-  SCALE_UNSALTED=1   replicate documents WITHOUT the per-token salt —
+  SCALE_UNSALTED=1   replicate documents WITHOUT the per-copy rotation —
                      vocabulary stays FIXED while rows grow, the clean
                      control for vocabulary-sensitive non-pair queries
                      (boilerplate, divergence, quality). NEVER probe
@@ -46,6 +46,9 @@ from master_airflow_spark.catalog import TABLES, load_table  # noqa: E402
 from master_airflow_spark.session import get_spark  # noqa: E402
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+_ROT_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+)
 UNSALTED = os.environ.get("SCALE_UNSALTED") == "1"
 OUT_ROOT = "/tmp/mas_scale" + ("_unsalted" if UNSALTED else "")
 # Subset (SCALE_QUERIES) and control (SCALE_UNSALTED) runs must never
@@ -150,14 +153,31 @@ def _copy(df, t: str, keys: tuple[str, ...], i: int, shift: int):
         ]
     )
     if t == "documents" and i > 0 and not UNSALTED:
-        # salt EVERY token of replica text: byte-identical (or nearly
-        # identical) replicas are legitimate near-dups of the base copy,
-        # so pair output would k²-explode by data construction rather
-        # than plan behavior. Per-token suffixes drive cross-copy
-        # Jaccard to 0 while keeping each copy's internal near-dup
-        # structure identical to the base.
+        # De-duplicate replica text cross-copy: byte-identical (or
+        # nearly identical) replicas are legitimate near-dups of the
+        # base copy, so pair output would k²-explode by data
+        # construction rather than plan behavior.
+        #
+        # Round-12 scheme: per-copy DISJOINT-PLANE CHARACTER MAP (a
+        # bijective translate shifting the 62 alphanumeric chars by
+        # i*64 code points — copy i's alphabet occupies its own
+        # 64-code-point plane). The previous per-token suffix salt
+        # only broke TOKEN-level similarity — character-gram queries
+        # (jaccard_block_pairs' 3-grams, containment_pairs' 8-gram
+        # shingles) still shared every interior gram of long tokens
+        # across copies, so their true pair output k²-exploded anyway
+        # (measured: containment 35 → 370k pairs at x10); and an
+        # in-alphabet ROTATION still collided on this corpus's tiny
+        # dense gram space (rot_i(g) is itself a frequent base gram),
+        # polluting candidate pairs 58× at x10. Disjoint planes make
+        # cross-copy tokens AND character grams collision-FREE at
+        # every gram width, while a bijective char map preserves each
+        # copy's internal structure exactly (same equalities, same
+        # char lengths; whitespace/punctuation unmapped, so
+        # tokenization and punctuation stats are unchanged).
+        shifted = "".join(chr(ord(c) + i * 64) for c in _ROT_ALPHABET)
         out = out.withColumn(
-            "text", F.regexp_replace("text", r"(\S+)", f"$1c{i}")
+            "text", F.translate("text", _ROT_ALPHABET, shifted)
         )
     if t == "customer" and i > 0 and not UNSALTED:
         # Same construction-vs-plan argument for NAME-keyed pair
@@ -272,9 +292,10 @@ def main() -> None:
     lines += [
         "",
         "Notes: timings are median-of-3 (single-JVM GC outliers hit ~1 run in",
-        "10). minhash_near_dup's replicas carry ~25% longer text than the base",
-        "copy (the per-token cross-copy salt), so its row-growth column",
-        "understates its input growth; its pair OUTPUT scales exactly linearly",
+        "10). Replica text is de-duplicated by per-copy character ROTATION",
+        "(round 12; previously a per-token suffix salt): same text length,",
+        "same in-copy structure, cross-copy tokens AND char-grams disjoint.",
+        "minhash_near_dup's pair OUTPUT scales exactly linearly",
         "(~212 pairs per copy). lsh_bucketed_ann's query side (vec_id % 50)",
         "grows WITH the corpus until the MAX_QUERIES cap, so its candidate",
         "space grows ~quadratically (~100× at x10) while runtime grows far",
@@ -282,20 +303,20 @@ def main() -> None:
         "only on colliding pairs, which is the designed behavior. Sub-1×",
         "growth = fixed driver/scheduling overhead amortizing, the regime",
         "the engine is built for.",
-        "boilerplate_shingle_ratio's replicas inherit the per-token salt:",
-        "each copy contributes a disjoint gram vocabulary, so the",
-        "gram-frequency aggregate's key space grows ~linearly with copies —",
-        "its input effectively grows faster than the row column suggests.",
+        "boilerplate_shingle_ratio's replicas inherit the rotation:",
+        "each copy contributes a disjoint gram vocabulary (until charset^k",
+        "saturation), so the gram-frequency aggregate's key space grows",
+        "~linearly with copies — input grows faster than the row column.",
         "pagerank_trade_graph's x1 number carries ~3s of fixed cost (edge",
         "build + 3 iteration plans, each a join+agg job); growth reflects",
         "only the data-dependent part, which is the 100 TB question.",
-        "source_token_divergence replicas inherit the minhash caveat: the",
-        "per-token salt multiplies vocabulary ~linearly per copy, so its",
+        "source_token_divergence replicas inherit the vocabulary caveat:",
+        "rotation multiplies vocabulary ~linearly per copy, so its",
         "input grows faster than the row column suggests.",
         "minhash_estimate_error inherits it too (signatures over a ~10×",
         "vocabulary at x10) and its per-sample spread on this multi-tenant",
         "box reaches 2-5× (noisy neighbors), so treat its growth cell as",
-        "an upper bound. dup_span_extract/cut also inherit the salt — the",
+        "an upper bound. dup_span_extract/cut also inherit the rotation — the",
         "disjoint per-copy gram vocabulary keeps duplicated pairs",
         "within-copy, i.e. the dup workload grows linearly by design",
         "rather than quadratically across replicas.",
