@@ -41,14 +41,32 @@ MAX_ITERATIONS = 20
 
 def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     """(src, dst) undirected edges + (id) vertices → (id, component)
-    where component = min vertex id reachable."""
+    where component = min vertex id reachable.
+
+    Every frame the loop re-reads is persisted BEFORE the loop: the
+    round-12 x50 probe caught round 0 costing ~60s (vs ~5s for later
+    rounds) because only ``sym`` was cached — the initial labels frame
+    re-derived the caller's full pair pipeline (MinHash signatures
+    over the whole corpus) once for the propagation join and once
+    more for the convergence check. Convergence itself is now an
+    exact aggregate, not a join: hash-min labels are monotone
+    non-increasing, so the label-sum (exact DECIMAL, no overflow)
+    strictly decreases on any change and equality ⟺ fixpoint — one
+    cheap agg job per round instead of a labels⋈labels join."""
     sym = track_cache(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
     )
-    labels = vertices.select(F.col("id"), F.col("id").alias("component"))
-    prev: DataFrame | None = None
+    labels = vertices.select(F.col("id"), F.col("id").alias("component")).persist()
+
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).first()[0]
+
+    prev_sum = _label_sum(labels)  # materializes the initial cache
+    prev: DataFrame = labels
     for _ in range(MAX_ITERATIONS):
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
@@ -66,21 +84,14 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()  # materializes new_labels' cache
-        )
-        if prev is not None:
-            prev.unpersist()  # superseded generation — nothing uses it now
+        new_sum = _label_sum(new_labels)  # materializes new_labels' cache
+        prev.unpersist()  # superseded generation — nothing uses it now
         prev = new_labels
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
-    if prev is not None:
-        track_cache(prev)  # final generation: released after consumption
+        prev_sum = new_sum
+    track_cache(prev)  # final generation: released after consumption
     return labels
 
 
@@ -109,7 +120,12 @@ def _doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-min connected components as (id, component)."""
     from master_airflow_spark.operators.dedup import minhash_near_dup
 
-    pairs = minhash_near_dup(spark, sf_dir).select("a_id", "b_id")
+    # Persist the pair frame: sym (inside connected_components) and the
+    # initial labels both materialize from it, and without the cache
+    # each would re-run the whole MinHash pipeline over the corpus —
+    # the dominant cost at scale (x50 probe: ~9s per re-derivation vs
+    # a pairs-count-sized cache).
+    pairs = track_cache(minhash_near_dup(spark, sf_dir).select("a_id", "b_id"))
     vertices = (
         pairs.select(F.col("a_id").alias("id"))
         .unionByName(pairs.select(F.col("b_id").alias("id")))
