@@ -539,11 +539,22 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")).alias("tok"),
     ).withColumn("h", portable_hash60("tok"))
-    # bit b of h as ±1: shiftright then &1 → {0,1} → 2x-1
-    contribs = toks.select(
+    # Per-bit sign-sums are weighted sums over DISTINCT token hashes
+    # (weight = term frequency): sum over occurrences of ±1 equals
+    # sum over distinct hashes of tf·(±1). Aggregate the narrow
+    # (doc_id, h) → tf frame FIRST (one count column, map-side
+    # combinable), then run the 60-column bit math on the term
+    # frequency frame — Zipf repetition makes that frame a fraction
+    # of the occurrence count, so the wide aggregate touches far
+    # fewer rows (x50 probe: 22.3s → the tf pre-agg cut below).
+    tf = toks.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("w"))
+    # bit b of h as ±1: shiftright then &1 → {0,1} → 2x-1, weighted by tf
+    contribs = tf.select(
         "doc_id",
         *[
-            (F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
+            ((F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1) * F.col("w")).alias(
+                f"b{b}"
+            )
             for b in range(_SIMHASH_BITS)
         ],
     )
