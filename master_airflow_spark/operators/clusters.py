@@ -11,21 +11,22 @@ that scales (each round is one join + one agg on the edge list) — with
 ``localCheckpoint`` each round to cut the growing lineage (the classic
 iterative-algorithm failure mode on Spark).
 
-Iteration count is O(graph diameter); near-dup graphs are
-overwhelmingly tiny cliques, so 3-5 rounds converge. The loop is
-driver-side CONTROL only — data never leaves executors.
+Iteration count is O(log diameter) — hash-min one-hop rounds for the
+common tiny-clique case, pointer jumping from round 4 for deep
+chains. The loop is driver-side CONTROL only — data never leaves
+executors.
 
-Lineage/memory management: each round's label table persists (the
-convergence check materializes it) and the SUPERSEDED round
-unpersists immediately, so at most two label generations are cached
-at once; the edge list and the final labels register with
-registry.track_cache so the harness frees them once the query result
-is consumed. (An earlier version cut lineage with
-``localCheckpoint``, but checkpoint RDDs are invisible to
-DataFrame.unpersist and accumulated in the session forever — a leak
-per invocation. With ≤MAX_ITERATIONS bounded rounds the persisted
-lineage stays shallow enough that checkpointing buys nothing; at
-hundreds of rounds you would reintroduce it WITH explicit cleanup.)
+Lineage/memory management: each round's label generation is
+``localCheckpoint(eager=True)``-truncated (nested per-round plans
+otherwise grow analyzer cost exponentially with round count) and the
+superseded generation's RDD blocks are freed at RDD level each round
+(checkpoint blocks never register with the SQL CacheManager, so
+DataFrame.unpersist can't reach them — the leak that got an earlier
+localCheckpoint variant removed is closed by explicit
+getPersistentRDDs cleanup); the final generation frees via
+registry.track_release on release_caches(), the same lifecycle as
+track_cache frames. See connected_components' docstring for the
+measured history behind each decision.
 """
 
 from __future__ import annotations
@@ -34,64 +35,126 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from master_airflow_spark.catalog import load_table
-from master_airflow_spark.registry import register, track_cache
+from master_airflow_spark.registry import register, track_cache, track_release
 
 MAX_ITERATIONS = 20
+
+
+def _persistent_rdd_ids(sc) -> set[int]:
+    """Ids of every RDD currently persisted in the JVM (includes the
+    MEMORY_AND_DISK blocks behind localCheckpoint, which never appear
+    in the SQL CacheManager and are invisible to DataFrame.unpersist)."""
+    it = sc._jsc.getPersistentRDDs().keySet().iterator()
+    out: set[int] = set()
+    while it.hasNext():
+        out.add(int(it.next()))
+    return out
+
+
+def _free_rdd_ids(sc, ids: set[int]) -> None:
+    """RDD-level unpersist for the given ids (non-blocking)."""
+    if not ids:
+        return
+    it = sc._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        if int(e.getKey()) in ids:
+            e.getValue().unpersist(False)
 
 
 def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     """(src, dst) undirected edges + (id) vertices → (id, component)
     where component = min vertex id reachable.
 
-    Every frame the loop re-reads is persisted BEFORE the loop: the
-    round-12 x50 probe caught round 0 costing ~60s (vs ~5s for later
-    rounds) because only ``sym`` was cached — the initial labels frame
-    re-derived the caller's full pair pipeline (MinHash signatures
-    over the whole corpus) once for the propagation join and once
-    more for the convergence check. Convergence itself is now an
-    exact aggregate, not a join: hash-min labels are monotone
-    non-increasing, so the label-sum (exact DECIMAL, no overflow)
-    strictly decreases on any change and equality ⟺ fixpoint — one
-    cheap agg job per round instead of a labels⋈labels join."""
+    Three scale lessons from the round-12 x50 probes are baked in:
+
+    1. LINEAGE TRUNCATION per round (``localCheckpoint(eager=True)``):
+       each generation's logical plan would otherwise NEST the previous
+       generation's plan, so analyzer/optimizer cost grows ~2^round —
+       persisted data hides the execution cost but not the planning
+       cost (measured: 4s → 13s → 75s per round once a third
+       label reference per round pushed growth to ~3^round). A
+       checkpointed generation is a flat LogicalRDD leaf: planning is
+       O(1) per round at any iteration count. The blocks behind a
+       localCheckpoint never register with the SQL CacheManager, so
+       the superseded generation is freed at RDD level each round and
+       the final generation via registry.track_release — nothing
+       accumulates across invocations (the leak that got an earlier
+       localCheckpoint variant removed). The returned frame is valid
+       until release_caches(), the registry lifecycle contract.
+    2. Persist/checkpoint EVERY frame the loop re-reads: the initial
+       labels frame used to re-derive the caller's full MinHash pair
+       pipeline once per reference (~60s of the old ~50s x50 wall).
+    3. Convergence = exact label-sum aggregate, not a labels⋈labels
+       join: hash-min labels are monotone non-increasing, so an
+       unchanged DECIMAL(38) sum ⟺ fixpoint; one cheap agg job/round.
+
+    Pointer jumping from round 4 (adopt the label OF your label, read
+    from the previous checkpointed generation) keeps deep components
+    correct: plain hash-min propagates one hop per round, so a
+    component with diameter > MAX_ITERATIONS would return silently
+    un-converged labels — long near-dup CHAINS make that a real shape
+    at corpus scale. Clique-shaped clusters converge in 2-3 rounds and
+    never pay for the jump; once jumping starts reach ~doubles per
+    round, so 20 rounds cover diameter ~4 + 2^16."""
+    sc = edges.sparkSession.sparkContext
     sym = track_cache(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
     )
-    labels = vertices.select(F.col("id"), F.col("id").alias("component")).persist()
 
     def _label_sum(df: DataFrame):
         return df.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).first()[0]
 
-    prev_sum = _label_sum(labels)  # materializes the initial cache
-    prev: DataFrame = labels
-    for _ in range(MAX_ITERATIONS):
+    pre = _persistent_rdd_ids(sc)
+    labels = vertices.select(F.col("id"), F.col("id").alias("component")).localCheckpoint(
+        eager=True
+    )
+    prev_sum = _label_sum(labels)
+    gen_ids = _persistent_rdd_ids(sc) - pre
+    for rnd in range(MAX_ITERATIONS):
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
-            .select(
+        stepped = labels.join(
+            neighbor_min, labels.id == neighbor_min.a, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
+        )
+        if rnd >= 4:
+            jumped = labels.select(
+                F.col("id").alias("jid"), F.col("component").alias("jcomp")
+            )
+            stepped = stepped.join(
+                jumped, stepped.component == jumped.jid, "left"
+            ).select(
                 "id",
                 F.least(
                     F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                    F.coalesce(F.col("jcomp"), F.col("component")),
                 ).alias("component"),
             )
-            .persist()
-        )
-        new_sum = _label_sum(new_labels)  # materializes new_labels' cache
-        prev.unpersist()  # superseded generation — nothing uses it now
-        prev = new_labels
+        pre = _persistent_rdd_ids(sc)
+        new_labels = stepped.localCheckpoint(eager=True)
+        new_sum = _label_sum(new_labels)
+        new_gen = _persistent_rdd_ids(sc) - pre
+        _free_rdd_ids(sc, gen_ids)  # superseded generation
+        gen_ids = new_gen
         labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    track_cache(prev)  # final generation: released after consumption
+    final_ids = gen_ids
+    track_release(lambda: _free_rdd_ids(sc, final_ids))
     return labels
 
 

@@ -30,6 +30,16 @@ def test_cycle(spark):
     assert set(comp.values()) == {5}
 
 
+def test_deep_chain_beyond_max_iterations(spark):
+    # a 40-node path has diameter 39 > MAX_ITERATIONS=20: plain
+    # one-hop hash-min would return silently un-converged labels
+    # (node 40 stuck at label 20 after 20 rounds). Pointer jumping
+    # must converge it in O(log diameter) rounds.
+    edges = [(i, i + 1) for i in range(1, 40)]
+    comp = _cc(spark, edges, list(range(1, 41)))
+    assert set(comp.values()) == {1}
+
+
 def test_dedup_clusters_canonicals(spark, sf_dir):
     from master_airflow_spark.operators.clusters import dedup_clusters
 
