@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from master_airflow_spark.catalog import load_table
-from master_airflow_spark.registry import register
+from master_airflow_spark.registry import register, track_cache
 
 _FP = 1_000_000_000  # fixed-point scale: 9 decimal digits
 
@@ -188,3 +188,150 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tokens_before") / F.lit(4096)).cast("long").alias("shard_id"),
         (F.col("tokens_before") % 4096).alias("shard_offset"),
     )
+
+
+# -- exact distributed Gram / covariance --------------------------------------
+
+_COV_FP = 1_000_000  # 6-digit fixed point: products fit int64 per partition
+
+_COV_ORACLE = f"""
+WITH scaled AS (
+    SELECT vec_id, d,
+           CAST(CASE WHEN CAST(v AS DOUBLE) >= 0
+                     THEN floor(CAST(v AS DOUBLE) * {_COV_FP} + 0.5)
+                     ELSE ceil(CAST(v AS DOUBLE) * {_COV_FP} - 0.5) END
+                AS BIGINT) AS sv
+    FROM (SELECT vec_id, unnest(embedding) AS v,
+                 unnest(range(1, len(embedding) + 1)) AS d
+          FROM embeddings)
+),
+gram AS (
+    SELECT a.d AS d1, b.d AS d2,
+           SUM(CAST(a.sv AS HUGEINT) * b.sv) AS g
+    FROM scaled a JOIN scaled b
+      ON a.vec_id = b.vec_id AND a.d <= b.d
+    GROUP BY 1, 2
+),
+sums AS (SELECT d, SUM(CAST(sv AS HUGEINT)) AS sd FROM scaled GROUP BY d),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS c,
+             count(*) AS n_vectors
+      FROM embeddings)
+SELECT gram.d1, gram.d2, n.n_vectors,
+       CAST(gram.g AS DOUBLE) / {_COV_FP * _COV_FP} / n.c
+         - (CAST(sa.sd AS DOUBLE) / {_COV_FP} / n.c)
+           * (CAST(sb.sd AS DOUBLE) / {_COV_FP} / n.c) AS cov
+FROM gram
+JOIN sums sa ON sa.d = gram.d1
+JOIN sums sb ON sb.d = gram.d2
+CROSS JOIN n
+"""
+
+
+@register("embedding_covariance", oracle=_COV_ORACLE, tags=("X25", "X27", "X5"))
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed covariance (upper triangle) of the embedding
+    column — the Gram-matrix shape behind PCA whitening / dimension
+    reduction of an ANN index, and the canonical outer-product
+    partial-aggregation pattern for distributed linear algebra.
+
+    Plan: a mapInPandas kernel reduces each PARTITION of the corpus to
+    one d×d integer Gram partial (numpy ``Sᵀ·S`` on half-away-rounded
+    fixed-point values, _COV_FP = 10⁶), one per-dimension sum vector,
+    and one row count — emitted as (d1, d2, psum) rows, d(d+1)/2 + d +
+    1 per partition, CORPUS-SIZE-INDEPENDENT. A (d1, d2)-keyed
+    DECIMAL(38) sum merges the partials exactly (integer addition is
+    associative, so any partitioning matches the single-threaded
+    oracle bit-for-bit), and the covariance assembles with a fixed
+    operation order both engines replay identically:
+    g/FP²/n − (s₁/FP/n)·(s₂/FP/n). At 100 TB only ~2k-row partials
+    cross the exchange — the corpus never shuffles, the driver never
+    sees a vector. Per-partition int64 headroom: |sv| ≤ FP·|v|max, so
+    a partition overflows only past ~2³⁴/(FP·|v|max)² rows — ~10⁸ rows
+    per partition at |v|max≈0.4, far above any sane partition size;
+    the cross-partition merge is DECIMAL(38), overflow-free.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        # explicit partition count: the single-split bench file would
+        # otherwise serialize the kernel (same rationale as the
+        # SimHash / MinHash repartitions)
+        .repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
+        .select("embedding")
+    )
+
+    def kernel(batches):
+        G = None
+        S = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]],
+                dtype=np.float64,
+            )
+            X = V * float(_COV_FP)
+            # half-away-from-zero, matching Spark round() and DuckDB round()
+            Sc = np.where(X >= 0, np.floor(X + 0.5), np.ceil(X - 0.5)).astype(
+                np.int64
+            )
+            if G is None:
+                dim = Sc.shape[1]
+                G = np.zeros((dim, dim), dtype=np.int64)
+                S = np.zeros(dim, dtype=np.int64)
+            G += Sc.T @ Sc
+            S += Sc.sum(axis=0)
+            n += Sc.shape[0]
+        if G is None:
+            yield pd.DataFrame(
+                {
+                    "d1": pd.array([], dtype="int64"),
+                    "d2": pd.array([], dtype="int64"),
+                    "psum": pd.array([], dtype="int64"),
+                }
+            )
+            return
+        dim = G.shape[0]
+        iu = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {
+                "d1": np.concatenate(
+                    [iu[0] + 1, np.arange(1, dim + 1), [-1]]
+                ).astype(np.int64),
+                "d2": np.concatenate(
+                    [iu[1] + 1, np.full(dim, -1), [-1]]
+                ).astype(np.int64),
+                "psum": np.concatenate([G[iu], S, [n]]).astype(np.int64),
+            }
+        )
+
+    parts = e.mapInPandas(kernel, "d1 long, d2 long, psum long")
+    merged = track_cache(
+        parts.groupBy("d1", "d2").agg(
+            F.sum(F.col("psum").cast("decimal(38,0)")).alias("s")
+        )
+    )
+    n_row = merged.where(F.col("d1") == -1).select(
+        F.col("s").cast("double").alias("c"), F.col("s").cast("long").alias("n_vectors")
+    )
+    sums = merged.where((F.col("d2") == -1) & (F.col("d1") != -1)).select(
+        F.col("d1").alias("d"), F.col("s").alias("sd")
+    )
+    gram = merged.where((F.col("d1") != -1) & (F.col("d2") != -1))
+    sa = sums.select(F.col("d").alias("da"), F.col("sd").alias("sda"))
+    sb = sums.select(F.col("d").alias("db"), F.col("sd").alias("sdb"))
+    out = (
+        gram.join(F.broadcast(sa), gram.d1 == sa.da)
+        .join(F.broadcast(sb), gram.d2 == sb.db)
+        .crossJoin(F.broadcast(n_row))
+    )
+    cov = (
+        F.col("s").cast("double") / F.lit(_COV_FP * _COV_FP) / F.col("c")
+        - (F.col("sda").cast("double") / F.lit(_COV_FP) / F.col("c"))
+        * (F.col("sdb").cast("double") / F.lit(_COV_FP) / F.col("c"))
+    )
+    return out.select("d1", "d2", "n_vectors", cov.alias("cov"))
