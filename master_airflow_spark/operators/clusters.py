@@ -22,10 +22,10 @@ otherwise grow analyzer cost exponentially with round count) and the
 superseded generation's RDD blocks are freed at RDD level each round
 (checkpoint blocks never register with the SQL CacheManager, so
 DataFrame.unpersist can't reach them — the leak that got an earlier
-localCheckpoint variant removed is closed by explicit
-getPersistentRDDs cleanup); the final generation frees via
-registry.track_release on release_caches(), the same lifecycle as
-track_cache frames. See connected_components' docstring for the
+localCheckpoint variant removed is closed by freeing each
+generation's checkpoint RDD id, read straight off its LogicalRDD
+plan); the final labels return as a registry-tracked scratch-parquet
+scan, so the result frame stays recomputable until release_caches(). See connected_components' docstring for the
 measured history behind each decision.
 """
 
@@ -35,24 +35,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from master_airflow_spark.catalog import load_table
-from master_airflow_spark.registry import register, track_cache, track_release
+from master_airflow_spark.registry import register, track_cache, track_scratch_dir
 
 MAX_ITERATIONS = 20
 
 
-def _persistent_rdd_ids(sc) -> set[int]:
-    """Ids of every RDD currently persisted in the JVM (includes the
-    MEMORY_AND_DISK blocks behind localCheckpoint, which never appear
-    in the SQL CacheManager and are invisible to DataFrame.unpersist)."""
-    it = sc._jsc.getPersistentRDDs().keySet().iterator()
-    out: set[int] = set()
-    while it.hasNext():
-        out.add(int(it.next()))
-    return out
+def _checkpoint_rdd_id(df: DataFrame) -> int:
+    """The persisted RDD id behind a ``localCheckpoint(eager=True)``
+    frame — its analyzed plan is a LogicalRDD leaf wrapping exactly
+    that RDD. Extracting the id directly (instead of diffing
+    getPersistentRDDs snapshots around the checkpoint) matters for
+    correctness: a snapshot diff sweeps up any OTHER cache that
+    happens to materialize lazily inside the window — e.g. the
+    track_cache'd pair/sym frames, whose blocks register during the
+    first jobs — and freeing those forces every later round to
+    re-derive the full MinHash pipeline (a round-12 review catch)."""
+    return int(df._jdf.queryExecution().analyzed().rdd().id())
 
 
 def _free_rdd_ids(sc, ids: set[int]) -> None:
-    """RDD-level unpersist for the given ids (non-blocking)."""
+    """RDD-level unpersist for the given ids (non-blocking) — the only
+    way to reach localCheckpoint blocks, which never register with the
+    SQL CacheManager and are invisible to DataFrame.unpersist."""
     if not ids:
         return
     it = sc._jsc.getPersistentRDDs().entrySet().iterator()
@@ -75,13 +79,18 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
        cost (measured: 4s → 13s → 75s per round once a third
        label reference per round pushed growth to ~3^round). A
        checkpointed generation is a flat LogicalRDD leaf: planning is
-       O(1) per round at any iteration count. The blocks behind a
-       localCheckpoint never register with the SQL CacheManager, so
-       the superseded generation is freed at RDD level each round and
-       the final generation via registry.track_release — nothing
-       accumulates across invocations (the leak that got an earlier
-       localCheckpoint variant removed). The returned frame is valid
-       until release_caches(), the registry lifecycle contract.
+       O(1) per round at any iteration count. Each generation's
+       checkpoint RDD id is read straight off its LogicalRDD plan and
+       the superseded generation freed at RDD level every round, so
+       nothing accumulates across invocations (the leak that got an
+       earlier localCheckpoint variant removed). The FINAL labels are
+       spilled to a registry-tracked scratch parquet dir and returned
+       as a plain file-scan plan — a checkpoint-backed frame would
+       THROW after release_caches() (truncated lineage cannot
+       recompute), violating the registry rule that no query's
+       correctness may depend on a persist sticking; the scratch-dir
+       lifecycle (materialize before the next registered query) is
+       the established shared-drain contract.
     2. Persist/checkpoint EVERY frame the loop re-reads: the initial
        labels frame used to re-derive the caller's full MinHash pair
        pipeline once per reference (~60s of the old ~50s x50 wall).
@@ -109,12 +118,11 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).first()[0]
 
-    pre = _persistent_rdd_ids(sc)
     labels = vertices.select(F.col("id"), F.col("id").alias("component")).localCheckpoint(
         eager=True
     )
+    gen_id = _checkpoint_rdd_id(labels)
     prev_sum = _label_sum(labels)
-    gen_ids = _persistent_rdd_ids(sc) - pre
     for rnd in range(MAX_ITERATIONS):
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
@@ -143,19 +151,27 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
                     F.coalesce(F.col("jcomp"), F.col("component")),
                 ).alias("component"),
             )
-        pre = _persistent_rdd_ids(sc)
         new_labels = stepped.localCheckpoint(eager=True)
+        new_id = _checkpoint_rdd_id(new_labels)
         new_sum = _label_sum(new_labels)
-        new_gen = _persistent_rdd_ids(sc) - pre
-        _free_rdd_ids(sc, gen_ids)  # superseded generation
-        gen_ids = new_gen
+        _free_rdd_ids(sc, {gen_id})  # superseded generation
+        gen_id = new_id
         labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    final_ids = gen_ids
-    track_release(lambda: _free_rdd_ids(sc, final_ids))
-    return labels
+    # Spill the final labels to scratch parquet and return a plain
+    # file-scan plan: valid (and RE-computable from the files) until
+    # release_caches() deletes the dir — unlike the checkpoint-backed
+    # frame, whose truncated lineage cannot recompute once its blocks
+    # are freed. All loop storage is released right here.
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="mas_cc_labels_")
+    labels.write.mode("overwrite").parquet(out_dir)
+    _free_rdd_ids(sc, {gen_id})
+    track_scratch_dir(out_dir)
+    return edges.sparkSession.read.parquet(out_dir)
 
 
 def _sql_components_ctes() -> str:

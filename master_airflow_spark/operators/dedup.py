@@ -525,8 +525,10 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions → sign. 60 bits (one md5 15-hex-char parse) keeps the
     hash engine-portable, so the fingerprint values themselves are
     oracle-checked; near-dup = small Hamming distance between
-    fingerprints. The per-bit sums are map-side combinable longs — one
-    shuffle on doc_id at any scale."""
+    fingerprints. Two map-side-combinable exchanges: a narrow
+    (doc_id, token-hash) term-frequency count over the occurrence
+    stream, then the 60 weighted sign-sums over the much smaller tf
+    frame — no corpus-sized wide rows cross either."""
     from master_airflow_spark.functions.hashing import portable_hash60
 
     # spread the token hash + 60-bit contribution math across cores —

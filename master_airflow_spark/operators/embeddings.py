@@ -192,7 +192,12 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- exact distributed Gram / covariance --------------------------------------
 
-_COV_FP = 1_000_000  # 6-digit fixed point: products fit int64 per partition
+_COV_FP = 1_000_000  # 6-digit fixed point: products fit int64 per chunk
+# int64 product-sum headroom for the Gram kernel: flush the partial
+# when accumulated_rows x max_scaled_value^2 would exceed this (leaves
+# >2x slack under 2^63). Closure-captured so tests can lower it to
+# exercise the flush path on a small corpus.
+_COV_INT64_HEADROOM = 4 * 10**18
 
 _COV_ORACLE = f"""
 WITH scaled AS (
@@ -243,15 +248,26 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative, so any partitioning matches the single-threaded
     oracle bit-for-bit), and the covariance assembles with a fixed
     operation order both engines replay identically:
-    g/FP²/n − (s₁/FP/n)·(s₂/FP/n). At 100 TB only ~2k-row partials
+    g/FP²/n − (s₁/FP/n)·(s₂/FP/n). At 100 TB only the bounded partials
     cross the exchange — the corpus never shuffles, the driver never
-    sees a vector. Per-partition int64 headroom: |sv| ≤ FP·|v|max, so
-    a partition overflows only past ~2³⁴/(FP·|v|max)² rows — ~10⁸ rows
-    per partition at |v|max≈0.4, far above any sane partition size;
-    the cross-partition merge is DECIMAL(38), overflow-free.
+    sees a vector.
+
+    Overflow safety (round-12 review catch): int64 Gram accumulation
+    holds only while n·(FP·|v|max)² ≤ ~4·10¹⁸ — about 5.7·10⁷ rows at
+    |v|max≈0.4, and rows-per-partition GROWS with the corpus under a
+    fixed partition count, so a silent wraparound at scale was
+    possible. The kernel therefore tracks the accumulated row count
+    and the max |scaled value| actually seen, and FLUSHES the partial
+    (one extra ~2.1k-row emission) whenever the next chunk could
+    exceed the headroom — exactness is untouched (the DECIMAL(38)
+    merge sums partials in any split), partials stay one-per-partition
+    until ~10⁷ rows/partition, and the bound holds for ANY input
+    magnitude because it is computed from the data, not assumed.
     """
     import numpy as np
     import pandas as pd
+
+    limit = _COV_INT64_HEADROOM  # closure-captured so tests can lower it
 
     e = (
         load_table(spark, sf_dir, "embeddings")
@@ -267,6 +283,23 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         G = None
         S = None
         n = 0
+        max_sv = 1
+
+        def emit(g, s, cnt):
+            dim = g.shape[0]
+            iu = np.triu_indices(dim)
+            return pd.DataFrame(
+                {
+                    "d1": np.concatenate(
+                        [iu[0] + 1, np.arange(1, dim + 1), [-1]]
+                    ).astype(np.int64),
+                    "d2": np.concatenate(
+                        [iu[1] + 1, np.full(dim, -1), [-1]]
+                    ).astype(np.int64),
+                    "psum": np.concatenate([g[iu], s, [cnt]]).astype(np.int64),
+                }
+            )
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -279,13 +312,25 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             Sc = np.where(X >= 0, np.floor(X + 0.5), np.ceil(X - 0.5)).astype(
                 np.int64
             )
-            if G is None:
-                dim = Sc.shape[1]
-                G = np.zeros((dim, dim), dtype=np.int64)
-                S = np.zeros(dim, dtype=np.int64)
-            G += Sc.T @ Sc
-            S += Sc.sum(axis=0)
-            n += Sc.shape[0]
+            b_max = max(int(np.abs(Sc).max()), 1) if Sc.size else 1
+            # safe rows per int64 product-sum at this magnitude
+            step = max(1, int(limit // (b_max * b_max)))
+            for i0 in range(0, Sc.shape[0], step):
+                C = Sc[i0 : i0 + step]
+                m = max(max_sv, b_max)
+                if G is not None and (n + C.shape[0]) * m * m > limit:
+                    yield emit(G, S, n)  # flush before headroom runs out
+                    G = S = None
+                    n = 0
+                    max_sv = 1
+                if G is None:
+                    dim = C.shape[1]
+                    G = np.zeros((dim, dim), dtype=np.int64)
+                    S = np.zeros(dim, dtype=np.int64)
+                G += C.T @ C
+                S += C.sum(axis=0)
+                n += C.shape[0]
+                max_sv = max(max_sv, b_max)
         if G is None:
             yield pd.DataFrame(
                 {
@@ -295,19 +340,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
             return
-        dim = G.shape[0]
-        iu = np.triu_indices(dim)
-        yield pd.DataFrame(
-            {
-                "d1": np.concatenate(
-                    [iu[0] + 1, np.arange(1, dim + 1), [-1]]
-                ).astype(np.int64),
-                "d2": np.concatenate(
-                    [iu[1] + 1, np.full(dim, -1), [-1]]
-                ).astype(np.int64),
-                "psum": np.concatenate([G[iu], S, [n]]).astype(np.int64),
-            }
-        )
+        yield emit(G, S, n)
 
     parts = e.mapInPandas(kernel, "d1 long, d2 long, psum long")
     merged = track_cache(

@@ -205,16 +205,6 @@ def track_cache(df: DataFrame) -> DataFrame:
     return df
 
 
-_TRACKED_RELEASES: list[Callable[[], None]] = []
-
-
-def track_release(fn: Callable[[], None]) -> None:
-    """Register an arbitrary cleanup callback for release_caches() —
-    for storage that DataFrame.unpersist cannot reach (e.g. the
-    RDD blocks behind a localCheckpoint'ed lineage-truncated frame,
-    which never registers with the CacheManager)."""
-    _TRACKED_RELEASES.append(fn)
-
 
 def track_broadcast(bc):
     """Register a SparkContext broadcast for release_caches()."""
@@ -245,11 +235,6 @@ def release_caches() -> None:
             _TRACKED_CACHES.pop().unpersist()
         except Exception:
             pass  # session already stopped
-    while _TRACKED_RELEASES:
-        try:
-            _TRACKED_RELEASES.pop()()
-        except Exception:
-            pass
     while _TRACKED_BROADCASTS:
         try:
             _TRACKED_BROADCASTS.pop().unpersist()

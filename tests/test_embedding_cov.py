@@ -61,3 +61,24 @@ def test_covariance_partition_invariance(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert rows_a == rows_b  # bitwise-identical doubles
+
+
+def test_covariance_flush_path(spark, sf_dir, monkeypatch):
+    """Lowering the int64 headroom forces mid-partition flushes; the
+    DECIMAL merge must make the result identical to the unflushed
+    run (the overflow-safety path must not change a single bit)."""
+    from master_airflow_spark.operators import embeddings as emb
+
+    base = {
+        (r.d1, r.d2): (r.n_vectors, r.cov)
+        for r in embedding_covariance(spark, sf_dir).collect()
+    }
+    registry.release_caches()
+    # ~forces a flush every few rows: max|sv| ~ 4e5 -> step ~ 10^13/1.6e11 ~ 62
+    monkeypatch.setattr(emb, "_COV_INT64_HEADROOM", 10**13)
+    flushed = {
+        (r.d1, r.d2): (r.n_vectors, r.cov)
+        for r in embedding_covariance(spark, sf_dir).collect()
+    }
+    registry.release_caches()
+    assert base == flushed
