@@ -49,8 +49,17 @@ def _checkpoint_rdd_id(df: DataFrame) -> int:
     happens to materialize lazily inside the window — e.g. the
     track_cache'd pair/sym frames, whose blocks register during the
     first jobs — and freeing those forces every later round to
-    re-derive the full MinHash pipeline (a round-12 review catch)."""
-    return int(df._jdf.queryExecution().analyzed().rdd().id())
+    re-derive the full MinHash pipeline (a round-12 review catch).
+
+    Returns -1 (freeing becomes a no-op) if the analyzed plan is not
+    the LogicalRDD leaf this assumes — a future Spark could wrap the
+    checkpoint differently, and skipping the free (a bounded leak for
+    the run) beats unpersisting a wrong id or an opaque Py4JError
+    (round-12 ADVICE)."""
+    plan = df._jdf.queryExecution().analyzed()
+    if "LogicalRDD" not in plan.getClass().getName():
+        return -1
+    return int(plan.rdd().id())
 
 
 def _free_rdd_ids(sc, ids: set[int]) -> None:
@@ -165,9 +174,16 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     # release_caches() deletes the dir — unlike the checkpoint-backed
     # frame, whose truncated lineage cannot recompute once its blocks
     # are freed. All loop storage is released right here.
+    # Same scratch root as the shared-drain spool (tmpfs when present;
+    # see streaming/events._checkpoint_root). Driver-local by design:
+    # in local[...] mode executors share the driver's filesystem. A
+    # multi-node deployment must point this at a shared store (HDFS/
+    # object store) — the write/read pair is already path-agnostic.
     import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="mas_cc_labels_")
+    from master_airflow_spark.streaming.events import _checkpoint_root
+
+    out_dir = tempfile.mkdtemp(prefix="mas_cc_labels_", dir=_checkpoint_root())
     labels.write.mode("overwrite").parquet(out_dir)
     _free_rdd_ids(sc, {gen_id})
     track_scratch_dir(out_dir)

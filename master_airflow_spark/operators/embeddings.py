@@ -260,9 +260,14 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the max |scaled value| actually seen, and FLUSHES the partial
     (one extra ~2.1k-row emission) whenever the next chunk could
     exceed the headroom — exactness is untouched (the DECIMAL(38)
-    merge sums partials in any split), partials stay one-per-partition
-    until ~10⁷ rows/partition, and the bound holds for ANY input
-    magnitude because it is computed from the data, not assumed.
+    merge sums partials in any split), and partials stay
+    one-per-partition until ~10⁷ rows/partition. Magnitude limit
+    (round-12 review catch): the flush bound is computed from the
+    data, but a SINGLE row already contributes b_max² per Gram cell,
+    so once b_max² > headroom (|v| ≳ 2000 at _COV_FP = 10⁶) no chunking
+    can help — the kernel raises a loud ValueError there instead of
+    silently wrapping int64. Embedding corpora live in |v| ≤ ~1, four
+    orders of magnitude inside the guard.
     """
     import numpy as np
     import pandas as pd
@@ -313,6 +318,13 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 np.int64
             )
             b_max = max(int(np.abs(Sc).max()), 1) if Sc.size else 1
+            if b_max * b_max > limit:
+                raise ValueError(
+                    "embedding_covariance: |value| "
+                    f"{b_max / _COV_FP:g} exceeds the int64 Gram "
+                    "headroom even for a single row; rescale the "
+                    "input or lower _COV_FP"
+                )
             # safe rows per int64 product-sum at this magnitude
             step = max(1, int(limit // (b_max * b_max)))
             for i0 in range(0, Sc.shape[0], step):

@@ -57,78 +57,77 @@ def register(
 
 # Exposure order for the driver contract. The driver samples the
 # FIRST 50 registry entries each round, so ordering is the lever that
-# decides which queries get externally certified. Round-12 policy (the
-# round-11 verdict's #1 item — the stale-certification rotation):
-# (1) slots 1-18: the 18 queries whose freshest driver stamp is r7
-#     while shared backing files (operators/embeddings.py, window.py,
-#     scalarfns.py, ...) churned in r8-r11 — the verdict's exact list,
-#     name order. After this window NO stamp predates r8.
-# (2) slots 19-23: the five oldest-r8 queries the verdict named
-#     explicitly (cosine_topk, dedup_exact, exact_quantiles_sketched,
-#     minhash_near_dup, tfidf_top_terms).
-# (3) slots 24-50: the next 27 r8-stamped queries, name order. The 16
-#     remaining r8 stamps (semi_anti_customers ... zipf_quality_score)
-#     rotate in r13, after which no stamp predates r9.
-# Changed-code note (round-9 verdict protocol): queries whose code is
-# touched this round but which are NOT in the window are re-verified
-# via testing.run_one in the touching commit — this round that is
-# approx_percentiles_error (zero-exact guard, ADVICE #1) and the nine
-# stream_* queries (landing-dir symlink race fix, ADVICE #2), all
-# r11-stamped.
+# decides which queries get externally certified. Round-13 policy (the
+# round-12 verdict's #1 item — finish the stale-certification
+# rotation):
+# (1) slots 1-16: the 16 queries whose freshest driver stamp is r8
+#     (the verdict's exact list, name order). After this window NO
+#     stamp predates r9.
+# (2) slot 17: embedding_covariance — implemented in r12 after the
+#     sampling window closed, the registry's only never-stamped
+#     oracle query.
+# (3) slots 18-20: the queries ADDED this round (r12 verdict items
+#     5-7: IVF recall pin, stdlib-WAV decode, LSH-verified Jaccard
+#     twin) — new queries enter the window immediately so the
+#     embedding_covariance gap doesn't recur. Names listed before the
+#     queries exist are inert (_ordered() skips non-registered names).
+# (4) slots 21-50: the 30 oldest-r9 stamps, name order; the 12
+#     remaining r9 stamps rotate in r14.
 PRIORITY: tuple[str, ...] = (
-    # (1) the 18 r7-stamped queries, name order.
-    "dataset_mix_sample",
-    "embedding_normalize",
-    "embedding_quantize",
-    "event_rate_anomalies",
-    "events_rollup_grids",
-    "funnel_conversion",
-    "in_subquery_parts",
-    "math_conditional",
-    "multimodal_features",
-    "price_histogram",
-    "ratio_to_report",
-    "recursive_cte_hierarchy",
-    "rolling_hash_fingerprint",
-    "salted_hot_key_agg",
-    "term_frequencies",
-    "top1_price_alltime",
-    "top1_price_today",
-    "top_customers_per_segment",
-    # (2) verdict-named oldest-r8 stamps.
-    "cosine_topk",
-    "dedup_exact",
-    "exact_quantiles_sketched",
-    "minhash_near_dup",
-    "tfidf_top_terms",
-    # (3) the next 27 r8 stamps, name order.
-    "apply_in_pandas_scale",
-    "array_hof_suite",
-    "asof_join_tolerance",
-    "bm25_lite_ranking",
-    "cohort_retention",
-    "containment_pairs",
-    "corr_qty_price",
-    "correlated_scalar_select",
-    "csv_parse_roundtrip",
-    "cube_priority_status",
-    "event_transition_matrix",
-    "fuzzy_customer_pairs",
-    "incremental_corpus_dedup",
-    "incremental_rollup_merge",
-    "interpolate_sparse_series",
-    "ivf_ann_exhaustive",
-    "lateral_join_agg",
-    "listagg_nation_customers",
-    "multiset_set_ops",
-    "null_semantics",
-    "pivot_priority_by_status",
-    "ppm_decode_resize",
-    "q21_waiting_suppliers",
-    "range_join_price_bands",
-    "repeated_shingle_ratio",
-    "rollup_sales",
-    "scd2_purchase_history",
+    # (1) the 16 r8-stamped queries, name order.
+    "semi_anti_customers",
+    "set_ops_customers",
+    "simhash_fingerprint",
+    "split_leakage_audit",
+    "sql_api_grouping_sets",
+    "stats_moments",
+    "stratified_sample",
+    "surrogate_keys",
+    "udtf_fixed_chunks",
+    "variant_semistructured",
+    "weighted_sample_per_source",
+    "window_distribution",
+    "winnowing_fingerprints",
+    "xml_extract_golden",
+    "zip_align_arrays",
+    "zipf_quality_score",
+    # (2) the one never-stamped query.
+    "embedding_covariance",
+    # (3) queries added this round.
+    "ivf_recall_eval",
+    "wav_decode_stats",
+    "jaccard_block_pairs_lsh_verified",
+    # (4) the 30 oldest-r9 stamps, name order.
+    "cluster_keep_longest",
+    "composite_key",
+    "corrupt_record_quarantine",
+    "customer_order_counts",
+    "daily_event_type_pivot",
+    "date_functions",
+    "date_parse_roundtrip",
+    "dedup_clusters",
+    "dedup_rate_by_source",
+    "distinct_order_status",
+    "dq_checks",
+    "embedding_near_dup",
+    "equi_depth_price_buckets",
+    "event_type_association",
+    "ivf_ann_topk",
+    "keyed_upsert_latest",
+    "pricing_summary",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q20_excess_shippers",
+    "q22_idle_balances",
+    "q2_min_cost_supplier",
 )
 
 
@@ -203,7 +202,6 @@ def track_cache(df: DataFrame) -> DataFrame:
     df.persist()
     _TRACKED_CACHES.append(df)
     return df
-
 
 
 def track_broadcast(bc):

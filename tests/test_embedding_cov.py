@@ -82,3 +82,20 @@ def test_covariance_flush_path(spark, sf_dir, monkeypatch):
     }
     registry.release_caches()
     assert base == flushed
+
+
+def test_covariance_single_row_overflow_guard(spark, sf_dir, monkeypatch):
+    """When one scaled value squared exceeds the headroom, chunking
+    cannot help (a single row's Gram cell already overflows) — the
+    kernel must raise loudly instead of wrapping int64 silently
+    (round-12 ADVICE)."""
+    import pytest
+
+    from master_airflow_spark.operators import embeddings as emb
+
+    # sf embeddings have |v| up to ~0.5 -> b_max ~ 5e5 -> b_max^2 ~ 2.5e11
+    monkeypatch.setattr(emb, "_COV_INT64_HEADROOM", 10**9)
+    with pytest.raises(Exception) as ei:
+        embedding_covariance(spark, sf_dir).collect()
+    registry.release_caches()
+    assert "int64 Gram headroom" in str(ei.value)
