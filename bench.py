@@ -148,14 +148,15 @@ def main() -> None:
     oracle_pq_timings: dict[str, float] = {}
 
     def per_query_drain_rep(name: str) -> tuple[float, float]:
-        """One rep of a drained view's REGISTRY fn (state-store drain),
+        """One rep of a drained view's per-query audit fn (the
+        state-store twin where one exists, else the REGISTRY fn),
         with the standard trigger credit: credited = wall − drain_wall
         + trigger (see the per-query run_once below)."""
         from master_airflow_spark.streaming import events as stream_events
 
         stream_events.reset_drain_trigger_seconds()
         t0 = time.perf_counter()
-        df = registry.REGISTRY[name].fn(spark, sf_dir)
+        df = registry.REGISTRY[PQ_AUDIT.get(name, name)].fn(spark, sf_dir)
         materialize(df)
         wall = time.perf_counter() - t0
         trig = stream_events.drain_trigger_seconds()
@@ -603,11 +604,16 @@ REBUILD = {
 
 # The two drained window views: timed as ONE shared-scan unit since
 # methodology v6 (see run_drain_group) instead of two independent
-# state-store drains re-scanning the same events landing dir. The
-# registry queries themselves keep their per-query state-store drains
-# — that is what the driver certifies; the bench times the deployment
-# shape and tests/test_shared_drain.py pins the two paths equal.
+# drains re-scanning the same events landing dir. Since round 13 the
+# registered stream_session_window is itself the partial-spool drain
+# (single view of the same machinery); the per-query audit series for
+# it therefore times the STATE-STORE twin (stream_session_window_state
+# — see PQ_AUDIT) so BENCH_DETAIL keeps comparing the two forms.
+# tests/test_shared_drain.py pins all paths equal.
 DRAIN_GROUP = ("stream_tumbling_agg", "stream_session_window")
+# Per-view audit fn for the legacy per-query series: the registered
+# name unless a state-store twin exists for the view.
+PQ_AUDIT = {"stream_session_window": "stream_session_window_state"}
 
 # Timed repetitions per query (min reported): at least REPS runs,
 # continuing up to REPS_MAX until the two fastest agree within 15% —

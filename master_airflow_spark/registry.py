@@ -67,12 +67,18 @@ def register(
 #     sampling window closed, the registry's only never-stamped
 #     oracle query.
 # (3) slots 18-20: the queries ADDED this round (r12 verdict items
-#     5-7: IVF recall pin, stdlib-WAV decode, LSH-verified Jaccard
-#     twin) — new queries enter the window immediately so the
-#     embedding_covariance gap doesn't recur. Names listed before the
-#     queries exist are inert (_ordered() skips non-registered names).
-# (4) slots 21-50: the 30 oldest-r9 stamps, name order; the 12
-#     remaining r9 stamps rotate in r14.
+#     5-7: IVF recall pin, stdlib-WAV decode, and the scale-safe exact
+#     Jaccard twin — PPJoin positional/length filtering rather than
+#     the verdict's suggested LSH banding, which is statistically
+#     unusable at t=0.6 on this gram space; see
+#     text._prefix_filter_verify) — new queries enter the window
+#     immediately so the embedding_covariance gap doesn't recur.
+#     stream_session_window is also re-windowed: its registered
+#     implementation changed this round (state-store drain →
+#     partial-spool pre-sessionization, verdict #2), and the new
+#     state-store twin rides with it.
+# (4) remaining slots: the oldest-r9 stamps, name order; the r9
+#     remainder rotates in r14.
 PRIORITY: tuple[str, ...] = (
     # (1) the 16 r8-stamped queries, name order.
     "semi_anti_customers",
@@ -96,8 +102,10 @@ PRIORITY: tuple[str, ...] = (
     # (3) queries added this round.
     "ivf_recall_eval",
     "wav_decode_stats",
-    "jaccard_block_pairs_lsh_verified",
-    # (4) the 30 oldest-r9 stamps, name order.
+    "jaccard_block_pairs_ppjoin",
+    "stream_session_window",
+    "stream_session_window_state",
+    # (4) the 28 oldest-r9 stamps, name order.
     "cluster_keep_longest",
     "composite_key",
     "corrupt_record_quarantine",
@@ -126,8 +134,6 @@ PRIORITY: tuple[str, ...] = (
     "q18_large_orders",
     "q19_disjunctive_filter",
     "q20_excess_shippers",
-    "q22_idle_balances",
-    "q2_min_cost_supplier",
 )
 
 

@@ -368,6 +368,20 @@ def drain_events_multi(
         p["durationMs"].get("triggerExecution", 0) / 1000.0
         for p in q.recentProgress
     )
+    trigger_sec = progress.trigger_seconds()
+    # Feed the same session-wide drain accumulators run_to_memory
+    # feeds, so a REGISTERED query built on this drain (the
+    # partial-spool stream_session_window) gets the standard
+    # credited = wall − drain_wall + trigger accounting in bench.py /
+    # scripts/drain_scale_probe.py without either caller special-casing
+    # the drain form. Callers that pass `timings` (bench's shared
+    # unit) keep their own copy; the globals are reset-before-read by
+    # every consumer, so double-accumulating here is harmless there.
+    from master_airflow_spark.streaming import events as _ev
+
+    _ev._DRAIN_TRIGGER_SEC += trigger_sec
+    _ev._DRAIN_TRIGGER_SEC_RECENT += trigger_recent
+    _ev._DRAIN_WALL_SEC += pass_wall
 
     from master_airflow_spark.registry import track_scratch_dir
 
@@ -391,7 +405,7 @@ def drain_events_multi(
     if timings is not None:
         timings["views"] = {v: round(s, 4) for v, s in view_sec.items()}
         timings["pass_wall"] = round(pass_wall, 4)
-        timings["trigger"] = round(progress.trigger_seconds(), 4)
+        timings["trigger"] = round(trigger_sec, 4)
         # recentProgress cross-check of the listener total (round-7
         # ADVICE: the two must agree; bench records both).
         timings["trigger_recent"] = round(trigger_recent, 4)

@@ -56,7 +56,14 @@ def _duckdb_connection(sf_dir: str):
         )
     return con
 
-VIEWS = ("stream_tumbling_agg", "stream_session_window")
+# Round 13: stream_session_window is now the partial-spool drain
+# (per-batch pre-sessionization, verdict #2); the state-store twin
+# stays in the probe so every run reports the A/B at each scale.
+VIEWS = (
+    "stream_tumbling_agg",
+    "stream_session_window",
+    "stream_session_window_state",
+)
 FACTORS = [int(x) for x in os.environ.get("DRAIN_FACTORS", "1 10 50").split()]
 OUT_ROOT = "/tmp/mas_scale"
 ROCKSDB = os.environ.get("DRAIN_ROCKSDB") == "1"
@@ -169,12 +176,15 @@ def main() -> None:
         try:
             for name in VIEWS:
                 spec = registry.REGISTRY[name]
+                print(f"x{k} {name}: oracle reps...", file=sys.stderr, flush=True)
                 ora = []
                 for _ in range(3):
                     t0 = time.perf_counter()
                     con.execute(spec.oracle).fetchall()
                     ora.append(time.perf_counter() - t0)
                 o = sorted(ora)[1]
+                print(f"x{k} {name}: oracle {o:.2f}s; drains...",
+                      file=sys.stderr, flush=True)
                 for label, provider in provider_rows:
                     if provider is not None:
                         spark.conf.set(

@@ -259,3 +259,31 @@ def test_embedding_near_dup_empty_corpus(spark, tmp_path):
     df = REGISTRY["embedding_near_dup"].fn(spark, out)
     assert df.columns == ["a_id", "b_id", "cosine"]
     assert df.count() == 0
+
+
+def test_ivf_recall_eval_query(spark):
+    """The registered ivf_recall_eval query (round-12 verdict #5): its
+    per-query recall@5 must reproduce the set arithmetic over the two
+    certified operators, with the measured deterministic floor (mean
+    0.74 at sf0.01 under N_PROBE=6) pinned just below."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    sfd = "/root/testdata/sf0.01"
+    rows = REGISTRY["ivf_recall_eval"].fn(spark, sfd).collect()
+    got = {r.q_id: (r.n_hits, r.recall_at_k) for r in rows}
+
+    exact = collections.defaultdict(set)
+    for r in REGISTRY["cosine_topk"].fn(spark, sfd).collect():
+        exact[r.q_id].add(r.n_id)
+    ivf = collections.defaultdict(set)
+    for r in REGISTRY["ivf_ann_topk"].fn(spark, sfd).collect():
+        ivf[r.q_id].add(r.n_id)
+
+    assert set(got) == set(exact)  # one row per ground-truth query
+    for q, members in exact.items():
+        hits = len(members & ivf[q])
+        assert got[q] == (hits, hits / 5)
+    mean = sum(v[1] for v in got.values()) / len(got)
+    assert mean >= 0.7, f"ivf recall@5 regressed: {mean}"

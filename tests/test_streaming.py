@@ -447,7 +447,9 @@ def test_session_drain_rocksdb_provider_equal(spark, sf_dir):
     from master_airflow_spark import registry
 
     registry._ensure_loaded()
-    fn = registry.REGISTRY["stream_session_window"].fn
+    # the STATE-STORE form — the registered stream_session_window is
+    # the partial-spool drain since r13 and touches no state store
+    fn = registry.REGISTRY["stream_session_window_state"].fn
 
     def rows():
         out = sorted(map(tuple, fn(spark, sf_dir).collect()))
