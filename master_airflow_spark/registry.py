@@ -79,6 +79,15 @@ def register(
 #     state-store twin rides with it.
 # (4) remaining slots: the oldest-r9 stamps, name order; the r9
 #     remainder rotates in r14.
+# Changed-code note (round-9 verdict protocol): queries whose code is
+# touched this round but NOT in the window are re-verified via
+# testing.run_one in the touching session — this round that is
+# jaccard_block_pairs (r12-stamped; its gram pipeline refactored into
+# _ranked_gram_sets/_prefix_filter_verify, shared with the PPJoin
+# twin — run_one green at sf0.01, plus the twin-equality pin in
+# tests/test_dedup.py) and dedup_clusters/cluster_keep_longest
+# (clusters.py checkpoint-guard + scratch-root fixes — both also in
+# the window).
 PRIORITY: tuple[str, ...] = (
     # (1) the 16 r8-stamped queries, name order.
     "semi_anti_customers",
