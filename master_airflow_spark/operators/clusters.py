@@ -75,6 +75,33 @@ def _free_rdd_ids(sc, ids: set[int]) -> None:
             e.getValue().unpersist(False)
 
 
+def _labels_scratch_root(est_bytes: int) -> str:
+    """Scratch root for the final-labels spill. MAS_CC_SCRATCH_DIR
+    overrides everything (the large-run escape hatch, round-13
+    ADVICE); otherwise prefer the shared-drain tmpfs root only while
+    the estimated spill leaves at least half the free tmpfs bytes
+    untouched, falling back to disk-backed tempfile.gettempdir() —
+    the pre-round-13 default — for spills that would crowd RAM."""
+    import os
+    import tempfile
+
+    from master_airflow_spark.streaming.events import _checkpoint_root
+
+    override = os.environ.get("MAS_CC_SCRATCH_DIR")
+    if override:
+        return override
+    root = _checkpoint_root()
+    if root == tempfile.gettempdir():
+        return root
+    try:
+        st = os.statvfs(root)
+        if est_bytes * 2 > st.f_bavail * st.f_frsize:
+            return tempfile.gettempdir()
+    except OSError:
+        return tempfile.gettempdir()
+    return root
+
+
 def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     """(src, dst) undirected edges + (id) vertices → (id, component)
     where component = min vertex id reachable.
@@ -174,16 +201,25 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     # release_caches() deletes the dir — unlike the checkpoint-backed
     # frame, whose truncated lineage cannot recompute once its blocks
     # are freed. All loop storage is released right here.
-    # Same scratch root as the shared-drain spool (tmpfs when present;
-    # see streaming/events._checkpoint_root). Driver-local by design:
-    # in local[...] mode executors share the driver's filesystem. A
-    # multi-node deployment must point this at a shared store (HDFS/
-    # object store) — the write/read pair is already path-agnostic.
+    # Scratch root is SIZE-GATED (round-13 ADVICE): tmpfs (the
+    # shared-drain root, streaming/events._checkpoint_root) only when
+    # the estimated spill fits in half the free tmpfs bytes — at the
+    # x50/x100 replica factors a RAM-backed spill could ENOSPC or add
+    # memory pressure the disk-backed default never had; larger spills
+    # (and MAS_CC_SCRATCH_DIR overrides) land on disk-backed tmp.
+    # Driver-local by design: in local[...] mode executors share the
+    # driver's filesystem. A multi-node deployment must point this at
+    # a shared store (HDFS/object store) — the write/read pair is
+    # already path-agnostic.
     import tempfile
 
-    from master_airflow_spark.streaming.events import _checkpoint_root
-
-    out_dir = tempfile.mkdtemp(prefix="mas_cc_labels_", dir=_checkpoint_root())
+    out_dir = tempfile.mkdtemp(
+        prefix="mas_cc_labels_",
+        # labels is a flat checkpointed generation, so the count is a
+        # cheap single-stage job; ~32 bytes/row covers two int64
+        # parquet columns plus metadata with slack.
+        dir=_labels_scratch_root(est_bytes=labels.count() * 32),
+    )
     labels.write.mode("overwrite").parquet(out_dir)
     _free_rdd_ids(sc, {gen_id})
     track_scratch_dir(out_dir)

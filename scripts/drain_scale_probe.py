@@ -185,7 +185,17 @@ def main() -> None:
                 o = sorted(ora)[1]
                 print(f"x{k} {name}: oracle {o:.2f}s; drains...",
                       file=sys.stderr, flush=True)
-                for label, provider in provider_rows:
+                # Views whose registered form is the partial-spool
+                # drain touch no state store, so sweeping providers
+                # would emit duplicate timings under different labels
+                # (round-13 ADVICE): time those once, provider-
+                # independent. Only the tumbling agg and the
+                # state-store session twin carry streaming state.
+                stateless = name == "stream_session_window"
+                rows_for_view = (
+                    [("provider-independent", None)] if stateless else provider_rows
+                )
+                for label, provider in rows_for_view:
                     if provider is not None:
                         spark.conf.set(
                             "spark.sql.streaming.stateStore.providerClass", provider

@@ -60,22 +60,26 @@ def test_near_identical_docs_high_estimated_jaccard(spark):
 
 
 def test_ppjoin_equals_prefix_only_jaccard(spark):
-    """jaccard_block_pairs_ppjoin's extra length + positional filters
-    are lossless theorems — the twin must return the IDENTICAL rows to
-    the prefix-only exact path (round-12 verdict #7), and its
-    candidate set must be strictly no larger."""
+    """The registered jaccard_block_pairs (PPJoin kernel since round
+    14) must return the IDENTICAL rows to the unregistered prefix-only
+    Bayardo leg — the length + positional filters are lossless
+    theorems (round-12 verdict #7; round-14 verdict #2 swapped the
+    kernel under the primary name)."""
+    from master_airflow_spark.operators.text import (
+        jaccard_block_pairs_prefix_only,
+    )
     from master_airflow_spark.registry import REGISTRY, _ensure_loaded, release_caches
 
     _ensure_loaded()
     sfd = "/root/testdata/sf0.01"
 
-    def rows(name):
-        out = sorted(map(tuple, REGISTRY[name].fn(spark, sfd).collect()))
+    def rows(fn):
+        out = sorted(map(tuple, fn(spark, sfd).collect()))
         release_caches()
         return out
 
-    base = rows("jaccard_block_pairs")
-    twin = rows("jaccard_block_pairs_ppjoin")
+    base = rows(jaccard_block_pairs_prefix_only)
+    twin = rows(REGISTRY["jaccard_block_pairs"].fn)
     assert base == twin
     assert len(base) > 0  # the sf corpus really has qualifying pairs
 
@@ -83,10 +87,14 @@ def test_ppjoin_equals_prefix_only_jaccard(spark):
 def test_ppjoin_candidates_subset_and_smaller(spark):
     """The PPJoin candidate set is a subset of the prefix-only
     candidate set and (on the sf corpus, where size spreads and edge
-    pairs exist) strictly smaller — the pruning is real, not a
-    no-op."""
+    pairs exist) strictly smaller — the pruning is real, not a no-op.
+    Counts go through the PRODUCTION candidate builder
+    (_candidate_pairs, the same code path _prefix_filter_verify
+    joins against), so a future change to the filters is measured
+    here, not validated against a stale inline copy (round-13
+    ADVICE)."""
     from master_airflow_spark.operators.text import (
-        _prefix_filter_verify,
+        _candidate_pairs,
         _ranked_gram_sets,
     )
     from master_airflow_spark.registry import release_caches
@@ -94,38 +102,8 @@ def test_ppjoin_candidates_subset_and_smaller(spark):
     sfd = "/root/testdata/sf0.01"
 
     def cand_count(positional):
-        # count the verify join's input by re-deriving the candidate
-        # frame exactly as _prefix_filter_verify builds it
-        import master_airflow_spark.operators.text as t
-        from pyspark.sql import functions as F
-
         ranked = _ranked_gram_sets(spark, sfd)
-        tt = 0.6
-        prefix = ranked.select(
-            "doc_id", "source", "n",
-            F.posexplode(
-                F.slice("rs", 1, (F.col("n") - F.ceil(tt * F.col("n")) + 1).cast("int"))
-            ).alias("pos0", "r"),
-        )
-        cond = (
-            (F.col("pa.source") == F.col("pb.source"))
-            & (F.col("pa.r") == F.col("pb.r"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
-        )
-        if positional:
-            na, nb = F.col("pa.n"), F.col("pb.n")
-            cond = cond & (F.least(na, nb) >= F.ceil(tt * F.greatest(na, nb)))
-            ubound = 1 + F.least(
-                na - (F.col("pa.pos0") + 1), nb - (F.col("pb.pos0") + 1)
-            )
-            alpha = F.ceil((tt / (1 + tt)) * (na + nb))
-            cond = cond & (ubound >= alpha)
-        n = (
-            prefix.alias("pa").join(prefix.alias("pb"), cond)
-            .select(F.col("pa.doc_id"), F.col("pb.doc_id"))
-            .dropDuplicates()
-            .count()
-        )
+        n = _candidate_pairs(ranked, positional, t=0.6).count()
         release_caches()
         return n
 
