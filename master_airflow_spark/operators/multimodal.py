@@ -292,29 +292,35 @@ def resize_image(payload: bytes, w: int, h: int) -> bytes:
     raise NotImplementedError("non-PPM resize requires a codec library (PIL)")
 
 
-def encode_wav(samples: bytes, sample_rate: int, n_channels: int = 1) -> bytes:
-    """PCM16 WAV encode via the stdlib ``wave`` module — a REAL audio
+def encode_wav(
+    samples: bytes, sample_rate: int, n_channels: int = 1, sampwidth: int = 2
+) -> bytes:
+    """PCM WAV encode via the stdlib ``wave`` module — a REAL audio
     container codec with no third-party dependency (round-12 verdict
     #6: shrink the codec boundary; before this the entire audio
-    modality was a loud stub). ``samples`` is raw little-endian int16
-    PCM (frame-interleaved when n_channels > 1)."""
+    modality was a loud stub). ``samples`` is raw PCM at ``sampwidth``
+    bytes per sample — unsigned u8 at width 1, little-endian int16 at
+    width 2 (the two widths the native decoder accepts) —
+    frame-interleaved when n_channels > 1."""
     import io
     import wave
 
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(n_channels)
-        w.setsampwidth(2)
+        w.setsampwidth(sampwidth)
         w.setframerate(sample_rate)
         w.writeframes(samples)
     return buf.getvalue()
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
-    """(sample_rate, n_channels, pcm16 bytes) from a WAV payload.
-    PCM16 decodes natively (stdlib ``wave``); compressed audio (mp3,
-    ogg, flac) requires a codec library — loud stub, same contract as
-    decode_image."""
+def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """(sample_rate, n_channels, sampwidth, pcm bytes) from a WAV
+    payload. PCM16 and PCM8 decode natively (stdlib ``wave``; round-14
+    hardening widened the boundary from PCM16-only — 8-bit WAV is
+    unsigned by spec, 16-bit little-endian signed); 24/32-bit PCM and
+    compressed audio (mp3, ogg, flac) require a codec library — loud
+    stub, same contract as decode_image."""
     import io
     import wave
 
@@ -325,9 +331,15 @@ def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
             "natively via the stdlib wave module"
         )
     with wave.open(io.BytesIO(payload), "rb") as w:
-        if w.getsampwidth() != 2:
-            raise NotImplementedError("only PCM16 WAV decodes natively")
-        return w.getframerate(), w.getnchannels(), w.readframes(w.getnframes())
+        width = w.getsampwidth()
+        if width not in (1, 2):
+            raise NotImplementedError("only PCM8/PCM16 WAV decodes natively")
+        return (
+            w.getframerate(),
+            w.getnchannels(),
+            width,
+            w.readframes(w.getnframes()),
+        )
 
 
 # Trivial raw-frame "video" container, so frame-sampling has a real,
@@ -622,8 +634,8 @@ def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 pcm = synth_pcm(text)
                 wav = encode_wav(pcm, RATE)
-                rate, nch, back = decode_wav(wav)
-                if back != pcm:  # self-verifying round-trip, fails loud
+                rate, nch, width, back = decode_wav(wav)
+                if back != pcm or width != 2:  # self-verifying round-trip
                     raise ValueError(f"WAV round-trip mismatch for doc {doc_id}")
                 s = array.array("h")
                 s.frombytes(back)  # little-endian int16 (parquet hosts too)

@@ -272,12 +272,36 @@ def test_wav_roundtrip_mono_and_stereo():
     import array
 
     mono = array.array("h", range(-32, 32)).tobytes()
-    rate, nch, back = decode_wav(encode_wav(mono, 8000))
-    assert (rate, nch, back) == (8000, 1, mono)
+    rate, nch, width, back = decode_wav(encode_wav(mono, 8000))
+    assert (rate, nch, width, back) == (8000, 1, 2, mono)
 
     stereo = array.array("h", [x for i in range(16) for x in (i, -i)]).tobytes()
-    rate, nch, back = decode_wav(encode_wav(stereo, 44100, n_channels=2))
-    assert (rate, nch, back) == (44100, 2, stereo)
+    rate, nch, width, back = decode_wav(encode_wav(stereo, 44100, n_channels=2))
+    assert (rate, nch, width, back) == (44100, 2, 2, stereo)
+
+
+def test_wav_pcm8_roundtrip_and_24bit_stub():
+    """Round-14 hardening: 8-bit (unsigned) PCM WAV — mono and stereo
+    — decodes natively and round-trips exactly; 24-bit PCM stays a
+    LOUD NotImplementedError (the documented native boundary is
+    PCM8/PCM16)."""
+    import pytest
+
+    from master_airflow_spark.operators.multimodal import decode_wav, encode_wav
+
+    mono8 = bytes(range(256))
+    rate, nch, width, back = decode_wav(encode_wav(mono8, 8000, sampwidth=1))
+    assert (rate, nch, width, back) == (8000, 1, 1, mono8)
+
+    stereo8 = bytes(x for i in range(64) for x in (i, 255 - i))
+    rate, nch, width, back = decode_wav(
+        encode_wav(stereo8, 22050, n_channels=2, sampwidth=1)
+    )
+    assert (rate, nch, width, back) == (22050, 2, 1, stereo8)
+
+    pcm24 = b"\x00\x01\x02" * 8
+    with pytest.raises(NotImplementedError, match="PCM8/PCM16"):
+        decode_wav(encode_wav(pcm24, 8000, sampwidth=3))
 
 
 def test_wav_known_bytes_fixture():
