@@ -1062,3 +1062,226 @@ def embedding_near_dup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFra
     return scored.where(F.col("cosine") >= 0.95).select(
         F.col("q_id").alias("a_id"), F.col("n_id").alias("b_id"), "cosine"
     )
+
+
+# -- Product-quantization ANN (the memory-bounded 100 TB path) ---------------
+#
+# IVF bounds the SEARCHED fraction of the corpus; PQ bounds its MEMORY:
+# each vector is quantized subspace-by-subspace to PQ_M codebook ids, so
+# the search structure holds PQ_M small ints per vector (4-bit codes at
+# PQ_K = 16 — a 64x cut vs the raw float32 dim-64 vectors) and the full
+# embedding is only ever touched for the exact re-rank of a bounded
+# candidate set. Scoring is ADC (asymmetric distance computation,
+# Jegou et al., TPAMI'11 "Product Quantization for Nearest Neighbor
+# Search"): per query, one (PQ_M x PQ_K) table of query-subvector /
+# centroid dot products is broadcast, and each corpus vector's
+# approximate dot is PQ_M table lookups — no per-pair float math.
+
+PQ_M = 8  # subspaces (dim 64 -> 8 dims each)
+PQ_K = 16  # centroids per subspace -> 4-bit codes
+# Re-rank width (measured sweep, round 14): recall@5 vs R on the
+# near-isotropic synthetic corpus —
+#   sf0.01: R=32/64/128/256 -> 0.64/0.76/0.92/1.00
+#   sf0.1:  R=32/64/128/256 -> 0.47/0.58/0.705/0.835
+# R=128 lands IVF-grade recall (0.92/0.705 vs IVF's 0.74/0.775 at
+# N_PROBE=6) while paying the exact dot product on 6.4% of the sf0.1
+# corpus vs IVF's 37.5% probed fraction — the ADC table lookups do
+# the other 93.6%. Same caveat as IVF: clusterless synthetic vectors
+# are ANN's worst case; clustered real corpora need smaller R.
+PQ_RERANK = 128  # ADC candidates per query kept for the exact re-rank
+
+
+def _pq_codebooks(e: DataFrame) -> "np.ndarray":
+    """(PQ_M, PQ_K, dsub) codebooks — the same deterministic sampled
+    Lloyd's recipe as _ivf_centroids (first IVF_SAMPLE vectors by
+    vec_id, every (n/k)-th sample as seed, fixed iteration count; no
+    RNG), run independently per subspace. Driver cost is
+    O(IVF_SAMPLE * dim) whatever the corpus size, and the codebooks
+    (PQ_M*PQ_K*dsub = 8k doubles) are closure-broadcast."""
+    import numpy as np
+
+    rows = (
+        e.select("vec_id", "embedding").orderBy("vec_id").limit(IVF_SAMPLE).collect()
+    )
+    X = np.stack([np.asarray(r.embedding, dtype=np.float32) for r in rows]).astype(
+        np.float64
+    )
+    dim = X.shape[1]
+    if dim % PQ_M:
+        raise ValueError(f"embedding dim {dim} not divisible by PQ_M={PQ_M}")
+    dsub = dim // PQ_M
+    books = np.zeros((PQ_M, PQ_K, dsub))
+    stride = max(1, len(rows) // PQ_K)
+    for m in range(PQ_M):
+        S = X[:, m * dsub : (m + 1) * dsub]
+        cents = [S[i] for i in range(0, len(rows), stride)[:PQ_K]][:PQ_K]
+        for _ in range(KMEANS_ITERS):
+            C = np.stack(cents)
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            cents = [
+                S[assign == c].mean(axis=0) if (assign == c).any() else C[c]
+                for c in range(PQ_K)
+            ]
+        books[m] = np.stack(cents)
+    return books
+
+
+def _pq_topk(spark: SparkSession, sf_dir: str, rerank: int | None) -> DataFrame:
+    """Shared PQ pipeline: encode -> ADC candidate generation -> exact
+    re-rank. rerank=None keeps EVERY corpus vector as a candidate, so
+    the exact re-rank provably returns brute-force cosine top-k
+    whatever the ADC scores say — the certification anchor
+    (pq_ann_exhaustive), same trick as ivf_ann_exhaustive's all-cells
+    probe. With rerank=PQ_RERANK only the ADC top-R per query pays the
+    exact dot product.
+
+    100 TB shape: codebooks + per-query ADC tables broadcast
+    (PQ_M*PQ_K doubles per query); the corpus streams once through the
+    encode kernel and once through the ADC kernel with per-batch top-R
+    pruning, so the candidate exchange carries <= R rows per (query,
+    batch) — bounded by the query cap, not the corpus; the re-rank
+    join touches R*|Q| embeddings. The corpus never shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(e)
+    dsub = books.shape[2]
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _to_matrix(pdf["embedding"])
+            codes = np.zeros((len(pdf), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                S = X[:, m * dsub : (m + 1) * dsub]
+                d2 = ((S[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+
+    codes_df = e.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, codes array<int>"
+    )
+
+    bc = _broadcast_queries(
+        spark,
+        e.where(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(MAX_QUERIES),
+    )
+    q_ids, Q = bc.value
+    # ADC tables: T[qi, m, k] = <q_sub, centroid>; subspaces partition
+    # the dims, so sum_m lookups = <q, reconstruction(x)>. cn2[m, k] =
+    # ||centroid||^2 gives the reconstructed norm the approximate
+    # cosine divides by (subspace orthogonality makes the sum exact
+    # for the RECONSTRUCTED vector).
+    T = np.einsum("qmd,mkd->qmk", Q.reshape(len(q_ids), PQ_M, dsub), books)
+    cn2 = (books**2).sum(axis=2)  # (M, K)
+    qn = np.sqrt((Q**2).sum(axis=1))
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Cd = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, M)
+            score = np.zeros((len(pdf), len(q_ids)))
+            n2 = np.zeros(len(pdf))
+            for m in range(PQ_M):
+                score += T[:, m, Cd[:, m]].T
+                n2 += cn2[m, Cd[:, m]]
+            approx = score / (np.sqrt(np.maximum(n2, 1e-30))[:, None] * qn[None, :])
+            vids = pdf["vec_id"].to_numpy()
+            out = []
+            for qi in range(len(q_ids)):
+                mask = vids != q_ids[qi]
+                s = approx[mask, qi]
+                v = vids[mask]
+                order = np.lexsort((v, -s))  # (adc desc, n_id asc): total order
+                if rerank is not None:
+                    order = order[:rerank]  # per-batch cut; global cut below
+                out.append(
+                    pd.DataFrame(
+                        {"q_id": int(q_ids[qi]), "n_id": v[order], "adc": s[order]}
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = codes_df.mapInPandas(adc, "q_id long, n_id long, adc double")
+    if rerank is not None:
+        # per-batch top-R union -> global top-R under the SAME total
+        # order: a valid reduction (any global top-R row is in its
+        # batch's top-R), partition-layout-invariant by the n_id tiebreak
+        wv = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("n_id"))
+        cand = cand.withColumn("crn", F.row_number().over(wv)).where(
+            F.col("crn") <= rerank
+        )
+    qmat = F.broadcast(
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in Q[n]]) for n, i in enumerate(q_ids)],
+            "q_id long, q_emb array<double>",
+        )
+    )
+    pairs = (
+        cand.select("q_id", "n_id")
+        .join(
+            e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("b_emb")),
+            "n_id",
+        )
+        .join(qmat, "q_id")
+        .select("q_id", "n_id", F.col("q_emb").alias("a_emb"), "b_emb")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        _pair_cosine_kernel(pairs)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+    )
+
+
+@register("pq_ann_topk", oracle=None, tags=("X25",))
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: ADC top-PQ_RERANK candidates per
+    query, exact cosine re-rank to top-k. Rows-only by design (the
+    subspace k-means quantizer is iterative, recall < 1); the exact
+    ground truth is cosine_topk, the recall row is pq_recall_eval,
+    and the SAME machinery is exactly certified by
+    pq_ann_exhaustive."""
+    return _pq_topk(spark, sf_dir, PQ_RERANK)
+
+
+@register("pq_ann_exhaustive", oracle=_COSINE_TOPK_ORACLE, tags=("X25",))
+def pq_ann_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ pipeline with rerank=None: every corpus vector survives
+    candidate generation, so the exact re-rank PROVABLY equals
+    brute-force cosine top-k — which is exactly what the oracle
+    states. Certifies the whole PQ machinery (subspace codebooks,
+    encode kernel, ADC tables and lookups, candidate union, re-rank
+    kernel) under the driver's hash-diff, while pq_ann_topk keeps the
+    approximate configuration the recall tests pin."""
+    return _pq_topk(spark, sf_dir, None)
+
+
+@register("pq_recall_eval", oracle=None, tags=("X25", "quality"))
+def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of pq_ann_topk against the exact cosine ground truth,
+    per query — the PQ counterpart of ivf_recall_eval (same reduction,
+    same per-query ground-truth denominator). Deterministic end to
+    end, but the quantizer is iterative, so rows-only; the pytest
+    floor lives in tests/test_similarity.py."""
+    exact = cosine_topk(spark, sf_dir).select("q_id", "n_id")
+    pq = pq_ann_topk(spark, sf_dir).select("q_id", "n_id")
+    hits = pq.join(exact, ["q_id", "n_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    qs = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_true"))
+    return qs.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_true")
+        ).alias("recall_at_k"),
+    )

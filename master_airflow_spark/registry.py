@@ -68,9 +68,15 @@ def register(
 #     verdict #5; the r13-certified jaccard_block_pairs_ppjoin twin
 #     merged into it and left the registry) and ivf_recall_eval
 #     (per-query ground-truth denominator, round-13 ADVICE).
-# (3) remaining 35 slots: the oldest-r10 stamps, name order; the
-#     r10 remainder (sentence_segmentation .. winsorized_mean_price,
-#     13 queries) rotates in r15.
+# (2b) slots 16-18: queries ADDED this round — the product-
+#     quantization ANN family (pq_ann_exhaustive carries the exact
+#     cosine_topk oracle; pq_ann_topk / pq_recall_eval are rows-only
+#     by design, recall floor pinned in tests/test_similarity.py) —
+#     new queries enter the window immediately, the standing policy.
+# (3) remaining 32 slots: the oldest-r10 stamps, name order; the
+#     r10 remainder (prefix_containment_pairs, profile_columns,
+#     right_join_parts_lineitems, then sentence_segmentation ..
+#     winsorized_mean_price — 16 queries) rotates in r15.
 # Changed-code note (round-9 verdict protocol): queries whose code is
 # touched this round but NOT in the window are re-verified via
 # testing.run_one in the touching session — this round that is
@@ -94,7 +100,11 @@ PRIORITY: tuple[str, ...] = (
     # (2) queries whose code changed this round.
     "jaccard_block_pairs",
     "ivf_recall_eval",
-    # (3) the 35 oldest-r10 stamps, name order.
+    # (2b) queries added this round.
+    "pq_ann_exhaustive",
+    "pq_ann_topk",
+    "pq_recall_eval",
+    # (3) the 32 oldest-r10 stamps, name order.
     "agg_collect_arrays",
     "asof_join_events_orders",
     "bfs_reachability_hops",
@@ -127,9 +137,6 @@ PRIORITY: tuple[str, ...] = (
     "nation_revenue_trend",
     "pagerank_trade_graph",
     "pii_redact",
-    "prefix_containment_pairs",
-    "profile_columns",
-    "right_join_parts_lineitems",
 )
 
 

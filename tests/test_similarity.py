@@ -287,3 +287,71 @@ def test_ivf_recall_eval_query(spark):
         assert got[q] == (hits, hits / 5)
     mean = sum(v[1] for v in got.values()) / len(got)
     assert mean >= 0.7, f"ivf recall@5 regressed: {mean}"
+
+
+def test_pq_exhaustive_equals_cosine_topk(spark):
+    """pq_ann_exhaustive (rerank=None keeps every corpus vector as a
+    candidate) must equal the certified brute-force cosine_topk
+    row-for-row — the provable-equality anchor for the PQ machinery
+    (round-14; same pattern as ivf_ann_exhaustive)."""
+    sfd = "/root/testdata/sf0.01"
+
+    def rows(name):
+        from master_airflow_spark.registry import release_caches
+
+        out = sorted(
+            (r.q_id, r.n_id, r.cosine, r.rn)
+            for r in REGISTRY[name].fn(spark, sfd).collect()
+        )
+        release_caches()
+        return out
+
+    assert rows("pq_ann_exhaustive") == rows("cosine_topk")
+
+
+def test_pq_recall_eval_query(spark):
+    """The registered pq_recall_eval query: per-query recall@5 must
+    reproduce the set arithmetic over the two operators, with the
+    measured deterministic floor (0.92 at sf0.01 under PQ_RERANK=128,
+    sweep in similarity.py) pinned just below at 0.7 — the same floor
+    the IVF path carries."""
+    import collections
+
+    sfd = "/root/testdata/sf0.01"
+    rows = REGISTRY["pq_recall_eval"].fn(spark, sfd).collect()
+    got = {r.q_id: (r.n_hits, r.recall_at_k) for r in rows}
+
+    exact = collections.defaultdict(set)
+    for r in REGISTRY["cosine_topk"].fn(spark, sfd).collect():
+        exact[r.q_id].add(r.n_id)
+    pq = collections.defaultdict(set)
+    for r in REGISTRY["pq_ann_topk"].fn(spark, sfd).collect():
+        pq[r.q_id].add(r.n_id)
+
+    assert set(got) == set(exact)  # one row per ground-truth query
+    for q, members in exact.items():
+        hits = len(members & pq[q])
+        assert got[q] == (hits, hits / len(members))
+    mean = sum(v[1] for v in got.values()) / len(got)
+    assert mean >= 0.7, f"pq recall@5 regressed: {mean}"
+
+
+def test_pq_codebooks_deterministic_and_shaped(spark):
+    """The sampled subspace Lloyd's quantizer is seedless-deterministic:
+    two independent builds on the same corpus produce bit-identical
+    codebooks of shape (PQ_M, PQ_K, dim/PQ_M)."""
+    import numpy as np
+
+    from master_airflow_spark.catalog import load_table
+    from master_airflow_spark.operators.similarity import (
+        DIM,
+        PQ_K,
+        PQ_M,
+        _pq_codebooks,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    b1 = _pq_codebooks(e)
+    b2 = _pq_codebooks(e)
+    assert b1.shape == (PQ_M, PQ_K, DIM // PQ_M)
+    assert np.array_equal(b1, b2)
