@@ -75,13 +75,17 @@ def _free_rdd_ids(sc, ids: set[int]) -> None:
             e.getValue().unpersist(False)
 
 
-def _labels_scratch_root(est_bytes: int) -> str:
+def _labels_scratch_root(est_bytes_fn) -> str:
     """Scratch root for the final-labels spill. MAS_CC_SCRATCH_DIR
     overrides everything (the large-run escape hatch, round-13
     ADVICE); otherwise prefer the shared-drain tmpfs root only while
     the estimated spill leaves at least half the free tmpfs bytes
     untouched, falling back to disk-backed tempfile.gettempdir() —
-    the pre-round-13 default — for spills that would crowd RAM."""
+    the pre-round-13 default — for spills that would crowd RAM.
+    ``est_bytes_fn`` is a thunk (it costs a Spark count job), invoked
+    only on the tmpfs branch where the estimate is actually consulted
+    (round-14 review: an eager count ran even under the override and
+    the no-tmpfs fallback)."""
     import os
     import tempfile
 
@@ -95,7 +99,7 @@ def _labels_scratch_root(est_bytes: int) -> str:
         return root
     try:
         st = os.statvfs(root)
-        if est_bytes * 2 > st.f_bavail * st.f_frsize:
+        if est_bytes_fn() * 2 > st.f_bavail * st.f_frsize:
             return tempfile.gettempdir()
     except OSError:
         return tempfile.gettempdir()
@@ -217,8 +221,9 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
         prefix="mas_cc_labels_",
         # labels is a flat checkpointed generation, so the count is a
         # cheap single-stage job; ~32 bytes/row covers two int64
-        # parquet columns plus metadata with slack.
-        dir=_labels_scratch_root(est_bytes=labels.count() * 32),
+        # parquet columns plus metadata with slack. Thunked: only the
+        # tmpfs branch pays the count.
+        dir=_labels_scratch_root(lambda: labels.count() * 32),
     )
     labels.write.mode("overwrite").parquet(out_dir)
     _free_rdd_ids(sc, {gen_id})

@@ -496,25 +496,19 @@ N_PROBE = 6
 IVF_SAMPLE = 4096  # k-means training sample cap — bounds driver memory
 
 
-def _ivf_centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
-    """Deterministic coarse quantizer: Lloyd's k-means over a BOUNDED
-    sample (first IVF_SAMPLE vectors by vec_id — deterministic, and at
-    most O(IVF_SAMPLE·dim) on the driver no matter the corpus size)
-    with fixed seeding (every (n/k)-th sample vector) and a fixed
-    iteration count — no RNG, same centroids every run. A coarse
-    quantizer trained on a few thousand points is the standard IVF
-    recipe (FAISS trains on a sample too); the full corpus is only
-    ever touched by the distributed cell-assignment pass."""
+def _lloyd(X: "np.ndarray", k: int) -> "np.ndarray":
+    """Deterministic sampled Lloyd's k-means: fixed seeding (every
+    (n/k)-th sample row), fixed KMEANS_ITERS iteration count, no RNG —
+    same centroids every run. Degrades gracefully on tiny inputs
+    (fewer rows than k → fewer centroids), so callers must size
+    downstream structures from the RETURNED shape, not from k. ONE
+    implementation shared by the IVF coarse quantizer and the PQ
+    subspace quantizers (round-14 review: the hand-copied PQ loop had
+    already drifted to a crashing range(PQ_K) on short seed lists)."""
     import numpy as np
 
-    rows = (
-        e.select("vec_id", "embedding").orderBy("vec_id").limit(IVF_SAMPLE).collect()
-    )
-    X = np.stack([np.asarray(r.embedding, dtype=np.float32) for r in rows]).astype(
-        np.float64
-    )
-    stride = max(1, len(rows) // N_CELLS)
-    cents = [X[i] for i in range(0, len(rows), stride)[:N_CELLS]][:N_CELLS]
+    stride = max(1, len(X) // k)
+    cents = [X[i] for i in range(0, len(X), stride)[:k]][:k]
     for _ in range(KMEANS_ITERS):
         C = np.stack(cents)
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
@@ -523,7 +517,33 @@ def _ivf_centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
             X[assign == c].mean(axis=0) if (assign == c).any() else C[c]
             for c in range(len(cents))
         ]
-    return [(i, c.tolist()) for i, c in enumerate(cents)]
+    return np.stack(cents)
+
+
+def _quantizer_sample(e: DataFrame) -> "np.ndarray":
+    """The bounded deterministic training sample both quantizers draw
+    from: first IVF_SAMPLE vectors by vec_id — at most
+    O(IVF_SAMPLE·dim) on the driver no matter the corpus size. A
+    quantizer trained on a few thousand points is the standard recipe
+    (FAISS trains on a sample too); the full corpus is only ever
+    touched by the distributed assignment/encode pass."""
+    import numpy as np
+
+    rows = (
+        e.select("vec_id", "embedding").orderBy("vec_id").limit(IVF_SAMPLE).collect()
+    )
+    return np.stack(
+        [np.asarray(r.embedding, dtype=np.float32) for r in rows]
+    ).astype(np.float64)
+
+
+def _ivf_centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF coarse quantizer — _lloyd over the shared
+    bounded sample (see _quantizer_sample / _lloyd for the recipe and
+    determinism contract)."""
+    return [
+        (i, c.tolist()) for i, c in enumerate(_lloyd(_quantizer_sample(e), N_CELLS))
+    ]
 
 
 @register("ivf_ann_topk", oracle=None, tags=("X25",))
@@ -848,6 +868,29 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_eval(exact: DataFrame, ann: DataFrame) -> DataFrame:
+    """Per-query recall@k of ``ann`` against ``exact`` ground truth:
+    one (q_id, n_id) equi-join + a query-sized aggregate, divided by
+    the PER-QUERY ground-truth size (round-13 ADVICE — a TOP_K-literal
+    denominator understates recall when the exact side returns fewer
+    than k neighbors). ONE implementation shared by ivf_recall_eval
+    and pq_recall_eval (round-14 review: the two had verbatim copies,
+    so a denominator fix would have had to land twice)."""
+    exact = exact.select("q_id", "n_id")
+    ann = ann.select("q_id", "n_id")
+    hits = ann.join(exact, ["q_id", "n_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    qs = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_true"))
+    return qs.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_true")
+        ).alias("recall_at_k"),
+    )
+
+
 @register("ivf_recall_eval", oracle=None, tags=("X25", "quality"))
 def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the IVF index (n_probe = N_PROBE) against the exact
@@ -870,18 +913,8 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     fewer than k neighbors and a constant denominator would
     understate recall; on the bench corpus the two are equal, so the
     registered numbers are unchanged."""
-    exact = cosine_topk(spark, sf_dir).select("q_id", "n_id")
-    ivf = ivf_ann_topk(spark, sf_dir).select("q_id", "n_id")
-    hits = ivf.join(exact, ["q_id", "n_id"]).groupBy("q_id").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    qs = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_true"))
-    return qs.join(hits, "q_id", "left").select(
-        "q_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-        (
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_true")
-        ).alias("recall_at_k"),
+    return _recall_eval(
+        cosine_topk(spark, sf_dir), ivf_ann_topk(spark, sf_dir)
     )
 
 
@@ -1092,39 +1125,24 @@ PQ_RERANK = 128  # ADC candidates per query kept for the exact re-rank
 
 
 def _pq_codebooks(e: DataFrame) -> "np.ndarray":
-    """(PQ_M, PQ_K, dsub) codebooks — the same deterministic sampled
-    Lloyd's recipe as _ivf_centroids (first IVF_SAMPLE vectors by
-    vec_id, every (n/k)-th sample as seed, fixed iteration count; no
-    RNG), run independently per subspace. Driver cost is
-    O(IVF_SAMPLE * dim) whatever the corpus size, and the codebooks
-    (PQ_M*PQ_K*dsub = 8k doubles) are closure-broadcast."""
+    """(PQ_M, k_eff, dsub) codebooks — _lloyd (the shared deterministic
+    sampled quantizer, see its docstring) run independently per
+    subspace over the shared _quantizer_sample. k_eff == PQ_K except
+    on corpora smaller than PQ_K, where _lloyd returns fewer
+    centroids and every consumer sizes itself from the returned shape
+    (codes argmin, ADC tables, cn2) — tiny corpora degrade to coarser
+    codes instead of crashing. Driver cost is O(IVF_SAMPLE * dim)
+    whatever the corpus size."""
     import numpy as np
 
-    rows = (
-        e.select("vec_id", "embedding").orderBy("vec_id").limit(IVF_SAMPLE).collect()
-    )
-    X = np.stack([np.asarray(r.embedding, dtype=np.float32) for r in rows]).astype(
-        np.float64
-    )
+    X = _quantizer_sample(e)
     dim = X.shape[1]
     if dim % PQ_M:
         raise ValueError(f"embedding dim {dim} not divisible by PQ_M={PQ_M}")
     dsub = dim // PQ_M
-    books = np.zeros((PQ_M, PQ_K, dsub))
-    stride = max(1, len(rows) // PQ_K)
-    for m in range(PQ_M):
-        S = X[:, m * dsub : (m + 1) * dsub]
-        cents = [S[i] for i in range(0, len(rows), stride)[:PQ_K]][:PQ_K]
-        for _ in range(KMEANS_ITERS):
-            C = np.stack(cents)
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            cents = [
-                S[assign == c].mean(axis=0) if (assign == c).any() else C[c]
-                for c in range(PQ_K)
-            ]
-        books[m] = np.stack(cents)
-    return books
+    return np.stack(
+        [_lloyd(X[:, m * dsub : (m + 1) * dsub], PQ_K) for m in range(PQ_M)]
+    )
 
 
 def _pq_topk(spark: SparkSession, sf_dir: str, rerank: int | None) -> DataFrame:
@@ -1165,24 +1183,28 @@ def _pq_topk(spark: SparkSession, sf_dir: str, rerank: int | None) -> DataFrame:
         encode, "vec_id long, codes array<int>"
     )
 
-    bc = _broadcast_queries(
-        spark,
+    q_ids, Q = _collect_queries(
         e.where(F.col("vec_id") % QUERY_STRIDE == 0)
         .select("vec_id", "embedding")
         .orderBy("vec_id")
-        .limit(MAX_QUERIES),
+        .limit(MAX_QUERIES)
     )
-    q_ids, Q = bc.value
     # ADC tables: T[qi, m, k] = <q_sub, centroid>; subspaces partition
     # the dims, so sum_m lookups = <q, reconstruction(x)>. cn2[m, k] =
     # ||centroid||^2 gives the reconstructed norm the approximate
     # cosine divides by (subspace orthogonality makes the sum exact
-    # for the RECONSTRUCTED vector).
+    # for the RECONSTRUCTED vector). The tables ship as ONE tracked
+    # SparkContext broadcast read via .value INSIDE the kernel —
+    # ~1 MB at the query cap, which in a closure would re-serialize
+    # with the plan for every task (the anti-pattern _pairs_kernel's
+    # docstring names; round-14 review catch).
     T = np.einsum("qmd,mkd->qmk", Q.reshape(len(q_ids), PQ_M, dsub), books)
-    cn2 = (books**2).sum(axis=2)  # (M, K)
+    cn2 = (books**2).sum(axis=2)  # (M, k_eff)
     qn = np.sqrt((Q**2).sum(axis=1))
+    bc_adc = track_broadcast(spark.sparkContext.broadcast((q_ids, T, cn2, qn)))
 
     def adc(batches):
+        q_ids, T, cn2, qn = bc_adc.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1272,16 +1294,6 @@ def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     same per-query ground-truth denominator). Deterministic end to
     end, but the quantizer is iterative, so rows-only; the pytest
     floor lives in tests/test_similarity.py."""
-    exact = cosine_topk(spark, sf_dir).select("q_id", "n_id")
-    pq = pq_ann_topk(spark, sf_dir).select("q_id", "n_id")
-    hits = pq.join(exact, ["q_id", "n_id"]).groupBy("q_id").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    qs = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_true"))
-    return qs.join(hits, "q_id", "left").select(
-        "q_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-        (
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_true")
-        ).alias("recall_at_k"),
+    return _recall_eval(
+        cosine_topk(spark, sf_dir), pq_ann_topk(spark, sf_dir)
     )

@@ -64,6 +64,15 @@ VIEWS = (
     "stream_session_window",
     "stream_session_window_state",
 )
+# Views whose REGISTERED form is the stateless partial-spool drain —
+# these touch no state store, so the provider sweep would emit
+# duplicate timings under different labels (round-13 ADVICE). Kept as
+# an explicit set NEXT TO VIEWS (round-14 review): whoever flips a
+# view's registered implementation between state-store and
+# partial-spool forms must move it here in the same change — the two
+# declarations travel together, unlike the hardcoded name the probe
+# loop previously buried.
+PARTIAL_SPOOL_VIEWS = frozenset({"stream_session_window"})
 FACTORS = [int(x) for x in os.environ.get("DRAIN_FACTORS", "1 10 50").split()]
 OUT_ROOT = "/tmp/mas_scale"
 ROCKSDB = os.environ.get("DRAIN_ROCKSDB") == "1"
@@ -185,15 +194,12 @@ def main() -> None:
                 o = sorted(ora)[1]
                 print(f"x{k} {name}: oracle {o:.2f}s; drains...",
                       file=sys.stderr, flush=True)
-                # Views whose registered form is the partial-spool
-                # drain touch no state store, so sweeping providers
-                # would emit duplicate timings under different labels
-                # (round-13 ADVICE): time those once, provider-
-                # independent. Only the tumbling agg and the
-                # state-store session twin carry streaming state.
-                stateless = name == "stream_session_window"
+                # Partial-spool views are timed once, provider-
+                # independent (see PARTIAL_SPOOL_VIEWS at the top).
                 rows_for_view = (
-                    [("provider-independent", None)] if stateless else provider_rows
+                    [("provider-independent", None)]
+                    if name in PARTIAL_SPOOL_VIEWS
+                    else provider_rows
                 )
                 for label, provider in rows_for_view:
                     if provider is not None:
