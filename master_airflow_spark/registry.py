@@ -81,7 +81,12 @@ def register(
 # touched this round but NOT in the window are re-verified via
 # testing.run_one in the touching session — this round that is
 # dedup_clusters / cluster_keep_longest (clusters.py labels-spill
-# scratch-root gating, round-13 ADVICE; both r13-stamped).
+# scratch-root gating + lazy size thunk, round-13 ADVICE) and the
+# similarity module's non-windowed queries (cosine_topk,
+# ivf_ann_topk, ivf_ann_exhaustive, ann_recall_eval — the shared
+# _lloyd/_quantizer_sample/_recall_eval refactor): all run_one-green
+# at sf0.01 after the change, oracle hash match where one exists.
+# wav_decode_stats (decode_wav arity change) likewise re-verified.
 PRIORITY: tuple[str, ...] = (
     # (1) the 13 r9-stamped queries, name order.
     "q22_idle_balances",
