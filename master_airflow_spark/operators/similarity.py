@@ -1297,3 +1297,206 @@ def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_eval(
         cosine_topk(spark, sf_dir), pq_ann_topk(spark, sf_dir)
     )
+
+
+# -- IVF-PQ: the composed production index (cells x residual codes) ----------
+#
+# The FAISS-style 100 TB recipe: the IVF coarse quantizer bounds the
+# SEARCHED fraction (probe n_probe of N_CELLS cells per query — the
+# cell id is the partition key at scale, so candidate generation is a
+# co-located equi-join that never scans unprobed cells), and PQ bounds
+# MEMORY inside each cell (vectors stored as PQ_M residual codes, not
+# floats). Residual encoding (x - cell_centroid quantized, not x)
+# keeps codebook resolution where the data actually is. Scoring is
+# pure table lookups: with x̂ = c + r̂ and subspaces partitioning the
+# dims exactly,
+#   <q, x̂>   = <q, c>            (per (query, cell) scalar)
+#            + Σ_m T[q, m, code_m]        (query-residual tables)
+#   ||x̂||²  = ||c||²                     (per-cell scalar)
+#            + 2·Σ_m CC[cell, m, code_m]  (centroid-residual tables)
+#            + Σ_m cn2[m, code_m]         (residual-norm tables)
+# so the approximate cosine of the RECONSTRUCTED vector is exact in
+# the lookups — no per-pair float math until the final re-rank.
+
+IVFPQ_RERANK = 128  # exact re-rank width (same sweep logic as PQ_RERANK)
+
+
+def _ivfpq_topk(
+    spark: SparkSession, sf_dir: str, n_probe: int, rerank: int | None
+) -> DataFrame:
+    """Shared IVF-PQ pipeline. n_probe=N_CELLS with rerank=None keeps
+    every (query, cell) pair probed and every candidate exactly
+    re-ranked, so the result PROVABLY equals brute-force cosine top-k
+    (the certification anchor, ivfpq_ann_exhaustive) — the same
+    double-degeneration trick as ivf_ann_exhaustive + pq_ann_exhaustive,
+    here certifying the composed machinery: coarse assign, residual
+    encode, per-cell ADC lookup algebra, probe join, re-rank."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    X = _quantizer_sample(e)
+    dim = X.shape[1]
+    if dim % PQ_M:
+        raise ValueError(f"embedding dim {dim} not divisible by PQ_M={PQ_M}")
+    dsub = dim // PQ_M
+    C = _lloyd(X, N_CELLS)  # coarse centroids (n_cells_eff, dim)
+    n_cells = C.shape[0]
+    # residual codebooks: train on the SAMPLE's residuals vs its
+    # assigned cells — same bounded-sample recipe as every quantizer
+    d2s = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    R = X - C[d2s.argmin(axis=1)]
+    books = np.stack(
+        [_lloyd(R[:, m * dsub : (m + 1) * dsub], PQ_K) for m in range(PQ_M)]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _to_matrix(pdf["embedding"])
+            d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cell = d2.argmin(axis=1)
+            res = V - C[cell]
+            codes = np.zeros((len(pdf), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                S = res[:, m * dsub : (m + 1) * dsub]
+                dd = ((S[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = dd.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cell.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    codes_df = e.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, cell int, codes array<int>"
+    )
+
+    q_ids, Q = _collect_queries(
+        e.where(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(MAX_QUERIES)
+    )
+    nq = len(q_ids)
+    # probe list: n_probe nearest cells per query (stable argsort —
+    # deterministic), shipped as a broadcast-joined (q_id, cell) frame:
+    # the join against the corpus codes IS the pruning — unprobed
+    # cells never reach the ADC kernel (at 100 TB, never leave disk).
+    qd2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probe_rows = [
+        (int(q_ids[qi]), int(c))
+        for qi in range(nq)
+        for c in np.argsort(qd2[qi], kind="stable")[:n_probe]
+    ]
+    probes = F.broadcast(spark.createDataFrame(probe_rows, "q_id long, cell int"))
+
+    # lookup tables (all tiny, one tracked broadcast): see the module
+    # comment for the algebra each term serves.
+    T = np.einsum("qmd,mkd->qmk", Q.reshape(nq, PQ_M, dsub), books)
+    qc = Q @ C.T  # (nq, n_cells): <q, c>
+    CC = np.einsum(
+        "cmd,mkd->cmk", C.reshape(n_cells, PQ_M, dsub), books
+    )  # (n_cells, PQ_M, PQ_K): <c_sub, book>
+    cn2 = (books**2).sum(axis=2)  # (PQ_M, k_eff)
+    c2 = (C**2).sum(axis=1)  # (n_cells,)
+    qn = np.sqrt((Q**2).sum(axis=1))
+    q_pos = {int(i): n for n, i in enumerate(q_ids)}
+    bc_adc = track_broadcast(
+        spark.sparkContext.broadcast((q_pos, T, qc, CC, cn2, c2, qn))
+    )
+
+    def adc(batches):
+        q_pos, T, qc, CC, cn2, c2, qn = bc_adc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf[pdf["vec_id"] != pdf["q_id"]]
+            if not len(pdf):
+                continue
+            Cd = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, M)
+            cell = pdf["cell"].to_numpy().astype(np.int64)
+            qi = np.fromiter(
+                (q_pos[int(q)] for q in pdf["q_id"]), dtype=np.int64, count=len(pdf)
+            )
+            dot = qc[qi, cell]
+            n2 = c2[cell].copy()
+            for m in range(PQ_M):
+                dot = dot + T[qi, m, Cd[:, m]]
+                n2 = n2 + 2.0 * CC[cell, m, Cd[:, m]] + cn2[m, Cd[:, m]]
+            approx = dot / (np.sqrt(np.maximum(n2, 1e-30)) * qn[qi])
+            out = pd.DataFrame(
+                {"q_id": pdf["q_id"], "n_id": pdf["vec_id"], "adc": approx}
+            )
+            if rerank is not None and len(out):
+                out = (
+                    out.sort_values(
+                        ["q_id", "adc", "n_id"], ascending=[True, False, True]
+                    )
+                    .groupby("q_id", sort=False)
+                    .head(rerank)  # per-batch cut; global cut below
+                )
+            yield out
+
+    cand = (
+        codes_df.join(probes, "cell")
+        .select("q_id", "vec_id", "cell", "codes")
+        .mapInPandas(adc, "q_id long, n_id long, adc double")
+    )
+    if rerank is not None:
+        wv = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("n_id"))
+        cand = cand.withColumn("crn", F.row_number().over(wv)).where(
+            F.col("crn") <= rerank
+        )
+    qmat = F.broadcast(
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in Q[n]]) for n, i in enumerate(q_ids)],
+            "q_id long, q_emb array<double>",
+        )
+    )
+    pairs = (
+        cand.select("q_id", "n_id")
+        .join(
+            e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("b_emb")),
+            "n_id",
+        )
+        .join(qmat, "q_id")
+        .select("q_id", "n_id", F.col("q_emb").alias("a_emb"), "b_emb")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        _pair_cosine_kernel(pairs)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+    )
+
+
+@register("ivfpq_ann_topk", oracle=None, tags=("X25",))
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: probe N_PROBE coarse cells, ADC-score only their
+    members via residual-code lookups, exact cosine re-rank of the
+    top-IVFPQ_RERANK. Rows-only by design (two iterative quantizers,
+    recall < 1); ground truth cosine_topk, recall row
+    ivfpq_recall_eval, exact anchor ivfpq_ann_exhaustive."""
+    return _ivfpq_topk(spark, sf_dir, N_PROBE, IVFPQ_RERANK)
+
+
+@register("ivfpq_ann_exhaustive", oracle=_COSINE_TOPK_ORACLE, tags=("X25",))
+def ivfpq_ann_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with every cell probed AND rerank=None: every corpus
+    vector survives to the exact re-rank, so the result provably
+    equals brute-force cosine top-k — the oracle's statement. The
+    third exactly-certified ANN anchor (after ivf_ann_exhaustive and
+    pq_ann_exhaustive), this one covering the COMPOSED machinery."""
+    return _ivfpq_topk(spark, sf_dir, N_CELLS, None)
+
+
+@register("ivfpq_recall_eval", oracle=None, tags=("X25", "quality"))
+def ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of ivfpq_ann_topk vs the exact ground truth
+    (shared _recall_eval reduction; rows-only — the quantizers are
+    iterative; pytest floor in tests/test_similarity.py)."""
+    return _recall_eval(cosine_topk(spark, sf_dir), ivfpq_ann_topk(spark, sf_dir))

@@ -71,12 +71,16 @@ def register(
 # (2b) slots 16-18: queries ADDED this round — the product-
 #     quantization ANN family (pq_ann_exhaustive carries the exact
 #     cosine_topk oracle; pq_ann_topk / pq_recall_eval are rows-only
-#     by design, recall floor pinned in tests/test_similarity.py) —
-#     new queries enter the window immediately, the standing policy.
-# (3) remaining 32 slots: the oldest-r10 stamps, name order; the
-#     r10 remainder (prefix_containment_pairs, profile_columns,
+#     by design, recall floor pinned in tests/test_similarity.py)
+#     and the composed IVF-PQ family (same anchor pattern:
+#     ivfpq_ann_exhaustive probes every cell with rerank=None and
+#     provably equals the cosine_topk oracle) — new queries enter the
+#     window immediately, the standing policy.
+# (3) remaining 29 slots: the oldest-r10 stamps, name order; the
+#     r10 remainder (nation_revenue_trend, pagerank_trade_graph,
+#     pii_redact, prefix_containment_pairs, profile_columns,
 #     right_join_parts_lineitems, then sentence_segmentation ..
-#     winsorized_mean_price — 16 queries) rotates in r15.
+#     winsorized_mean_price — 19 queries) rotates in r15.
 # Changed-code note (round-9 verdict protocol): queries whose code is
 # touched this round but NOT in the window are re-verified via
 # testing.run_one in the touching session — this round that is
@@ -109,7 +113,10 @@ PRIORITY: tuple[str, ...] = (
     "pq_ann_exhaustive",
     "pq_ann_topk",
     "pq_recall_eval",
-    # (3) the 32 oldest-r10 stamps, name order.
+    "ivfpq_ann_exhaustive",
+    "ivfpq_ann_topk",
+    "ivfpq_recall_eval",
+    # (3) the 29 oldest-r10 stamps, name order.
     "agg_collect_arrays",
     "asof_join_events_orders",
     "bfs_reachability_hops",
@@ -139,9 +146,6 @@ PRIORITY: tuple[str, ...] = (
     "merge_changes_classify",
     "multi_touch_window_count",
     "multimodal_meta",
-    "nation_revenue_trend",
-    "pagerank_trade_graph",
-    "pii_redact",
 )
 
 

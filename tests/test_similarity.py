@@ -355,3 +355,37 @@ def test_pq_codebooks_deterministic_and_shaped(spark):
     b2 = _pq_codebooks(e)
     assert b1.shape == (PQ_M, PQ_K, DIM // PQ_M)
     assert np.array_equal(b1, b2)
+
+
+def test_ivfpq_exhaustive_equals_cosine_topk(spark):
+    """ivfpq_ann_exhaustive (all cells probed, rerank=None) must equal
+    brute-force cosine_topk row-for-row — the provable-equality anchor
+    for the COMPOSED IVF-PQ machinery (coarse assign, residual encode,
+    per-cell ADC lookup algebra, probe join, re-rank)."""
+    sfd = "/root/testdata/sf0.01"
+
+    def rows(name):
+        from master_airflow_spark.registry import release_caches
+
+        out = sorted(
+            (r.q_id, r.n_id, r.cosine, r.rn)
+            for r in REGISTRY[name].fn(spark, sfd).collect()
+        )
+        release_caches()
+        return out
+
+    assert rows("ivfpq_ann_exhaustive") == rows("cosine_topk")
+
+
+def test_ivfpq_recall_floor(spark):
+    """ivfpq_ann_topk recall@5 vs exact ground truth at sf0.01:
+    measured 0.74 mean (bounded above by the IVF probe's candidate
+    recall — the re-rank can only recover what probed cells contain);
+    floor pinned at 0.65 to leave compounding-quantizer headroom."""
+    from master_airflow_spark.registry import release_caches
+
+    sfd = "/root/testdata/sf0.01"
+    rows = REGISTRY["ivfpq_recall_eval"].fn(spark, sfd).collect()
+    release_caches()
+    mean = sum(r.recall_at_k for r in rows) / len(rows)
+    assert mean >= 0.65, f"ivfpq recall@5 regressed: {mean}"
