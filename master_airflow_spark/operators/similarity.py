@@ -221,13 +221,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window then takes the global top-k. The corpus itself never
     shuffles."""
     e = load_table(spark, sf_dir, "embeddings")
-    bc = _broadcast_queries(
-        spark,
-        e.where(F.col("vec_id") % QUERY_STRIDE == 0)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(MAX_QUERIES),
-    )
+    bc = _broadcast_queries(spark, _query_subset(e))
     pairs = _pairs_kernel(e, bc, top_k=TOP_K, threshold=None, upper_triangle=False)
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
@@ -252,6 +246,68 @@ def _broadcast_queries(spark: SparkSession, q_df: DataFrame):
     repeated runs in a long-lived session would otherwise accumulate
     broadcast blocks on the executors."""
     return track_broadcast(spark.sparkContext.broadcast(_collect_queries(q_df)))
+
+
+def _query_subset(e: DataFrame) -> DataFrame:
+    """The bounded deterministic query side every ANN plan shares:
+    vec_id % QUERY_STRIDE == 0, first MAX_QUERIES by vec_id — a hard
+    cap, so the driver never holds data that scales with the corpus.
+    ONE definition (round-14 review: five hand-copied filter blocks)
+    keeps the ground truth and every index answering the same
+    queries."""
+    return (
+        e.where(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(MAX_QUERIES)
+    )
+
+
+def _probe_frame(spark: SparkSession, q_ids, Q, C, n_probe: int) -> DataFrame:
+    """(q_id, cell) probe list — each query's n_probe nearest coarse
+    cells by stable argsort (deterministic), broadcast for the
+    candidate equi-join. Shared by the IVF and IVF-PQ pipelines."""
+    import numpy as np
+
+    qd2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    rows = [
+        (int(q_ids[qi]), int(c))
+        for qi in range(len(q_ids))
+        for c in np.argsort(qd2[qi], kind="stable")[:n_probe]
+    ]
+    return F.broadcast(spark.createDataFrame(rows, "q_id long, cell int"))
+
+
+def _exact_rerank(e: DataFrame, cand: DataFrame, q_ids, Q) -> DataFrame:
+    """Exact cosine re-rank of (q_id, n_id) candidates to the global
+    top-TOP_K: join candidates back to corpus embeddings and a
+    broadcast query-matrix frame, score with _pair_cosine_kernel (the
+    oracle-bit-identical fold), total-order window (cosine desc, n_id)
+    — the tail every candidate-generating index shares (round-14
+    review: the PQ and IVF-PQ pipelines carried verbatim copies, the
+    drift class the _lloyd extraction already bit once)."""
+    spark = e.sparkSession
+    qmat = F.broadcast(
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in Q[n]]) for n, i in enumerate(q_ids)],
+            "q_id long, q_emb array<double>",
+        )
+    )
+    pairs = (
+        cand.select("q_id", "n_id")
+        .join(
+            e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("b_emb")),
+            "n_id",
+        )
+        .join(qmat, "q_id")
+        .select("q_id", "n_id", F.col("q_emb").alias("a_emb"), "b_emb")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        _pair_cosine_kernel(pairs)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+    )
 
 
 # -- LSH-bucketed ANN (scale path) ------------------------------------------
@@ -435,13 +491,7 @@ def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q_df = (
-        e.where(F.col("vec_id") % QUERY_STRIDE == 0)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(MAX_QUERIES)  # bounded query side — broadcastable at any SF
-    )
-    q_ids_v, Q = _collect_queries(q_df)
+    q_ids_v, Q = _collect_queries(_query_subset(e))
     bcq = track_broadcast(
         spark.sparkContext.broadcast((q_ids_v, Q, _bucket_matrix(Q)))
     )
@@ -602,23 +652,8 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
     corpus = e.join(cells, "vec_id")
 
     # queries → N_PROBE nearest cells (bounded query side, as cosine_topk)
-    bc = _broadcast_queries(
-        spark,
-        e.where(F.col("vec_id") % QUERY_STRIDE == 0)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(MAX_QUERIES),
-    )
-    q_ids, Q = bc.value
-    qd2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-    probe_rows = [
-        (int(q_ids[qi]), int(c))
-        for qi in range(len(q_ids))
-        for c in np.argsort(qd2[qi], kind="stable")[:n_probe]
-    ]
-    probes = F.broadcast(
-        spark.createDataFrame(probe_rows, "q_id long, cell int")
-    )
+    q_ids, Q = _collect_queries(_query_subset(e))
+    probes = _probe_frame(spark, q_ids, Q, C, n_probe)
 
     # exact re-rank inside probed cells only
     qmat = F.broadcast(
@@ -1183,12 +1218,7 @@ def _pq_topk(spark: SparkSession, sf_dir: str, rerank: int | None) -> DataFrame:
         encode, "vec_id long, codes array<int>"
     )
 
-    q_ids, Q = _collect_queries(
-        e.where(F.col("vec_id") % QUERY_STRIDE == 0)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(MAX_QUERIES)
-    )
+    q_ids, Q = _collect_queries(_query_subset(e))
     # ADC tables: T[qi, m, k] = <q_sub, centroid>; subspaces partition
     # the dims, so sum_m lookups = <q, reconstruction(x)>. cn2[m, k] =
     # ||centroid||^2 gives the reconstructed norm the approximate
@@ -1241,27 +1271,7 @@ def _pq_topk(spark: SparkSession, sf_dir: str, rerank: int | None) -> DataFrame:
         cand = cand.withColumn("crn", F.row_number().over(wv)).where(
             F.col("crn") <= rerank
         )
-    qmat = F.broadcast(
-        spark.createDataFrame(
-            [(int(i), [float(x) for x in Q[n]]) for n, i in enumerate(q_ids)],
-            "q_id long, q_emb array<double>",
-        )
-    )
-    pairs = (
-        cand.select("q_id", "n_id")
-        .join(
-            e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("b_emb")),
-            "n_id",
-        )
-        .join(qmat, "q_id")
-        .select("q_id", "n_id", F.col("q_emb").alias("a_emb"), "b_emb")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
-    return (
-        _pair_cosine_kernel(pairs)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= TOP_K)
-    )
+    return _exact_rerank(e, cand, q_ids, Q)
 
 
 @register("pq_ann_topk", oracle=None, tags=("X25",))
@@ -1375,24 +1385,12 @@ def _ivfpq_topk(
         encode, "vec_id long, cell int, codes array<int>"
     )
 
-    q_ids, Q = _collect_queries(
-        e.where(F.col("vec_id") % QUERY_STRIDE == 0)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(MAX_QUERIES)
-    )
+    q_ids, Q = _collect_queries(_query_subset(e))
     nq = len(q_ids)
-    # probe list: n_probe nearest cells per query (stable argsort —
-    # deterministic), shipped as a broadcast-joined (q_id, cell) frame:
-    # the join against the corpus codes IS the pruning — unprobed
-    # cells never reach the ADC kernel (at 100 TB, never leave disk).
-    qd2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-    probe_rows = [
-        (int(q_ids[qi]), int(c))
-        for qi in range(nq)
-        for c in np.argsort(qd2[qi], kind="stable")[:n_probe]
-    ]
-    probes = F.broadcast(spark.createDataFrame(probe_rows, "q_id long, cell int"))
+    # probe list (shared _probe_frame): the join against the corpus
+    # codes IS the pruning — unprobed cells never reach the ADC
+    # kernel (at 100 TB, never leave disk).
+    probes = _probe_frame(spark, q_ids, Q, C, n_probe)
 
     # lookup tables (all tiny, one tracked broadcast): see the module
     # comment for the algebra each term serves.
@@ -1451,27 +1449,7 @@ def _ivfpq_topk(
         cand = cand.withColumn("crn", F.row_number().over(wv)).where(
             F.col("crn") <= rerank
         )
-    qmat = F.broadcast(
-        spark.createDataFrame(
-            [(int(i), [float(x) for x in Q[n]]) for n, i in enumerate(q_ids)],
-            "q_id long, q_emb array<double>",
-        )
-    )
-    pairs = (
-        cand.select("q_id", "n_id")
-        .join(
-            e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("b_emb")),
-            "n_id",
-        )
-        .join(qmat, "q_id")
-        .select("q_id", "n_id", F.col("q_emb").alias("a_emb"), "b_emb")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
-    return (
-        _pair_cosine_kernel(pairs)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= TOP_K)
-    )
+    return _exact_rerank(e, cand, q_ids, Q)
 
 
 @register("ivfpq_ann_topk", oracle=None, tags=("X25",))

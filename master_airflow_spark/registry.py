@@ -68,7 +68,7 @@ def register(
 #     verdict #5; the r13-certified jaccard_block_pairs_ppjoin twin
 #     merged into it and left the registry) and ivf_recall_eval
 #     (per-query ground-truth denominator, round-13 ADVICE).
-# (2b) slots 16-18: queries ADDED this round — the product-
+# (2b) slots 16-21: queries ADDED this round — the product-
 #     quantization ANN family (pq_ann_exhaustive carries the exact
 #     cosine_topk oracle; pq_ann_topk / pq_recall_eval are rows-only
 #     by design, recall floor pinned in tests/test_similarity.py)
