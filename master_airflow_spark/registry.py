@@ -87,9 +87,11 @@ def register(
 # dedup_clusters / cluster_keep_longest (clusters.py labels-spill
 # scratch-root gating + lazy size thunk, round-13 ADVICE) and the
 # similarity module's non-windowed queries (cosine_topk,
-# ivf_ann_topk, ivf_ann_exhaustive, ann_recall_eval — the shared
-# _lloyd/_quantizer_sample/_recall_eval refactor): all run_one-green
-# at sf0.01 after the change, oracle hash match where one exists.
+# lsh_bucketed_ann, ivf_ann_topk, ivf_ann_exhaustive,
+# ann_recall_eval — the shared _lloyd/_quantizer_sample/_recall_eval/
+# _query_subset/_probe_frame/_exact_rerank refactors): all
+# run_one-green at sf0.01 after each change, oracle hash match where
+# one exists.
 # wav_decode_stats (decode_wav arity change) likewise re-verified.
 PRIORITY: tuple[str, ...] = (
     # (1) the 13 r9-stamped queries, name order.
