@@ -75,17 +75,55 @@ def _free_rdd_ids(sc, ids: set[int]) -> None:
             e.getValue().unpersist(False)
 
 
+def _is_ram_backed(path: str) -> bool:
+    """True when ``path``'s filesystem is RAM-backed (tmpfs/ramfs),
+    decided by longest-mount-point-prefix match against /proc/mounts
+    — NOT by comparing path strings (round-14 ADVICE: with TMPDIR
+    pointed at /dev/shm, ``root == tempfile.gettempdir()`` is a
+    string coincidence that silently disables the size gate while
+    both roots are tmpfs). Returns False when /proc/mounts is
+    unreadable (non-Linux): assuming disk-backed there keeps the old
+    ungated behavior rather than forcing every spill off a root we
+    can't classify."""
+    import os
+
+    try:
+        real = os.path.realpath(path)
+        best_mnt, best_type = "", None
+        with open("/proc/mounts") as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) < 3:
+                    continue
+                # /proc/mounts octal-escapes whitespace in mount points
+                mnt = parts[1].replace("\\040", " ").replace("\\011", "\t")
+                if (real == mnt or real.startswith(mnt.rstrip("/") + "/")) and len(
+                    mnt
+                ) > len(best_mnt):
+                    best_mnt, best_type = mnt, parts[2]
+        return best_type in ("tmpfs", "ramfs")
+    except OSError:
+        return False
+
+
 def _labels_scratch_root(est_bytes_fn) -> str:
     """Scratch root for the final-labels spill. MAS_CC_SCRATCH_DIR
     overrides everything (the large-run escape hatch, round-13
-    ADVICE); otherwise prefer the shared-drain tmpfs root only while
-    the estimated spill leaves at least half the free tmpfs bytes
-    untouched, falling back to disk-backed tempfile.gettempdir() —
-    the pre-round-13 default — for spills that would crowd RAM.
-    ``est_bytes_fn`` is a thunk (it costs a Spark count job), invoked
-    only on the tmpfs branch where the estimate is actually consulted
-    (round-14 review: an eager count ran even under the override and
-    the no-tmpfs fallback)."""
+    ADVICE) — validated eagerly so a bad path fails HERE naming the
+    env var, not as an opaque mkdtemp error deep in
+    connected_components (round-14 ADVICE). Otherwise the shared-
+    drain root is kept only while (a) it is not RAM-backed, or (b) the
+    estimated spill leaves at least half the free tmpfs bytes
+    untouched — the gate keys on actual mount type (_is_ram_backed),
+    so a TMPDIR pointed at /dev/shm is gated too. The fallback walk
+    prefers the first DISK-backed writable candidate
+    (tempfile.gettempdir(), then /var/tmp — the FHS disk-backed temp
+    root) and only lands back on a RAM-backed gettempdir() when no
+    disk root exists, in which case MAS_CC_SCRATCH_DIR is the escape
+    hatch. ``est_bytes_fn`` is a thunk (it costs a Spark count job),
+    invoked only on the RAM-backed branch where the estimate is
+    actually consulted (round-14 review: an eager count ran even
+    under the override and the no-tmpfs fallback)."""
     import os
     import tempfile
 
@@ -93,17 +131,29 @@ def _labels_scratch_root(est_bytes_fn) -> str:
 
     override = os.environ.get("MAS_CC_SCRATCH_DIR")
     if override:
+        if not (os.path.isdir(override) and os.access(override, os.W_OK)):
+            raise ValueError(
+                f"MAS_CC_SCRATCH_DIR={override!r} is not an existing writable "
+                "directory — fix or unset the env var"
+            )
         return override
     root = _checkpoint_root()
-    if root == tempfile.gettempdir():
+    if not _is_ram_backed(root):
         return root
     try:
         st = os.statvfs(root)
-        if est_bytes_fn() * 2 > st.f_bavail * st.f_frsize:
-            return tempfile.gettempdir()
+        if est_bytes_fn() * 2 <= st.f_bavail * st.f_frsize:
+            return root
     except OSError:
-        return tempfile.gettempdir()
-    return root
+        pass
+    for cand in (tempfile.gettempdir(), "/var/tmp"):
+        if (
+            not _is_ram_backed(cand)
+            and os.path.isdir(cand)
+            and os.access(cand, os.W_OK)
+        ):
+            return cand
+    return tempfile.gettempdir()
 
 
 def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:

@@ -635,7 +635,16 @@ def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pcm = synth_pcm(text)
                 wav = encode_wav(pcm, RATE)
                 rate, nch, width, back = decode_wav(wav)
-                if back != pcm or width != 2:  # self-verifying round-trip
+                # Two distinct failure classes, two distinct messages
+                # (round-14 ADVICE: folding them conflated an encoder
+                # sampwidth-default regression with PCM corruption):
+                if width != 2:  # encode_wav is called PCM16 here
+                    raise ValueError(
+                        f"WAV decode returned sampwidth {width} (expected 2) "
+                        f"for doc {doc_id} — encoder default changed, "
+                        "not a PCM data round-trip failure"
+                    )
+                if back != pcm:  # self-verifying round-trip
                     raise ValueError(f"WAV round-trip mismatch for doc {doc_id}")
                 s = array.array("h")
                 s.frombytes(back)  # little-endian int16 (parquet hosts too)
