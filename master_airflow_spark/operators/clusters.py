@@ -106,7 +106,7 @@ def _is_ram_backed(path: str) -> bool:
         return False
 
 
-def _labels_scratch_root(est_bytes_fn) -> str:
+def _labels_scratch_root(spark, est_bytes_fn) -> str:
     """Scratch root for the final-labels spill. MAS_CC_SCRATCH_DIR
     overrides everything (the large-run escape hatch, round-13
     ADVICE) — validated eagerly so a bad path fails HERE naming the
@@ -127,7 +127,10 @@ def _labels_scratch_root(est_bytes_fn) -> str:
     import os
     import tempfile
 
-    from master_airflow_spark.streaming.events import _checkpoint_root
+    from master_airflow_spark.streaming.events import (
+        _assert_local_scratch,
+        _checkpoint_root,
+    )
 
     override = os.environ.get("MAS_CC_SCRATCH_DIR")
     if override:
@@ -137,6 +140,10 @@ def _labels_scratch_root(est_bytes_fn) -> str:
                 "directory — fix or unset the env var"
             )
         return override
+    # No override: the automatic roots below are all driver-local, so
+    # refuse on a non-local master (round-14 verdict #7) — a cluster
+    # run must point MAS_CC_SCRATCH_DIR at shared storage.
+    _assert_local_scratch(spark, "the connected-components labels spill")
     root = _checkpoint_root()
     if not _is_ram_backed(root):
         return root
@@ -262,9 +269,11 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     # memory pressure the disk-backed default never had; larger spills
     # (and MAS_CC_SCRATCH_DIR overrides) land on disk-backed tmp.
     # Driver-local by design: in local[...] mode executors share the
-    # driver's filesystem. A multi-node deployment must point this at
-    # a shared store (HDFS/object store) — the write/read pair is
-    # already path-agnostic.
+    # driver's filesystem. A multi-node deployment must point
+    # MAS_CC_SCRATCH_DIR at a shared store (HDFS/object store) — the
+    # write/read pair is path-agnostic, and _labels_scratch_root now
+    # REFUSES the automatic driver-local roots on a non-local master
+    # instead of silently spilling to per-node filesystems.
     import tempfile
 
     out_dir = tempfile.mkdtemp(
@@ -273,7 +282,7 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
         # cheap single-stage job; ~32 bytes/row covers two int64
         # parquet columns plus metadata with slack. Thunked: only the
         # tmpfs branch pays the count.
-        dir=_labels_scratch_root(lambda: labels.count() * 32),
+        dir=_labels_scratch_root(edges.sparkSession, lambda: labels.count() * 32),
     )
     labels.write.mode("overwrite").parquet(out_dir)
     _free_rdd_ids(sc, {gen_id})

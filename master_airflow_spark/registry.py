@@ -57,97 +57,89 @@ def register(
 
 # Exposure order for the driver contract. The driver samples the
 # FIRST 50 registry entries each round, so ordering is the lever that
-# decides which queries get externally certified. Round-14 policy
-# (the round-13 verdict's #1 item — finish the stamp rotation):
-# (1) slots 1-13: the 13 queries whose freshest driver stamp is r9
-#     (the verdict's exact list, name order). After this window NO
-#     stamp predates r10.
-# (2) slots 14-15: queries whose CODE changed this round —
-#     jaccard_block_pairs (now the PPJoin kernel under the primary
-#     name, verdict #2, plus the X32 distributed rarity rank,
-#     verdict #5; the r13-certified jaccard_block_pairs_ppjoin twin
-#     merged into it and left the registry) and ivf_recall_eval
-#     (per-query ground-truth denominator, round-13 ADVICE).
-# (2b) slots 16-21: queries ADDED this round — the product-
-#     quantization ANN family (pq_ann_exhaustive carries the exact
-#     cosine_topk oracle; pq_ann_topk / pq_recall_eval are rows-only
-#     by design, recall floor pinned in tests/test_similarity.py)
-#     and the composed IVF-PQ family (same anchor pattern:
-#     ivfpq_ann_exhaustive probes every cell with rerank=None and
-#     provably equals the cosine_topk oracle) — new queries enter the
-#     window immediately, the standing policy.
-# (3) remaining 29 slots: the oldest-r10 stamps, name order; the
-#     r10 remainder (nation_revenue_trend, pagerank_trade_graph,
-#     pii_redact, prefix_containment_pairs, profile_columns,
-#     right_join_parts_lineitems, then sentence_segmentation ..
-#     winsorized_mean_price — 19 queries) rotates in r15.
+# decides which queries get externally certified. Round-15 policy
+# (the round-14 verdict's #1 item — finish the stamp rotation):
+# (1) slots 1-19: the 19 queries whose freshest driver stamp is r10
+#     (the verdict's exact list, name order). After this window the
+#     oldest stamp anywhere in the registry is r11 — the freshness
+#     debt is fully amortized and rotation becomes steady-state.
+# (2) slots 20-28: queries whose CODE changed this round — the ANN
+#     family touched by the round-14 verdict #2 / ADVICE work:
+#     _exact_rerank now accepts pre-attached b_emb and _ivf_topk
+#     routes through it (ivf_ann_topk / ivf_ann_exhaustive /
+#     ivf_recall_eval); _ivfpq_topk's probe equi-join was replaced by
+#     an inverted cell→queries map + per-cell grouped ADC scoring
+#     (ivfpq_ann_topk / ivfpq_ann_exhaustive / ivfpq_recall_eval);
+#     the PQ family shares _exact_rerank (pq_ann_topk /
+#     pq_ann_exhaustive / pq_recall_eval). The two exhaustive anchors
+#     carry the exact cosine_topk oracle, so the rewrite is
+#     hash-certified, not just rows-counted.
+# (3) remaining 22 slots: the oldest-r11 stamps, name order
+#     (ann_recall_eval .. pandas_udf_scalar); the r11 remainder
+#     (percentiles_exact .. zorder_layout_keys, 22 queries) rotates
+#     in r16.
 # Changed-code note (round-9 verdict protocol): queries whose code is
 # touched this round but NOT in the window are re-verified via
 # testing.run_one in the touching session — this round that is
-# dedup_clusters / cluster_keep_longest (clusters.py labels-spill
-# scratch-root gating + lazy size thunk, round-13 ADVICE) and the
-# similarity module's non-windowed queries (cosine_topk,
-# lsh_bucketed_ann, ivf_ann_topk, ivf_ann_exhaustive,
-# ann_recall_eval — the shared _lloyd/_quantizer_sample/_recall_eval/
-# _query_subset/_probe_frame/_exact_rerank refactors): all
-# run_one-green at sf0.01 after each change, oracle hash match where
-# one exists.
-# wav_decode_stats (decode_wav arity change) likewise re-verified.
+# cosine_topk (the _probe_matrix/_exact_rerank refactor neighborhood;
+# hash-green), dedup_clusters / cluster_keep_longest
+# (_labels_scratch_root mount-type gate + override validation) and
+# wav_decode_stats (error-message split only): run_one-green at
+# sf0.01 after the change, oracle hash match where one exists.
 PRIORITY: tuple[str, ...] = (
-    # (1) the 13 r9-stamped queries, name order.
-    "q22_idle_balances",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "revenue_by_nation",
-    "simhash_near_dup",
-    "sql_api_top1_alltime",
-    "train_test_split",
-    # (2) queries whose code changed this round.
-    "jaccard_block_pairs",
+    # (1) the 19 r10-stamped queries, name order.
+    "nation_revenue_trend",
+    "pagerank_trade_graph",
+    "pii_redact",
+    "prefix_containment_pairs",
+    "profile_columns",
+    "right_join_parts_lineitems",
+    "sentence_segmentation",
+    "sequence_packing",
+    "shipping_latency_percentiles",
+    "skew_key_profile",
+    "source_token_divergence",
+    "string_functions",
+    "token_budget_mix",
+    "token_simpson_diversity",
+    "top1_price_lexicographic",
+    "twap_user_value",
+    "weekly_revenue_wow",
+    "winnowing_shared_pairs",
+    "winsorized_mean_price",
+    # (2) the ANN family whose code changed this round.
+    "ivf_ann_topk",
+    "ivf_ann_exhaustive",
     "ivf_recall_eval",
-    # (2b) queries added this round.
-    "pq_ann_exhaustive",
     "pq_ann_topk",
+    "pq_ann_exhaustive",
     "pq_recall_eval",
-    "ivfpq_ann_exhaustive",
     "ivfpq_ann_topk",
+    "ivfpq_ann_exhaustive",
     "ivfpq_recall_eval",
-    # (3) the 29 oldest-r10 stamps, name order.
-    "agg_collect_arrays",
-    "asof_join_events_orders",
-    "bfs_reachability_hops",
-    "boilerplate_shingle_ratio",
-    "bounded_split",
-    "cast_string_price",
-    "conditional_aggregates",
-    "correlated_exists_urgent",
-    "daily_high_low",
-    "date_range_filter",
-    "doc_chunks",
-    "doc_fingerprint",
-    "dup_span_cut",
-    "dup_span_extract",
-    "embedding_centroids",
-    "embedding_near_dup_lsh_verified",
-    "flatten_props_map",
-    "full_outer_nation_presence",
-    "hash_sample_10pct",
-    "incremental_minhash_dedup",
-    "inverted_index_postings",
-    "json_document",
-    "json_functions",
-    "last_touch_attribution",
-    "mad_robust_outliers",
-    "map_from_json",
-    "merge_changes_classify",
-    "multi_touch_window_count",
-    "multimodal_meta",
+    # (3) the 22 oldest-r11 stamps, name order.
+    "ann_recall_eval",
+    "approx_distinct_error",
+    "approx_percentiles_error",
+    "array_functions",
+    "bloom_incremental_dedup",
+    "bloom_join_prune",
+    "collapse_repeated_tokens",
+    "daily_revenue_gap_filled",
+    "heavy_hitters_mg_verified",
+    "hll_sketch_error",
+    "html_scrape_pipeline",
+    "lang_id_heuristic",
+    "lsh_bucketed_ann",
+    "membership_filter",
+    "minhash_estimate_error",
+    "multikey_sort_nulls",
+    "ngram_contamination",
+    "ngram_jaccard_pairs",
+    "normalize_whitespace",
+    "orders_in_trailing_30d",
+    "pandas_udaf_median",
+    "pandas_udf_scalar",
 )
 
 

@@ -288,12 +288,14 @@ def drain_events_multi(
     attribute the shared cost from measured numbers instead of an
     assumed split."""
     from master_airflow_spark.streaming.events import (
+        _assert_local_scratch,
         _checkpoint_root,
         landing_dir_for,
         read_events_stream,
         track_drain_progress,
     )
 
+    _assert_local_scratch(spark, "the shared-drain spool/checkpoint root")
     if events_dir is None:
         events_dir = landing_dir_for(os.path.join(sf_dir, "events.parquet"))
     # max_files follows read_events_stream's contract: None (default)

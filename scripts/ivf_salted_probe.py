@@ -9,8 +9,14 @@ norm), so cluster structure survives but no vector repeats — the
 recall frontier, not the plumbing, is what gets measured.
 
 Run: python scripts/ivf_salted_probe.py
-Writes a markdown row to stdout; the official numbers land in
-SCALE.md by hand (this is a probe, not a generator).
+     SALT_QUERIES="pq_recall_eval ivfpq_recall_eval" \
+         python scripts/ivf_salted_probe.py   # other recall rows
+Writes one markdown row per recall query to stdout; the official
+numbers land in SCALE.md by hand (this is a probe, not a generator).
+Round-15 extension (round-14 verdict #8 optional): SALT_QUERIES
+sweeps ANY registered recall row over the same novel-vector corpus,
+so the PQ and IVF-PQ frontiers are measured with the identical
+methodology as IVF's.
 """
 
 from __future__ import annotations
@@ -28,6 +34,7 @@ OUT_DIR = os.environ.get("IVF_SALT_OUT", "/tmp/mas_ivf_salted/x10")
 COPIES = 10
 SHIFT = 10_000  # next power of 10 above sf0.1's max vec_id (1999)
 SIGMA = float(os.environ.get("IVF_SALT_SIGMA", "0.35"))
+RECALL_QUERIES = os.environ.get("SALT_QUERIES", "ivf_recall_eval").split()
 
 
 def build_corpus() -> None:
@@ -84,17 +91,19 @@ def main() -> None:
     registry._ensure_loaded()
     spark = get_spark(app_name="mas-ivf-salted")
     spark.sparkContext.setLogLevel("ERROR")
-    rec = registry.REGISTRY["ivf_recall_eval"].fn(spark, OUT_DIR)
-    agg = rec.agg(
-        F.mean("recall_at_k").alias("mean_recall"),
-        F.min("recall_at_k").alias("min_recall"),
-        F.count(F.lit(1)).alias("n_queries"),
-    ).first()
-    registry.release_caches()
-    print(
-        f"| ivf_recall_eval | x10 novel-vector | {agg.n_queries} queries "
-        f"| mean {agg.mean_recall:.3f} | min {agg.min_recall:.3f} |"
-    )
+    for qname in RECALL_QUERIES:
+        rec = registry.REGISTRY[qname].fn(spark, OUT_DIR)
+        agg = rec.agg(
+            F.mean("recall_at_k").alias("mean_recall"),
+            F.min("recall_at_k").alias("min_recall"),
+            F.count(F.lit(1)).alias("n_queries"),
+        ).first()
+        registry.release_caches()
+        print(
+            f"| {qname} | x10 novel-vector (sigma={SIGMA}) | "
+            f"{agg.n_queries} queries "
+            f"| mean {agg.mean_recall:.3f} | min {agg.min_recall:.3f} |"
+        )
 
 
 if __name__ == "__main__":
