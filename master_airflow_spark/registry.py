@@ -64,20 +64,30 @@ def register(
 #     oldest stamp anywhere in the registry is r11 — the freshness
 #     debt is fully amortized and rotation becomes steady-state.
 # (2) slots 20-28: queries whose CODE changed this round — the ANN
-#     family touched by the round-14 verdict #2 / ADVICE work:
-#     _exact_rerank now accepts pre-attached b_emb and _ivf_topk
-#     routes through it (ivf_ann_topk / ivf_ann_exhaustive /
-#     ivf_recall_eval); _ivfpq_topk's probe equi-join was replaced by
-#     an inverted cell→queries map + per-cell grouped ADC scoring
-#     (ivfpq_ann_topk / ivfpq_ann_exhaustive / ivfpq_recall_eval);
-#     the PQ family shares _exact_rerank (pq_ann_topk /
-#     pq_ann_exhaustive / pq_recall_eval). The two exhaustive anchors
-#     carry the exact cosine_topk oracle, so the rewrite is
-#     hash-certified, not just rows-counted.
-# (3) remaining 22 slots: the oldest-r11 stamps, name order
-#     (ann_recall_eval .. pandas_udf_scalar); the r11 remainder
-#     (percentiles_exact .. zorder_layout_keys, 22 queries) rotates
-#     in r16.
+#     family touched by the round-14 verdict #2 / ADVICE work: both
+#     probe equi-joins were replaced by an inverted cell→queries map
+#     + per-cell grouped scoring inside ONE streaming kernel pass
+#     (_ivfpq_topk's ADC lookups, then _ivf_topk's exact
+#     dimension-ordered fold — no (query, cell-member) row explosion,
+#     no corpus shuffle), covering ivf_ann_topk / ivf_ann_exhaustive
+#     / ivf_recall_eval and ivfpq_ann_topk / ivfpq_ann_exhaustive /
+#     ivfpq_recall_eval; the PQ family shares the refactored
+#     _exact_rerank tail (pq_ann_topk / pq_ann_exhaustive /
+#     pq_recall_eval). The two exhaustive anchors carry the exact
+#     cosine_topk oracle, so the rewrites are hash-certified, not
+#     just rows-counted.
+# (2b) slots 29-33: queries ADDED this round — the learned-BPE
+#     family (bpe_tokenize_zero_merges carries an exact char-count
+#     oracle; the trainer + learned-apply rows are rows-only by
+#     design, pinned by a pure-Python reference-equality test) and
+#     the SemDeDup family (semdedup_exhaustive's single-cell config
+#     carries an exact NOT-EXISTS oracle; semdedup_keep is the
+#     celled production config) — new queries enter the window
+#     immediately, the standing policy.
+# (3) remaining 17 slots: the oldest-r11 stamps, name order
+#     (ann_recall_eval .. ngram_contamination); the r11 remainder
+#     (ngram_jaccard_pairs .. zorder_layout_keys, 27 queries)
+#     rotates in r16.
 # Changed-code note (round-9 verdict protocol): queries whose code is
 # touched this round but NOT in the window are re-verified via
 # testing.run_one in the touching session — this round that is
@@ -117,7 +127,13 @@ PRIORITY: tuple[str, ...] = (
     "ivfpq_ann_topk",
     "ivfpq_ann_exhaustive",
     "ivfpq_recall_eval",
-    # (3) the 22 oldest-r11 stamps, name order.
+    # (2b) queries added this round.
+    "bpe_train_merges",
+    "bpe_tokenize_stats",
+    "bpe_tokenize_zero_merges",
+    "semdedup_keep",
+    "semdedup_exhaustive",
+    # (3) the 17 oldest-r11 stamps, name order.
     "ann_recall_eval",
     "approx_distinct_error",
     "approx_percentiles_error",
@@ -135,11 +151,6 @@ PRIORITY: tuple[str, ...] = (
     "minhash_estimate_error",
     "multikey_sort_nulls",
     "ngram_contamination",
-    "ngram_jaccard_pairs",
-    "normalize_whitespace",
-    "orders_in_trailing_30d",
-    "pandas_udaf_median",
-    "pandas_udf_scalar",
 )
 
 

@@ -389,3 +389,35 @@ def test_ivfpq_recall_floor(spark):
     release_caches()
     mean = sum(r.recall_at_k for r in rows) / len(rows)
     assert mean >= 0.65, f"ivfpq recall@5 regressed: {mean}"
+
+
+def test_semdedup_celled_drops_subset_of_exhaustive(spark, sf_dir):
+    """Same-cell near-dups are a subset of all near-dups, so the
+    celled configuration can only drop a SUBSET of what the certified
+    exhaustive rule drops — the containment that makes the anchor
+    meaningful for the production config."""
+    from master_airflow_spark.operators.similarity import (
+        semdedup_exhaustive,
+        semdedup_keep,
+    )
+
+    celled = {r.vec_id: r.kept for r in semdedup_keep(spark, sf_dir).collect()}
+    exh = {r.vec_id: r.kept for r in semdedup_exhaustive(spark, sf_dir).collect()}
+    assert celled.keys() == exh.keys()
+    dropped_celled = {v for v, k in celled.items() if not k}
+    dropped_exh = {v for v, k in exh.items() if not k}
+    assert dropped_celled <= dropped_exh
+    # the rule fires on this corpus, and cells genuinely mask some
+    # cross-cell near-dup pairs (strict subset)
+    assert dropped_celled and dropped_celled < dropped_exh
+
+
+def test_semdedup_min_id_rule_keeps_first_of_pair(spark, sf_dir):
+    """In every dropped/kept pair the SMALLER vec_id survives: kept
+    vectors are exactly those with no smaller-id near-dup."""
+    from master_airflow_spark.operators.similarity import semdedup_exhaustive
+
+    rows = semdedup_exhaustive(spark, sf_dir).collect()
+    kept = [r.vec_id for r in rows if r.kept]
+    # vec_id 0 can have no predecessor: always kept
+    assert min(r.vec_id for r in rows) in kept
