@@ -1600,7 +1600,15 @@ def ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # population bounded (the paper runs 50k cells on web scale).
 
 SEM_TAU = 0.4  # sf-corpus-calibrated: ~59 qualifying pairs at sf0.01
-SEM_CELLS = 16
+SEM_CELLS = 16  # cell-count floor (the sf-corpus configuration)
+# Cells scale WITH the corpus (the paper's recipe — 50k cells at web
+# scale) so per-cell population, and with it the quadratic in-cell
+# pair work, stays bounded: n_cells = max(SEM_CELLS, count /
+# SEM_TARGET_CELL). Without this the x50 probe grew 53× over 50×
+# rows (in-cell pairs grow quadratically at fixed n_cells); with it
+# total pair work is linear in rows. Cell count is capped by the
+# Lloyd sample size (a centroid needs at least one training point).
+SEM_TARGET_CELL = 512
 
 
 def _semdedup(spark: SparkSession, sf_dir: str, n_cells: int) -> DataFrame:
@@ -1619,16 +1627,27 @@ def _semdedup(spark: SparkSession, sf_dir: str, n_cells: int) -> DataFrame:
     if n_cells == 1:
         cells = e.select("vec_id", "embedding", F.lit(0).alias("cell"))
     else:
+        # adaptive cell count (metadata-cheap count job); bounded by
+        # the quantizer sample so every centroid has training data
+        n_cells = min(
+            max(n_cells, e.count() // SEM_TARGET_CELL), IVF_SAMPLE // 4
+        )
         C = _lloyd(_quantizer_sample(e), n_cells)
         bc = track_broadcast(spark.sparkContext.broadcast(C))
 
         def assign(batches):
             Cv = bc.value
+            c2 = (Cv**2).sum(axis=1)
             for pdf in batches:
                 if not len(pdf):
                     continue
                 X = _to_matrix(pdf["embedding"])
-                d2 = ((X[:, None, :] - Cv[None, :, :]) ** 2).sum(axis=2)
+                # expanded form ||x-c||² = ||x||² - 2<x,c> + ||c||²:
+                # the (batch × cells) temp stays MB-scale where the
+                # (batch × cells × dim) broadcast temp of the 16-cell
+                # IVF assign would hit ~1 GB/batch at adaptive cell
+                # counts (||x||² is argmin-constant and omitted)
+                d2 = -2.0 * (X @ Cv.T) + c2[None, :]
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"],
