@@ -1611,6 +1611,15 @@ SEM_CELLS = 16  # cell-count floor (the sf-corpus configuration)
 SEM_TARGET_CELL = 512
 
 
+def _sem_n_cells(floor: int, count: int) -> int:
+    """Adaptive SemDeDup cell count: corpus rows / SEM_TARGET_CELL,
+    floored at the registered sf-configuration and capped at
+    IVF_SAMPLE // 4 so every Lloyd centroid sees ≥4 training points
+    from the bounded quantizer sample (pinned in tests/test_similarity
+    .py::test_sem_n_cells_formula)."""
+    return min(max(floor, count // SEM_TARGET_CELL), IVF_SAMPLE // 4)
+
+
 def _semdedup(spark: SparkSession, sf_dir: str, n_cells: int) -> DataFrame:
     """Shared SemDeDup pipeline. n_cells=1 puts the whole corpus in
     one cell, so the drop rule provably equals the global NOT EXISTS
@@ -1629,9 +1638,7 @@ def _semdedup(spark: SparkSession, sf_dir: str, n_cells: int) -> DataFrame:
     else:
         # adaptive cell count (metadata-cheap count job); bounded by
         # the quantizer sample so every centroid has training data
-        n_cells = min(
-            max(n_cells, e.count() // SEM_TARGET_CELL), IVF_SAMPLE // 4
-        )
+        n_cells = _sem_n_cells(n_cells, e.count())
         C = _lloyd(_quantizer_sample(e), n_cells)
         bc = track_broadcast(spark.sparkContext.broadcast(C))
 

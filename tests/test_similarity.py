@@ -421,3 +421,29 @@ def test_semdedup_min_id_rule_keeps_first_of_pair(spark, sf_dir):
     kept = [r.vec_id for r in rows if r.kept]
     # vec_id 0 can have no predecessor: always kept
     assert min(r.vec_id for r in rows) in kept
+
+
+def test_sem_n_cells_formula():
+    """Adaptive cell-count clamp: floors at the registered sf config,
+    tracks rows/SEM_TARGET_CELL between the bounds, and caps at
+    IVF_SAMPLE//4 (each Lloyd centroid needs training points from the
+    bounded quantizer sample). The cap binding at x50-replica scale is
+    measured in SCALE.md — this pins the arithmetic itself."""
+    from master_airflow_spark.operators.similarity import (
+        IVF_SAMPLE,
+        SEM_CELLS,
+        SEM_TARGET_CELL,
+        _sem_n_cells,
+    )
+
+    cap = IVF_SAMPLE // 4
+    # tiny corpus: floor wins
+    assert _sem_n_cells(SEM_CELLS, 0) == SEM_CELLS
+    assert _sem_n_cells(SEM_CELLS, SEM_CELLS * SEM_TARGET_CELL - 1) == SEM_CELLS
+    # linear regime: rows / target
+    assert _sem_n_cells(SEM_CELLS, 100 * SEM_TARGET_CELL) == 100
+    # huge corpus: Lloyd-sample cap wins
+    assert _sem_n_cells(SEM_CELLS, 10**9) == cap
+    # the registered floor stays below the cap (otherwise the floor
+    # could silently exceed what the quantizer sample can train)
+    assert SEM_CELLS <= cap
