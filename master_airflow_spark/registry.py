@@ -96,6 +96,11 @@ def register(
 # (_labels_scratch_root mount-type gate + override validation) and
 # wav_decode_stats (error-message split only): run_one-green at
 # sf0.01 after the change, oracle hash match where one exists.
+# Additionally, after the round's final code change (SemDeDup
+# adaptive cell count), the ENTIRE registry was re-verified in one
+# pass — scripts/driver_sim.py 0 under a vanilla driver-style
+# session: 221/221 green at sf0.01 (every exact oracle hash-matched,
+# every rows-only query non-empty with a stable schema).
 PRIORITY: tuple[str, ...] = (
     # (1) the 19 r10-stamped queries, name order.
     "nation_revenue_trend",
