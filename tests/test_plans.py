@@ -557,3 +557,36 @@ def test_session_aqe_advisory_exchange_sizing(spark):
     assert init >= 4 * base
     assert conf.get("spark.sql.adaptive.enabled") == "true"
     assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+
+
+def test_bpe_apply_zero_shuffle_pruned_scan(spark, sf_dir):
+    """The BPE apply kernel (zero-merge anchor config — same plan
+    shape as the learned config) is ONE streaming mapInPandas pass:
+    no Exchange anywhere (the merge table rides an sc.broadcast, not
+    a plan-level join), and the documents scan prunes to doc_id+text."""
+    from master_airflow_spark.plans.explain import op_count
+
+    df = _q(spark, sf_dir, "bpe_tokenize_zero_merges")
+    assert op_count(df, "Exchange") == 0, "corpus must never shuffle"
+    (schema,) = read_schemas(df)
+    assert "text" in schema and "doc_id" in schema
+    assert "source" not in schema, "unprojected columns must be pruned"
+
+
+def test_semdedup_single_cell_exchange_no_cartesian(spark, sf_dir):
+    """SemDeDup's celled config: in-kernel cell assignment
+    (mapInPandas, centroids on sc.broadcast), then exactly ONE
+    Exchange — the hash-partition by cell feeding the grouped
+    pairwise kernel. No cartesian/NLJ anywhere (the whole point vs
+    all-pairs), no plan-level broadcast of the corpus."""
+    from master_airflow_spark.plans.explain import op_count
+
+    df = _q(spark, sf_dir, "semdedup_keep")
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
+    plan = formatted(df)
+    assert "BroadcastExchange" not in plan, "corpus must not broadcast"
+    # one cell-shuffle + the orderBy's range exchange; nothing else
+    assert op_count(df, "Exchange") <= 2
+    assert "hashpartitioning(cell" in plan, "grouped kernel must key on cell"
