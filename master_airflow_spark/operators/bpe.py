@@ -45,6 +45,8 @@ degeneration, idempotent re-tokenization).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,18 +54,25 @@ from master_airflow_spark.catalog import load_table
 from master_airflow_spark.registry import register, track_broadcast
 
 # Pre-tokenizer shared by the trainer, the apply kernel, and the
-# DuckDB anchor oracle — ONE pattern string, three readers.
-PRETOKEN_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+# DuckDB anchor oracle — ONE pattern string, three readers (Python
+# re, Spark's Java regex, DuckDB's RE2). The whitespace set is
+# spelled as explicit ASCII escapes because the shorthand classes
+# diverge across those engines: \s is Unicode in Python but ASCII in
+# Java/RE2 (U+00A0 would tokenize differently), and \v is a vertical-
+# whitespace CLASS in Java 8+ but a single VT char in Python/RE2.
+# \x0b/\x0c (VT/FF) parse identically everywhere. Cross-engine
+# agreement on non-ASCII fixtures is pinned in tests/test_bpe.py.
+PRETOKEN_PAT = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\x0b\x0c]"
 N_MERGES = 48
 MAX_WORD_TYPES = 20_000
+
+_PRETOKEN_RE = re.compile(PRETOKEN_PAT)
 
 
 def _pretokenize(text: str) -> list[str]:
     """lower() then PRETOKEN_PAT, identical to the SQL
     regexp_extract_all(lower(text), ...) the anchor oracle runs."""
-    import re
-
-    return re.findall(PRETOKEN_PAT, text.lower())
+    return _PRETOKEN_RE.findall(text.lower())
 
 
 def _merge_word(symbols: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:

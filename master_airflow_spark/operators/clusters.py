@@ -97,9 +97,14 @@ def _is_ram_backed(path: str) -> bool:
                     continue
                 # /proc/mounts octal-escapes whitespace in mount points
                 mnt = parts[1].replace("\\040", " ").replace("\\011", "\t")
+                # >= so among equal-length matches the LAST /proc/mounts
+                # entry wins: on an overmounted path (e.g. a tmpfs over
+                # a disk-backed /tmp) the kernel's effective filesystem
+                # is the most recent mount, and keeping the first entry
+                # would misclassify RAM as disk and skip the size gate.
                 if (real == mnt or real.startswith(mnt.rstrip("/") + "/")) and len(
                     mnt
-                ) > len(best_mnt):
+                ) >= len(best_mnt):
                     best_mnt, best_type = mnt, parts[2]
         return best_type in ("tmpfs", "ramfs")
     except OSError:

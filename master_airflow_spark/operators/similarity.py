@@ -605,15 +605,6 @@ def _quantizer_sample(e: DataFrame) -> "np.ndarray":
     ).astype(np.float64)
 
 
-def _ivf_centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
-    """Deterministic IVF coarse quantizer — _lloyd over the shared
-    bounded sample (see _quantizer_sample / _lloyd for the recipe and
-    determinism contract)."""
-    return [
-        (i, c.tolist()) for i, c in enumerate(_lloyd(_quantizer_sample(e), N_CELLS))
-    ]
-
-
 @register("ivf_ann_topk", oracle=None, tags=("X25",))
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors: a deterministic k-means
@@ -675,8 +666,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents = _ivf_centroids(e)
-    C = np.stack([np.asarray(c, dtype=np.float64) for _, c in cents])
+    C = _lloyd(_quantizer_sample(e), N_CELLS)
     q_ids, Q = _collect_queries(_query_subset(e))
     cell_to_q = _cell_to_queries(Q, C, n_probe)
     qn = _seq_norms(Q)

@@ -298,10 +298,24 @@ def _checkpoint_root() -> str:
     files of a bounded AvailableNow drain are pure scratch — RAM-backed
     I/O cuts the fixed per-drain cost. Production streams should pass a
     durable object-store checkpoint instead (this helper is only for
-    drain-and-discard runs). Every consumer of this root must call
-    _assert_local_scratch first: the path is DRIVER-local, so any
+    drain-and-discard runs). MAS_STREAM_SCRATCH_DIR overrides the
+    root — the cluster escape hatch _assert_local_scratch's error
+    names: point it at shared storage (an hdfs://... or s3a://... URI
+    passes through unvalidated; a plain path must exist and be
+    writable). Without the override, every consumer of this root must
+    call _assert_local_scratch first: the path is DRIVER-local, so any
     executor-side write through it is only correct when executors
     share the driver's filesystem."""
+    override = os.environ.get("MAS_STREAM_SCRATCH_DIR")
+    if override:
+        if "://" not in override and not (
+            os.path.isdir(override) and os.access(override, os.W_OK)
+        ):
+            raise RuntimeError(
+                f"MAS_STREAM_SCRATCH_DIR={override!r} is not an existing "
+                "writable directory (or a storage URI)"
+            )
+        return override
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
         return "/dev/shm"
     return tempfile.gettempdir()
@@ -317,16 +331,19 @@ def _assert_local_scratch(spark, what: str) -> None:
     executor would write its OWN /dev/shm or /tmp and the driver-side
     read-back would silently see partial (or zero) data. Raising here
     turns that silent wrong-cluster behavior into an actionable error;
-    production deployments pass an explicit cluster-visible location
-    (object store / HDFS / MAS_CC_SCRATCH_DIR on shared storage),
-    which bypasses this helper."""
+    production deployments set MAS_STREAM_SCRATCH_DIR to a
+    cluster-visible location (object store / HDFS / shared mount),
+    which _checkpoint_root honors and which skips this assert."""
+    if os.environ.get("MAS_STREAM_SCRATCH_DIR"):
+        return  # user pointed the root at cluster-visible storage
     master = spark.sparkContext.master or ""
     if not master.startswith("local"):
         raise RuntimeError(
             f"{what} routes Spark writes through a driver-local scratch "
             f"root, which is only valid in local mode; the session master "
-            f"is {master!r}. Pass an explicit cluster-visible "
-            "checkpoint/scratch location instead."
+            f"is {master!r}. Set MAS_STREAM_SCRATCH_DIR to a "
+            "cluster-visible checkpoint/scratch location (hdfs://, "
+            "s3a://, or a shared mount) to run against this master."
         )
 
 

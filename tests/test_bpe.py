@@ -82,3 +82,34 @@ def test_token_count_sandwich_and_zero_merge_degeneration(spark):
         compressed += r.n_tokens_bpe < r.n_symbols
     # the merges actually fire on most documents
     assert compressed > len(stats) * 0.9
+
+
+def test_pretoken_pat_agrees_across_all_three_engines(spark):
+    """PRETOKEN_PAT is one string read by three regex engines (Python
+    re, Spark's Java regex, DuckDB's RE2), so its character classes
+    must be spelled in the dialect-free subset: \\s is Unicode in
+    Python but ASCII in Java/RE2, and \\v is a vertical-whitespace
+    CLASS in Java 8+ — either would silently split the certified
+    zero-merge anchor from its oracle on non-ASCII corpora. Fixture
+    covers NBSP (U+00A0), LINE SEPARATOR (U+2028), VT/FF, and plain
+    ASCII."""
+    import duckdb
+
+    from master_airflow_spark.operators.bpe import _pretokenize
+
+    s = "a b c\x0bd e f G7! \f tail"
+    py = _pretokenize(s)
+    duck = duckdb.connect().execute(
+        "SELECT regexp_extract_all(lower(?), ?)", [s, PRETOKEN_PAT]
+    ).fetchone()[0]
+    assert py == duck, f"python {py!r} != duckdb {duck!r}"
+    jvm = (
+        spark.sql(
+            "SELECT regexp_extract_all(lower(t), p, 0) AS toks "
+            "FROM VALUES (:s) AS v(t) CROSS JOIN (SELECT :p AS p)",
+            {"s": s, "p": PRETOKEN_PAT},
+        )
+        .collect()[0]
+        .toks
+    )
+    assert py == jvm, f"python {py!r} != spark {jvm!r}"
