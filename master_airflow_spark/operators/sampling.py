@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from master_airflow_spark.catalog import load_table
+from master_airflow_spark.functions.hashing import sql_portable_hash60
 from master_airflow_spark.registry import register
 
 
@@ -29,6 +30,13 @@ def _sql_bucket(expr: str, buckets: int = 100) -> str:
     return (
         f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT) % {buckets}"
     )
+
+
+# After _sql_bucket on purpose: text.py imports _sql_bucket from this
+# module at ITS module level, so this import must run only once every
+# name text re-imports already exists (either import order then
+# resolves against a sufficiently-initialized partial module).
+from master_airflow_spark.operators.text import _SQL_TOKS  # noqa: E402
 
 
 @register(
@@ -68,12 +76,7 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible assignment, no leakage across reshuffles (a doc's
     split never changes when the corpus grows elsewhere)."""
     d = load_table(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.col("doc_id").cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    b = F.pmod(h, F.lit(100))
+    b = hash_bucket("doc_id")
     split = (
         F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
     )
@@ -99,14 +102,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash order (deterministic, unbiased w.r.t. document content) —
     top-k-per-group over the hash ranking."""
     d = load_table(spark, sf_dir, "documents")
-    h = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.concat_ws("|", F.col("doc_id").cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(1_000_000),
-    )
+    h = hash_bucket("doc_id", buckets=1_000_000)
     w = Window.partitionBy("lang").orderBy(h, "doc_id")
     return (
         d.withColumn("rn", F.row_number().over(w))
@@ -181,11 +177,11 @@ def dataset_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "weighted_sample_per_source",
-    oracle="""
+    oracle=f"""
 WITH pr AS (
     SELECT doc_id, source, n_chars,
            CAST(n_chars AS DOUBLE) /
-           (CAST(('0x' || substr(md5('wps|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           (CAST({sql_portable_hash60("'wps|' || CAST(doc_id AS VARCHAR)")}
                  % 1099511627776 + 1 AS DOUBLE) / 1099511627776.0) AS priority
     FROM documents
 )
@@ -235,11 +231,11 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_budget_mix",
-    oracle="""
+    oracle=f"""
 WITH per_src AS (
     SELECT source,
            count(*) AS n_docs,
-           CAST(SUM(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))) AS BIGINT) AS n_tokens
+           CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
     FROM documents GROUP BY source
 ),
 tot AS (

@@ -103,7 +103,7 @@ _GAP_EXPR = f"INTERVAL {SESSION_GAP}"
 # stripped under python -O and would leave the merges hardcoded):
 # this raises at import time if VALUE_SCALE ever stops being a power
 # of 100, and tracks it automatically while it remains one.
-_SCALE_POW = {100**p: p for p in range(1, 5)}.get(_VALUE_SCALE)
+_SCALE_POW = {100**p: p for p in range(0, 5)}.get(_VALUE_SCALE)
 if _SCALE_POW is None:
     raise ValueError(
         "shared_drain requires events.VALUE_SCALE to be a power of 100"
@@ -295,6 +295,18 @@ def drain_events_multi(
         track_drain_progress,
     )
 
+    # Validate BEFORE the stream/checkpoint exist: an unknown view
+    # would otherwise only surface as a KeyError inside the
+    # foreachBatch handler, wrapped in an opaque
+    # StreamingQueryException after scratch dirs were already created.
+    if not view_names:
+        raise ValueError("drain_events_multi: view_names is empty")
+    unknown = [v for v in view_names if v not in VIEWS]
+    if unknown:
+        raise ValueError(
+            f"drain_events_multi: unknown view(s) {unknown};"
+            f" valid views: {sorted(VIEWS)}"
+        )
     _assert_local_scratch(spark, "the shared-drain spool/checkpoint root")
     if events_dir is None:
         events_dir = landing_dir_for(os.path.join(sf_dir, "events.parquet"))
@@ -346,30 +358,44 @@ def drain_events_multi(
     # dir (one trigger per file) would silently truncate the
     # trigger_recent cross-check below — the check must not be the
     # broken side of the listener/recentProgress comparison.
-    prev_nodata = spark.conf.get(
-        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
-    )
-    prev_nprog = spark.conf.get(
-        "spark.sql.streaming.numRecentProgressUpdates", "100"
-    )
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
-    try:
-        with track_drain_progress(spark) as progress:
-            q = (
-                stream.writeStream.foreachBatch(handle)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
+    # The conf save/mutate/restore must hold the SAME lock
+    # run_to_memory's drains hold (events._DRAIN_LOCK): two unlocked
+    # drains on one session could each capture the other's TEMPORARY
+    # conf value as `prev` and restore it permanently — e.g. a shared
+    # drain overlapping a complete-mode drain would latch
+    # noDataMicroBatches=false session-wide, and every later
+    # append-mode drain would silently never flush closed windows.
+    from master_airflow_spark.streaming.events import _DRAIN_LOCK
+
+    with _DRAIN_LOCK:
+        prev_nodata = spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+        )
+        prev_nprog = spark.conf.get(
+            "spark.sql.streaming.numRecentProgressUpdates", "100"
+        )
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+        )
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", "100000"
+        )
+        try:
+            with track_drain_progress(spark) as progress:
+                q = (
+                    stream.writeStream.foreachBatch(handle)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+        finally:
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
             )
-            q.awaitTermination()
-    finally:
-        spark.conf.set(
-            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
-        )
-        spark.conf.set(
-            "spark.sql.streaming.numRecentProgressUpdates", prev_nprog
-        )
+            spark.conf.set(
+                "spark.sql.streaming.numRecentProgressUpdates", prev_nprog
+            )
     pass_wall = time.perf_counter() - t_pass
     trigger_recent = sum(
         p["durationMs"].get("triggerExecution", 0) / 1000.0
