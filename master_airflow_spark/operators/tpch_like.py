@@ -110,7 +110,16 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     with data volume: measured x50 6.3s → 5.0s and the x10→x50
     marginal rate drops to 2.4× over 5× rows. sf0.1/x10 neutral
     (parallelismFirst coalesces small shuffles back to thread
-    count)."""
+    count).
+
+    Round-15 note: a snowflake fold (nation aliases attached to the
+    customer/supplier legs, 5 fact probes → 3) was built and measured
+    at sf0.1 — interleaved prepared-plan A/B came out SLOWER (0.87 →
+    0.92 min-of-6): the fold deepens the serialized broadcast-build
+    chain (cn must finish before the c-fold's own broadcast starts),
+    and at bench SF the saved probes are worth less than the extra
+    AQE broadcast round. Kept the flat shape; the fact-side exchange
+    bytes are identical either way at scale."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -348,7 +357,21 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer's own (ASIA) nation. The s_nationkey = c_nationkey leg
     makes the supplier join conditional on the fact row's customer —
     supplier/nation/region broadcast; the only shuffles are the two
-    fact-side equi-joins and the final tiny aggregate."""
+    fact-side equi-joins and the final tiny aggregate.
+
+    Round-15 restructure (guide §3.1): the ASIA nation⋈region fold is
+    attached to CUSTOMER before any fact join — Catalyst will not
+    reorder the join graph without CBO stats, and in the previous
+    shape every non-ASIA order and lineitem row survived three joins
+    before the region filter killed it. Pruning customers first drops
+    ~4/5 of the fact stream at the orders attach (region split is
+    uniform at every SF). The supplier probe keeps its conditional
+    s_nationkey = c_nationkey leg, now against the pre-attached
+    customer nation. Inner equi-joins + order-independent scaled-long
+    sum → result-identical (re-certified at sf0.01/sf0.1). Measured at
+    sf0.1, interleaved prepared-plan A/B, min-of-6: 0.559s → 0.523s
+    (−6%); at x50+ the pruning applies to the c⋈o and o⋈li exchanges
+    themselves (~4/5 of fact bytes never shuffle)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -356,16 +379,16 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
-    n = F.broadcast(load_table(spark, sf_dir, "nation"))
-    r = F.broadcast(
-        load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n2 = F.broadcast(n.join(r, r.r_regionkey == n.n_regionkey))
+    c2 = c.join(n2, F.col("n_nationkey") == c.c_nationkey).select(
+        "c_custkey", "c_nationkey", "n_name"
     )
     return (
-        c.join(o, o.o_custkey == c.c_custkey)
+        c2.join(o, o.o_custkey == F.col("c_custkey"))
         .join(li, li.l_orderkey == o.o_orderkey)
-        .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
-        .join(n, n.n_nationkey == c.c_nationkey)
-        .join(r, r.r_regionkey == n.n_regionkey)
+        .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == F.col("c_nationkey")))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(_revenue())
     )
@@ -643,12 +666,27 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     order year. Seven-table join where every dimension (nation ×2,
     region, supplier, part) broadcasts — the only shuffles are the two
     fact-side equi-joins and the tiny final aggregate. The share is a
-    ratio of two exact decimal sums, one IEEE division at the end."""
+    ratio of two exact decimal sums, one IEEE division at the end.
+
+    Round-15 restructure (guide §3.1 deliberate join order + §2.3
+    shuffle fewer bytes): Catalyst does not reorder joins without CBO
+    stats, so the selective legs are attached explicitly first — the
+    STANDARD-part broadcast prunes the lineitem stream (~1/6 of rows
+    at any SF) BEFORE the orders join, and the ASIA region filter is
+    folded into the customer leg (customer⋈nation⋈region as dim-side
+    broadcast probes) so non-ASIA fact rows drop at the customer
+    attach instead of surviving two more probes. The supplier nation
+    folds into the supplier leg. Fact probes per surviving row: 7 → 4;
+    the l⋈o exchange now carries ~1/6 of the rows. Inner equi-joins +
+    order-independent scaled-long sums → result-identical
+    (re-certified vs the oracle at sf0.01/sf0.1). Measured at sf0.1,
+    interleaved prepared-plan A/B, min-of-6: 0.448s → 0.385s (−14%);
+    the exchange-volume cut is the scale story."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    s = load_table(spark, sf_dir, "supplier")
     p = F.broadcast(
         load_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
     )
@@ -661,16 +699,22 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = F.broadcast(
         n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
     )
+    # dim-side folds: ASIA customers only; supplier with its nation name
+    c2 = (
+        c.join(cn, F.col("cnk") == c.c_nationkey)
+        .join(r, r.r_regionkey == F.col("crk"))
+        .select("c_custkey")
+    )
+    s2 = F.broadcast(
+        s.join(sn, F.col("snk") == s.s_nationkey).select("s_suppkey", "supp_nation")
+    )
     rev = _rev_c()
     zero = F.lit(0).cast("long")
     return (
-        li.join(o, o.o_orderkey == li.l_orderkey)
-        .join(c, c.c_custkey == o.o_custkey)
-        .join(cn, F.col("cnk") == c.c_nationkey)
-        .join(r, r.r_regionkey == F.col("crk"))
-        .join(s, s.s_suppkey == li.l_suppkey)
-        .join(sn, F.col("snk") == s.s_nationkey)
-        .join(p, p.p_partkey == li.l_partkey)
+        li.join(p, p.p_partkey == li.l_partkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c2, F.col("c_custkey") == o.o_custkey)
+        .join(s2, F.col("s_suppkey") == li.l_suppkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
@@ -708,10 +752,25 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp). Both termsums stay exact decimals; the 0.6 scale and the
     subtraction are two deterministic IEEE ops on the final per-group
     values. part/supplier/nation broadcast; the LIKE filter prunes the
-    part build side before it ships."""
+    part build side before it ships.
+
+    Round-15 restructure (guide §3.1): the %red% part broadcast is the
+    selective leg, so it attaches FIRST — the lineitem stream shrinks
+    to the red-part rows before the orders exchange and the supplier
+    probe (Catalyst will not reorder the joins itself without CBO).
+    The supplier-nation lookup folds into the supplier leg (dim-side
+    probe over |supplier| rows, not |lineitem|). Fact probes per
+    surviving row: 4 → 3, and the l⋈o exchange carries only red-part
+    rows. Inner equi-joins + order-independent scaled-long sums →
+    result-identical (re-certified at sf0.01/sf0.1). Measured at
+    sf0.1, interleaved prepared-plan A/B, min-of-6: 0.365s → 0.368s —
+    neutral at bench SF (every join broadcasts there, so order only
+    moves per-row probe counts); the win is the x50+ shape, where
+    orders stops broadcasting and the l⋈o exchange carries the
+    red-part subset instead of the full table."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    s = load_table(spark, sf_dir, "supplier")
     sn = F.broadcast(
         load_table(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
@@ -720,13 +779,15 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.broadcast(
         load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
     )
+    s2 = F.broadcast(
+        s.join(sn, F.col("snk") == s.s_nationkey).select("s_suppkey", "supp_nation")
+    )
     rev = _rev_c()
     cost = cents("p_retailprice") * cents("l_quantity", 1)
     return (
-        li.join(o, o.o_orderkey == li.l_orderkey)
-        .join(s, s.s_suppkey == li.l_suppkey)
-        .join(sn, F.col("snk") == s.s_nationkey)
-        .join(p, p.p_partkey == li.l_partkey)
+        li.join(p, p.p_partkey == li.l_partkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(s2, F.col("s_suppkey") == li.l_suppkey)
         .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
         .agg(
             (lsum_money(rev, 2) - F.lit(0.6) * lsum_money(cost, 1)).alias(
