@@ -15,10 +15,11 @@ form as streaming/events.fan_out_stream).
 This module is that deployment shape, built on the classic
 partial-aggregate-then-merge design instead of per-view state stores:
 
-- Each micro-batch is persisted once; every view computes a BATCH
-  partial aggregate from it (window/session_window are batch-valid
-  expressions) and appends the partials to a scratch spool (tmpfs
-  parquet — distributed, executor-written; never driver-resident).
+- Every view computes a BATCH partial aggregate from the micro-batch
+  (window/session_window are batch-valid expressions) and appends the
+  partials to a scratch spool (tmpfs parquet — distributed,
+  executor-written; never driver-resident). The batch is not cached:
+  each view re-scans it with its own column pruning (see handle()).
 - After the stream terminates, one merge per view folds the spooled
   partials into the exact final result. Merges are associative by
   construction: tumbling partials merge by summing per-key counts and
@@ -325,28 +326,36 @@ def drain_events_multi(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         # The per-view partial jobs are independent Spark jobs over the
-        # persisted batch — submit them CONCURRENTLY so the scheduler
-        # overlaps their stages (each small agg leaves most of the
-        # cluster idle; measured 1.31s→0.72s for the two views at
-        # sf0.1). Thread-per-view is the foreachBatch analogue of a
-        # multi-sink fan-out; per-view seconds still measure each
-        # view's own submit-to-finish time for the attribution split.
+        # batch — submit them CONCURRENTLY so the scheduler overlaps
+        # their stages (each small agg leaves most of the cluster
+        # idle; measured 1.31s→0.72s for the two views at sf0.1).
+        # Thread-per-view is the foreachBatch analogue of a multi-sink
+        # fan-out; per-view seconds still measure each view's own
+        # submit-to-finish time for the attribution split.
+        #
+        # The batch is deliberately NOT persisted (r15, guide §2.3/§5):
+        # each view's partial agg re-scans the micro-batch source with
+        # ITS OWN column pruning (tumbling reads ts/event_type/value,
+        # sessions ts/user_id/value), while persist() would materialize
+        # every column once as deserialized JVM rows before either view
+        # starts — the cache write costs more than the (K−1) extra
+        # pruned columnar scans it saves at K=2. Interleaved A/B at
+        # sf0.1: credited unit 1.40→1.22s min / 1.52→1.26s median,
+        # per-trigger cost 0.94→0.73s. Re-persist only if a deployment
+        # fans out to many views over an expensive (non-columnar,
+        # UDF-derived) source.
         from concurrent.futures import ThreadPoolExecutor
 
         n_batches[0] += 1
-        batch_df.persist()
 
         def write_view(v: str) -> None:
             t0 = time.perf_counter()
             VIEWS[v][0](batch_df).write.mode("append").parquet(spools[v])
             view_sec[v] += time.perf_counter() - t0
 
-        try:
-            with ThreadPoolExecutor(len(view_names)) as ex:
-                for f in [ex.submit(write_view, v) for v in view_names]:
-                    f.result()
-        finally:
-            batch_df.unpersist()
+        with ThreadPoolExecutor(len(view_names)) as ex:
+            for f in [ex.submit(write_view, v) for v in view_names]:
+                f.result()
 
     t_pass = time.perf_counter()
     # The trailing no-data micro-batch exists to flush append-mode
