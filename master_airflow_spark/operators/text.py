@@ -746,7 +746,16 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text_quality, dedup_exact, doc_chunks); this shows they compose
     into one Catalyst plan: the gate's filter runs at the scan, the
     only shuffles are the fp-dedup window and the final source
-    aggregate — the same two a 100 TB run needs."""
+    aggregate — the same two a 100 TB run needs.
+
+    r15 (guide §2.3, project before the exchange): everything past
+    the quality gate needs only the token COUNT, never the tokens —
+    so the array is reduced to ``n = size(toks)`` at the scan and the
+    fp-window exchange carries (doc_id, source, fp, n) instead of
+    every surviving document's token array. At 100 TB the dedup
+    shuffle moves per-doc metadata, not the corpus. Identical output
+    (n is computed before the projection; chunking/packing were
+    already pure functions of n)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -757,7 +766,9 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = (
         F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS))).cast("double") / n
     )
-    gated = docs.where(n.between(20, 1000) & (stop_ratio >= 0.05))
+    gated = docs.where(n.between(20, 1000) & (stop_ratio >= 0.05)).select(
+        "doc_id", "source", "fp", n.alias("n")
+    )
     deduped = (
         gated.withColumn(
             "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
@@ -765,11 +776,12 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+    nn = F.col("n")
     chunks = deduped.select(
         "doc_id",
         "source",
-        n.alias("n"),
-        F.posexplode(F.sequence(F.lit(0), n - 1, F.lit(24))).alias("ci", "s"),
+        "n",
+        F.posexplode(F.sequence(F.lit(0), nn - 1, F.lit(24))).alias("ci", "s"),
     )
     return chunks.groupBy("source").agg(
         F.count_distinct("doc_id").alias("n_docs"),
