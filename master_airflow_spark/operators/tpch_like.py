@@ -119,8 +119,24 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain (cn must finish before the c-fold's own broadcast starts),
     and at bench SF the saved probes are worth less than the extra
     AQE broadcast round. Kept the flat shape; the fact-side exchange
-    bytes are identical either way at scale."""
-    li = load_table(spark, sf_dir, "lineitem")
+    bytes are identical either way at scale.
+
+    Round-15 pre-exchange projection (guide §2.3 "narrower types" /
+    "project before the exchange"): the lineitem leg of the fact-fact
+    shuffle computes the scaled-long revenue cents and the ship year
+    BEFORE the exchange — the shuffled row narrows from
+    (price double, discount double, shipdate timestamp) 24 B to
+    (rev long, ship_year int) 12 B of payload, 40 → 28 B/row with
+    keys. Per-row cents/year math is integer-exact and position-
+    independent, so the sum is bit-identical (re-certified vs the
+    oracle at sf0.01/sf0.1). Measured x50 interleaved prepared-plan
+    A/B: 4.53 → 4.02 s min-of-5, new side won all 5 pairs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("ship_year"),
+        _rev_c().alias("rev"),
+    )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
@@ -134,9 +150,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cn, F.col("cnk") == c.c_nationkey)
         .join(sn, F.col("snk") == s.s_nationkey)
         .where(F.col("cust_nation") != F.col("supp_nation"))
-        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
+        .groupBy("cust_nation", "supp_nation", "ship_year")
         .agg(
-            lsum_money(_rev_c(), 2, "volume")
+            lsum_money(F.col("rev"), 2, "volume")
         )
     )
 
