@@ -283,10 +283,33 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — one shuffle keyed on l_partkey serves both the
     aggregate and the join-back, where the textbook plan would shuffle
     twice. Unit price is a single IEEE division and MIN is selection,
-    not arithmetic — exact on both engines."""
-    li = load_table(spark, sf_dir, "lineitem")
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    not arithmetic — exact on both engines.
+
+    Round-15 single-exchange rewrite (guide §2.4 "two operations keyed
+    the same way can share one exchange"): written naively, the plan
+    paid TWO exchanges — hashpartitioning(l_partkey, l_suppkey) for
+    the aggregate, then hashpartitioning(l_partkey) for the window.
+    The explicit repartition("l_partkey") satisfies BOTH (a hash
+    partitioning on a subset of the grouping keys satisfies the
+    aggregate's clustered distribution), so the agg and the window run
+    on one exchange. Map-side partial agg is forfeited, but lineitem
+    is orderkey-ordered, so a (partkey, suppkey) pair's ~4 lines are
+    scattered across map partitions and partial MIN compressed almost
+    nothing anyway. unit_price is projected before the exchange
+    (§2.3): the shuffle carries (partkey, suppkey, up) instead of
+    (partkey, suppkey, price, quantity). Same per-row IEEE division,
+    MIN is selection — result identical (re-certified vs the oracle at
+    sf0.01/sf0.1). Interleaved prepared-plan A/B: sf0.1 1.035→0.733 s
+    min-of-6 (−30%); x50 4.75→3.53 s min-of-5 (−26%), all pairs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("up"),
+    )
+    ps = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("up").alias("unit_price"))
     )
     from pyspark.sql import Window
 
