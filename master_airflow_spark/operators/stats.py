@@ -368,25 +368,67 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel (view → click after view → purchase
     after click), the product-analytics staple: each stage is the
     MIN event time per user constrained to follow the previous
-    stage's time — three per-user aggregates chained by equi-joins on
-    user_id, so every shuffle shares the same key and the stage joins
-    co-locate. Output is one row of stage counts + conversion rates
-    (single IEEE divisions — deterministic)."""
-    e = load_table(spark, sf_dir, "events")
+    stage's time. Output is one row of stage counts + conversion
+    rates (single IEEE divisions — deterministic).
 
-    def stage(etype: str, prev: DataFrame | None, prev_ts: str, out_ts: str) -> DataFrame:
-        s = e.where(F.col("event_type") == etype)
-        if prev is not None:
-            s = s.join(prev, "user_id").where(F.col("ts") > F.col(prev_ts))
-        return s.groupBy("user_id").agg(F.min("ts").alias(out_ts))
-
-    v = stage("view", None, "", "t_view")
-    c = stage("click", v, "t_view", "t_click")
-    p = stage("purchase", c, "t_click", "t_purchase")
-    counts = (
-        v.agg(F.count(F.lit(1)).alias("n_viewed"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    Round-15 single-pass rewrite (guide §1.2 "remove unnecessary
+    passes", §2.4 shared exchange): the original chained three
+    per-user aggregates with equi-joins on user_id — correct, but the
+    stage frames feed both the next join AND their own count branch,
+    and Spark re-executes shared subtrees across branches: the plan
+    scanned events six times over eight exchanges. Now ONE scan of
+    the three event types, one user_id exchange, and three sort-free
+    MIN windows over the same partitioning (t_click's predicate reads
+    the t_view column the previous window produced — min over an
+    empty/false set is NULL, which reproduces the join semantics:
+    ts > NULL is never true, so users missing a stage stay NULL
+    through every later stage). The per-user rollup and the final
+    1-row count reuse the same exchange. Outputs verified equal and
+    re-certified vs the oracle at sf0.01/sf0.1. Interleaved
+    prepared-plan A/B: sf0.1 0.445→0.308 s min-of-6 (−31%); x50
+    events 1.08→0.73 s min-of-5 (−33%), all pairs. Scale note: the
+    window shape collates each user's events into one partition with
+    no map-side partial agg — per-user event counts are bounded by
+    human activity, the same collation every funnel/sessionization
+    operator needs."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
+    )
+    wu = Window.partitionBy("user_id")
+    x = e.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu),
+    )
+    x = x.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    x = x.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    per_user = x.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    counts = per_user.agg(
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
     )
     return counts.select(
         "n_viewed",
