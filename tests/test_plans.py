@@ -10,6 +10,7 @@ from master_airflow_spark.plans.explain import (
     has_operator,
     has_pushed_filter,
     join_kinds,
+    op_count,
     read_schemas,
 )
 from master_airflow_spark.registry import REGISTRY, _ensure_loaded
@@ -590,3 +591,50 @@ def test_semdedup_single_cell_exchange_no_cartesian(spark, sf_dir):
     # one cell-shuffle + the orderBy's range exchange; nothing else
     assert op_count(df, "Exchange") <= 2
     assert "hashpartitioning(cell" in plan, "grouped kernel must key on cell"
+
+
+def test_q2_agg_and_window_share_one_partkey_exchange(spark, sf_dir):
+    """q2 (r15 rewrite): repartition("l_partkey") must satisfy BOTH the
+    (partkey, suppkey) min-price aggregate and the best-price window —
+    exactly one hash exchange in the plan, keyed on l_partkey alone.
+    A second exchange means the window re-shuffled the aggregate."""
+    df = _q(spark, sf_dir, "q2_min_cost_supplier")
+    plan = formatted(df)
+    assert op_count(df, "Exchange") == 1, plan
+    assert "hashpartitioning(l_partkey#" in plan, plan
+
+
+def test_funnel_single_scan_stacked_windows(spark, sf_dir):
+    """funnel_conversion (r15 rewrite): one events scan, the three
+    stage MINs as windows over one user_id exchange, no joins — the
+    old chained-join form scanned events six times over eight
+    exchanges."""
+    df = _q(spark, sf_dir, "funnel_conversion")
+    plan = formatted(df)
+    assert len(read_schemas(df)) == 1, "events must be scanned exactly once"
+    assert op_count(df, "Exchange") <= 2, plan  # user_id + final 1-row agg
+    assert join_kinds(df) == [], "stage chaining must not join"
+    assert plan.count(") Window") == 3 or op_count(df, "Window") == 3, plan
+
+
+def test_q7_fact_exchange_carries_cents_and_year_not_raw(spark, sf_dir):
+    """q7 (r15 §2.3): the lineitem leg must enter its exchange already
+    narrowed to (rev cents long, ship_year int); shuffling raw
+    price/discount/shipdate re-widens the fact exchange 28 → 40 B/row.
+    Broadcast is disabled so the fact-fact joins actually plan their
+    shuffles (same technique as test_q7_fact_joins_broadcast_dims_only)."""
+    import re
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted(_q(spark, sf_dir, "q7_volume_shipping"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    blocks = re.split(r"^(?=\(\d+\) )", plan, flags=re.M)
+    ex_blocks = [b for b in blocks if re.match(r"\(\d+\) Exchange", b)]
+    assert ex_blocks, "expected shuffle exchanges with broadcast disabled"
+    for b in ex_blocks:
+        for raw in ("l_extendedprice", "l_discount", "l_shipdate"):
+            assert raw not in b, f"raw column {raw} crossed an exchange:\n{b}"
+    assert "AS rev#" in plan and "AS ship_year#" in plan, plan
