@@ -492,16 +492,35 @@ GROUP BY year(l.l_shipdate)
 def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12 shape: two-class conditional counts per ship year
     (o_orderpriority plays l_shipmode). Integer counts — no float
-    determinism concerns; one fact-fact shuffle join, one tiny agg."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    determinism concerns; one fact-fact shuffle join, one tiny agg.
+
+    Round-15 pre-exchange projection (guide §2.3, the q7 pattern):
+    both fact legs narrow BEFORE the join exchange — the query only
+    ever consumes l_shipdate as year() and o_orderpriority as the
+    high/low boolean, so the lineitem leg ships (l_orderkey,
+    ship_year int) instead of a timestamp and the orders leg ships
+    (o_orderkey, high boolean) instead of a ~10-byte string. Per-row
+    year/isin math is position-independent — identical result
+    (verified row-equal and re-certified vs the oracle at
+    sf0.01/sf0.1). Interleaved prepared-plan A/B: x50 15/20 pairs
+    faster across two sessions (min −5–10%), sf0.1 0.427→0.391 min."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.year("l_shipdate").cast("int").alias("ship_year")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("high"),
+    )
     return (
         li.join(o, o.o_orderkey == li.l_orderkey)
-        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .groupBy("ship_year")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"),
+            F.sum(F.when(F.col("high"), 1).otherwise(0)).alias(
+                "high_priority_count"
+            ),
+            F.sum(F.when(~F.col("high"), 1).otherwise(0)).alias(
+                "low_priority_count"
+            ),
         )
     )
 
