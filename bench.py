@@ -509,6 +509,13 @@ def main() -> None:
         "legacy_total": legacy_t,
         "value_wall_drains": total_wall,
         "legacy_total_wall": legacy_t_wall,
+        # Parallelism Spark ACTUALLY ran with (round-16, additions-only):
+        # local[$SPARK_GRAFT_CPUS] makes this equal the env contract, so
+        # a scaling harness can verify the core count was honored rather
+        # than inferring it from per-query ratios (which are flat at
+        # bench SF — every sf0.1 table is a single parquet row group, so
+        # per-query time is JVM choreography, not parallel compute).
+        "cpus_effective": spark.sparkContext.defaultParallelism,
     }
     detail = {
         "reps": {"min": REPS, "max": REPS_MAX, "used": reps_used},

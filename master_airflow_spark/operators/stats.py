@@ -390,7 +390,17 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     window shape collates each user's events into one partition with
     no map-side partial agg — per-user event counts are bounded by
     human activity, the same collation every funnel/sessionization
-    operator needs."""
+    operator needs.
+
+    Data contract (round-16, r15 ADVICE): stage counts are
+    count(t_<stage>) — non-NULL minimum event TIME per user — while
+    the chained-join form (and the oracle) counts a user with ≥1
+    qualifying event ROW even if its ts were NULL. The two agree
+    because events.ts is NOT NULL in this schema (generated data has
+    no NULL timestamps; a NULL ts row would be semantically broken —
+    ordering events is the table's purpose). If a nullable-ts source
+    is ever wired in, count an event-presence flag (e.g.
+    max(event_type = 'view')) instead of the min timestamp."""
     e = (
         load_table(spark, sf_dir, "events")
         .where(F.col("event_type").isin("view", "click", "purchase"))

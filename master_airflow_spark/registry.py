@@ -57,105 +57,82 @@ def register(
 
 # Exposure order for the driver contract. The driver samples the
 # FIRST 50 registry entries each round, so ordering is the lever that
-# decides which queries get externally certified. Round-15 policy
-# (the round-14 verdict's #1 item — finish the stamp rotation):
-# (1) slots 1-19: the 19 queries whose freshest driver stamp is r10
-#     (the verdict's exact list, name order). After this window the
-#     oldest stamp anywhere in the registry is r11 — the freshness
-#     debt is fully amortized and rotation becomes steady-state.
-# (2) slots 20-28: queries whose CODE changed this round — the ANN
-#     family touched by the round-14 verdict #2 / ADVICE work: both
-#     probe equi-joins were replaced by an inverted cell→queries map
-#     + per-cell grouped scoring inside ONE streaming kernel pass
-#     (_ivfpq_topk's ADC lookups, then _ivf_topk's exact
-#     dimension-ordered fold — no (query, cell-member) row explosion,
-#     no corpus shuffle), covering ivf_ann_topk / ivf_ann_exhaustive
-#     / ivf_recall_eval and ivfpq_ann_topk / ivfpq_ann_exhaustive /
-#     ivfpq_recall_eval; the PQ family shares the refactored
-#     _exact_rerank tail (pq_ann_topk / pq_ann_exhaustive /
-#     pq_recall_eval). The two exhaustive anchors carry the exact
-#     cosine_topk oracle, so the rewrites are hash-certified, not
-#     just rows-counted.
-# (2b) slots 29-33: queries ADDED this round — the learned-BPE
-#     family (bpe_tokenize_zero_merges carries an exact char-count
-#     oracle; the trainer + learned-apply rows are rows-only by
-#     design, pinned by a pure-Python reference-equality test) and
-#     the SemDeDup family (semdedup_exhaustive's single-cell config
-#     carries an exact NOT-EXISTS oracle; semdedup_keep is the
-#     celled production config) — new queries enter the window
-#     immediately, the standing policy.
-# (3) remaining 17 slots: the oldest-r11 stamps, name order
-#     (ann_recall_eval .. ngram_contamination); the r11 remainder
-#     (ngram_jaccard_pairs .. zorder_layout_keys, 27 queries)
-#     rotates in r16.
+# decides which queries get externally certified. Round-16 policy
+# (the round-15 verdict's #7 item — continue the stamp rotation):
+# (1) slots 1-31: every query whose freshest driver stamp is r11 —
+#     the full r11 remainder (the verdict's 27-query
+#     ngram_jaccard_pairs .. zorder_layout_keys span plus the four
+#     other r11-stamped names that had not re-entered a window:
+#     approx_distinct_users, approx_percentiles, and the two
+#     alphabetically-early stragglers), name order. After this window
+#     the oldest stamp anywhere in the registry is r12.
+# (2) slots 32-33: queries whose CODE changed this round —
+#     q18_large_orders (the X36 bloom-prune wired into its
+#     large-orders semi-join, gated on input size) and
+#     jaccard_block_pairs (round-15 verdict #6 candidate-volume
+#     pass).
+# (3) remaining 17 slots: the oldest r12 stamps, name order
+#     (apply_in_pandas_scale .. event_transition_matrix); the r12
+#     remainder (events_rollup_grids .. top_customers_per_segment,
+#     32 queries) rotates in r17.
 # Changed-code note (round-9 verdict protocol): queries whose code is
 # touched this round but NOT in the window are re-verified via
-# testing.run_one in the touching session — this round that is
-# cosine_topk (the _probe_matrix/_exact_rerank refactor neighborhood;
-# hash-green), dedup_clusters / cluster_keep_longest
-# (_labels_scratch_root mount-type gate + override validation) and
-# wav_decode_stats (error-message split only): run_one-green at
-# sf0.01 after the change, oracle hash match where one exists.
-# Additionally, after the round's final code change (SemDeDup
-# adaptive cell count), the ENTIRE registry was re-verified in one
-# pass — scripts/driver_sim.py 0 under a vanilla driver-style
-# session: 221/221 green at sf0.01 (every exact oracle hash-matched,
-# every rows-only query non-empty with a stable schema).
+# testing.run_one in the touching session; OPTIMIZATION_r16.md
+# records the per-query re-certifications.
 PRIORITY: tuple[str, ...] = (
-    # (1) the 19 r10-stamped queries, name order.
-    "nation_revenue_trend",
-    "pagerank_trade_graph",
-    "pii_redact",
-    "prefix_containment_pairs",
-    "profile_columns",
-    "right_join_parts_lineitems",
-    "sentence_segmentation",
-    "sequence_packing",
-    "shipping_latency_percentiles",
-    "skew_key_profile",
-    "source_token_divergence",
-    "string_functions",
-    "token_budget_mix",
-    "token_simpson_diversity",
-    "top1_price_lexicographic",
-    "twap_user_value",
-    "weekly_revenue_wow",
-    "winnowing_shared_pairs",
-    "winsorized_mean_price",
-    # (2) the ANN family whose code changed this round.
-    "ivf_ann_topk",
-    "ivf_ann_exhaustive",
-    "ivf_recall_eval",
-    "pq_ann_topk",
-    "pq_ann_exhaustive",
-    "pq_recall_eval",
-    "ivfpq_ann_topk",
-    "ivfpq_ann_exhaustive",
-    "ivfpq_recall_eval",
-    # (2b) queries added this round.
-    "bpe_train_merges",
-    "bpe_tokenize_stats",
-    "bpe_tokenize_zero_merges",
-    "semdedup_keep",
-    "semdedup_exhaustive",
-    # (3) the 17 oldest-r11 stamps, name order.
-    "ann_recall_eval",
-    "approx_distinct_error",
-    "approx_percentiles_error",
-    "array_functions",
-    "bloom_incremental_dedup",
-    "bloom_join_prune",
-    "collapse_repeated_tokens",
-    "daily_revenue_gap_filled",
-    "heavy_hitters_mg_verified",
-    "hll_sketch_error",
-    "html_scrape_pipeline",
-    "lang_id_heuristic",
-    "lsh_bucketed_ann",
-    "membership_filter",
-    "minhash_estimate_error",
-    "multikey_sort_nulls",
-    "ngram_contamination",
+    # (1) the 31 r11-stamped queries, name order.
+    "approx_distinct_users",
+    "approx_percentiles",
+    "ngram_jaccard_pairs",
+    "normalize_whitespace",
+    "orders_in_trailing_30d",
+    "pandas_udaf_median",
+    "pandas_udf_scalar",
+    "percentiles_exact",
+    "png_decode_stats",
+    "quality_logit_score",
+    "rank_orders_window",
+    "running_totals",
+    "scalar_subquery_above_avg",
+    "scd2_history_build",
+    "sessionize_events",
+    "stream_dedup_watermark",
+    "stream_ewma_per_user",
+    "stream_interval_join",
+    "stream_sliding_agg",
+    "stream_static_enrich",
+    "stream_topk_users",
+    "stream_tumbling_agg",
+    "stream_unique_users_rollup",
+    "text_quality",
+    "text_stats",
+    "token_count_bpe",
+    "top_bigram_repetition",
+    "training_corpus_pipeline",
+    "triangle_count_cosuppliers",
+    "unpivot_lineitem_measures",
+    "zorder_layout_keys",
+    # (2) queries whose code changed this round.
+    "q18_large_orders",
+    "jaccard_block_pairs",
+    # (3) the 17 oldest-r12 stamps, name order.
+    "apply_in_pandas_scale",
+    "array_hof_suite",
+    "asof_join_tolerance",
+    "bm25_lite_ranking",
+    "cohort_retention",
+    "containment_pairs",
+    "corr_qty_price",
+    "correlated_scalar_select",
+    "cosine_topk",
+    "csv_parse_roundtrip",
+    "cube_priority_status",
+    "dataset_mix_sample",
+    "dedup_exact",
+    "embedding_normalize",
+    "embedding_quantize",
+    "event_rate_anomalies",
+    "event_transition_matrix",
 )
 
 

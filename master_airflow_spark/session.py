@@ -53,9 +53,15 @@ def get_spark(
         # AQE sort-merge → shuffled-hash rewrite (round-15, guide §3.1):
         # skip both sort passes of a shuffle join whenever EVERY
         # build-side partition is under 2× the 64m advisory size. The
-        # bound is per-partition data volume, not cores, so it is
-        # memory-safe at any cluster scale (an oversized/hot partition
-        # simply keeps sort-merge, which spills gracefully). Measured
+        # bound is on COMPRESSED shuffle bytes per partition; the
+        # deserialized build-side HashedRelation can be several times
+        # larger and does not fall back to sort-merge at runtime, and
+        # each concurrently-running task holds its own relation — so
+        # budget roughly (cores per executor) × (a few × 128m) of heap
+        # headroom per executor, or drop this toward the 64m advisory
+        # size on memory-tight clusters. A partition OVER the bound
+        # keeps sort-merge, which spills gracefully; skew-split still
+        # applies. Measured
         # x50 interleaved conf A/B, 0 vs 128m: q3 −16%, q21 −27% med,
         # q7 −21% med, q8 −7%; q5/q9/q18/tfidf/training/minhash/jaccard
         # neutral; no regressions. No-op at bench sf0.1 (every join

@@ -344,6 +344,15 @@ def drain_events_multi(
         # per-trigger cost 0.94→0.73s. Re-persist only if a deployment
         # fans out to many views over an expensive (non-columnar,
         # UDF-derived) source.
+        #
+        # Correctness assumption (r15 ADVICE): without persist(), each
+        # view RE-EXECUTES the micro-batch scan, so the two views see
+        # identical data only because the source batch is replayable
+        # and deterministic (a fixed set of parquet files per trigger).
+        # A non-replayable or non-deterministic source (socket,
+        # rand()/UDF-derived columns) could let the per-view partials
+        # diverge within one batch — re-enable persist() before wiring
+        # such a source into the multi-view drain.
         from concurrent.futures import ThreadPoolExecutor
 
         n_batches[0] += 1

@@ -77,37 +77,32 @@ def main() -> int:
         parts = [path]
     jobs = {}
     stages = {}
-    import itertools
-
-    with open(parts[0]) as _f0:
-        lines = list(
-            itertools.chain.from_iterable(open(p) for p in parts)
-        )
-    if True:
-        for line in lines:
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            e = ev.get("Event")
-            if e == "SparkListenerJobStart":
-                props = ev.get("Properties") or {}
-                desc = props.get("spark.job.description", "")
-                jobs[ev["Job ID"]] = {
-                    "desc": desc,
-                    "t0": ev["Submission Time"],
-                    "stages": [s["Stage ID"] for s in ev["Stage Infos"]],
-                }
-            elif e == "SparkListenerJobEnd":
-                if ev["Job ID"] in jobs:
-                    jobs[ev["Job ID"]]["t1"] = ev["Completion Time"]
-            elif e == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                stages[si["Stage ID"]] = {
-                    "name": si["Stage Name"].split(" at ")[0][:40],
-                    "tasks": si["Number of Tasks"],
-                    "ms": (si.get("Completion Time", 0) - si.get("Submission Time", 0)),
-                }
+    for part in parts:
+        with open(part) as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                e = ev.get("Event")
+                if e == "SparkListenerJobStart":
+                    props = ev.get("Properties") or {}
+                    desc = props.get("spark.job.description", "")
+                    jobs[ev["Job ID"]] = {
+                        "desc": desc,
+                        "t0": ev["Submission Time"],
+                        "stages": [s["Stage ID"] for s in ev["Stage Infos"]],
+                    }
+                elif e == "SparkListenerJobEnd":
+                    if ev["Job ID"] in jobs:
+                        jobs[ev["Job ID"]]["t1"] = ev["Completion Time"]
+                elif e == "SparkListenerStageCompleted":
+                    si = ev["Stage Info"]
+                    stages[si["Stage ID"]] = {
+                        "name": si["Stage Name"].split(" at ")[0][:40],
+                        "tasks": si["Number of Tasks"],
+                        "ms": (si.get("Completion Time", 0) - si.get("Submission Time", 0)),
+                    }
     prof = [
         j
         for j in jobs.values()
