@@ -22,6 +22,7 @@ from master_airflow_spark.functions.exact import (
     cents,
     lavg_money,
     lsum_money,
+    lsum_scaled,
     sql_cents,
     sql_lsum_money,
 )
@@ -130,30 +131,54 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys. Per-row cents/year math is integer-exact and position-
     independent, so the sum is bit-identical (re-certified vs the
     oracle at sf0.01/sf0.1). Measured x50 interleaved prepared-plan
-    A/B: 4.53 → 4.02 s min-of-5, new side won all 5 pairs."""
+    A/B: 4.53 → 4.02 s min-of-5, new side won all 5 pairs.
+
+    Round-16 integer-keyed pre-aggregation (guide §2.3 "aggregate
+    before you shuffle" + "narrower types"): the fact pipeline now
+    aggregates on (c_nationkey, s_nationkey, ship_year) — three ints,
+    ≤ 25×25×7 groups — and the nation-NAME broadcasts attach to that
+    tiny aggregate AFTER the exchange, not to every fact row. Two of
+    the five per-row broadcast probes disappear, and the partial-agg
+    hash keys become ints instead of two UTF8String names (the event-
+    log profile put the whole query inside one 912 ms-CPU single-task
+    stage at sf0.1 — per-row probe+hash work IS the query). The
+    final groupBy on names re-merges any (cnk,snk) pairs that shared
+    a name, so the result is identical even under duplicate nation
+    names; the name inequality filter runs post-attach exactly as
+    before, and the sum stays exact: per-key partial sums are guarded
+    longs (lsum_scaled), merged by the same lsum_money that produced
+    the old single-level sum — integer addition is associative, so
+    the double is bit-identical (collect-compared at sf0.1 and
+    re-certified vs the oracle at sf0.01/sf0.1). Interleaved
+    prepared-plan A/B at sf0.1: 1.064→0.868 s min-of-8, B won 7/8
+    pairs (second run 5/6; ~−15% both draws). At scale the agg
+    exchange narrows further ((3 ints + long) vs (2 strings + int +
+    long) per group) and the 4k-row name re-agg is noise."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_suppkey",
         F.year("l_shipdate").alias("ship_year"),
         _rev_c().alias("rev"),
     )
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation")
-    cn = F.broadcast(n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")))
-    sn = F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")))
-    return (
+    keyed = (
         li.join(o, o.o_orderkey == li.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
         .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
-        .join(cn, F.col("cnk") == c.c_nationkey)
-        .join(sn, F.col("snk") == s.s_nationkey)
+        .groupBy("c_nationkey", "s_nationkey", "ship_year")
+        .agg(lsum_scaled(F.col("rev"), "rev_l"))
+    )
+    cn = F.broadcast(n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")))
+    sn = F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")))
+    return (
+        keyed.join(cn, F.col("cnk") == F.col("c_nationkey"))
+        .join(sn, F.col("snk") == F.col("s_nationkey"))
         .where(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation", "ship_year")
-        .agg(
-            lsum_money(F.col("rev"), 2, "volume")
-        )
+        .agg(lsum_money(F.col("rev_l"), 2, "volume"))
     )
 
 
