@@ -19,21 +19,32 @@ requires, written the way a 100 TB Spark deployment wants it:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from master_airflow_spark.catalog import load_table
+from master_airflow_spark.catalog import load_table, table_path
 from master_airflow_spark.functions.exact import (
     cents,
     dsum,
     lavg_money,
     lsum_money,
+    lsum_scaled,
     sql_cents,
     sql_dsum,
     sql_lavg_money,
     sql_lsum_money,
 )
 from master_airflow_spark.registry import register
+
+# revenue_by_nation's fact-probe broadcast gate: hint the pruned
+# (orders ⋈ customer-keys) build side only while the orders parquet is
+# under this bound (file metadata — no job). Past it the hint drops and
+# the bushy join tree shuffles both fact legs, the only plan that
+# works at 100 TB. 64 MB of orders parquet ≈ well under a 10 MB hashed
+# relation after the region prune + 2-column projection.
+_RBN_BROADCAST_ORDERS_BYTES = 64 << 20
 
 _QTY_C = sql_cents("l_quantity")
 _PRICE_C = sql_cents("l_extendedprice")
@@ -98,29 +109,62 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join across five tables (TPC-H Q5 shape): dims broadcast
     (nation 25 rows, region 5 — the region filter prunes nations
     *before* the fact join), customer⋈orders⋈lineitem shuffle on their
-    keys once. Catalyst pushes r_name IN (...) through the join chain."""
+    keys once. Catalyst pushes r_name IN (...) through the join chain.
+
+    Round-16 fact-probe restructure (guide §3.1 build-side choice +
+    §2.3 int keys; the q7 idiom): the old left-deep chain
+    (c⋈dims)⋈o⋈li made LINEITEM the broadcast BUILD side at bench SF —
+    a 600k-row hash relation rebuilt every execution (event-log
+    profile: ~280 ms/rep) while a ~90k-row stream probed it. Now the
+    pruned (orders ⋈ region-filtered customer keys) leg builds and the
+    lineitem fact STREAMS, the aggregate keys on the c_nationkey int
+    (not the n_name string), and the nation names attach to the
+    10-row aggregate after the exchange, re-merged by name so
+    duplicate-name nations would still aggregate exactly as before
+    (partial sums are guarded longs; integer addition associative —
+    bit-identical, collect-compared and oracle-verified at three SFs).
+    The o2 broadcast hint is SIZE-GATED on the orders parquet bytes
+    (metadata only, no extra job): past _RBN_BROADCAST_ORDERS_BYTES
+    the hint drops and the bushy tree runs the same two fact shuffles
+    (o⋈c2 on custkey — region-pruned, orders-cardinality — then li⋈o2
+    on orderkey) as the old chain, so the 100 TB shape is unchanged.
+    Interleaved prepared-plan A/B at sf0.1: 0.753→0.567 s min-of-8,
+    new side won 7/8 pairs."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))).alias("rev"),
+    )
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").where(
         F.col("r_name").isin("ASIA", "EUROPE")
     )
     dims = F.broadcast(
-        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey"
+        )
     )
+    c2 = customer.join(dims, customer.c_nationkey == dims.n_nationkey).select(
+        "c_custkey", "c_nationkey"
+    )
+    o2 = orders.join(c2, orders.o_custkey == c2.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    if os.path.getsize(table_path(sf_dir, "orders")) < _RBN_BROADCAST_ORDERS_BYTES:
+        o2 = F.broadcast(o2)
+    keyed = (
+        lineitem.join(o2, lineitem.l_orderkey == o2.o_orderkey)
+        .groupBy("c_nationkey")
+        .agg(lsum_scaled(F.col("rev"), "rev_l"), F.count(F.lit(1)).alias("n_l"))
+    )
+    names = F.broadcast(nation.select("n_nationkey", "n_name"))
     return (
-        customer.join(dims, customer.c_nationkey == dims.n_nationkey)
-        .join(orders, orders.o_custkey == customer.c_custkey)
-        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        keyed.join(names, names.n_nationkey == keyed.c_nationkey)
         .groupBy("n_name")
         .agg(
-            lsum_money(
-                cents("l_extendedprice") * (F.lit(100) - cents("l_discount")),
-                2,
-                "revenue",
-            ),
-            F.count(F.lit(1)).alias("n_items"),
+            lsum_money(F.col("rev_l"), 2, "revenue"),
+            F.sum("n_l").alias("n_items"),
         )
     )
 

@@ -48,6 +48,54 @@ def test_revenue_by_nation_broadcasts_dims(spark, sf_dir):
     assert "CartesianProduct" not in kinds
 
 
+def test_revenue_by_nation_fact_probes_int_key_agg(spark, sf_dir):
+    """rbn (r16): the lineitem fact must STREAM against the pruned
+    (orders ⋈ customer-keys) build — at bench SF the old left-deep
+    chain made lineitem the broadcast build side, a 600k-row hash
+    relation rebuilt per execution — and the aggregate must key on
+    the c_nationkey int with nation names attached post-exchange.
+    With the auto-broadcast threshold disabled, the size-gated o2
+    hint survives (orders parquet is under the gate at test SFs), the
+    unhinted o⋈c2 leg plans its shuffle, and lineitem must still not
+    sit under any BroadcastExchange."""
+    import re
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted(_q(spark, sf_dir, "revenue_by_nation"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "hashpartitioning(c_nationkey" in plan, (
+        "aggregate must key on the c_nationkey int, not the name string"
+    )
+    # map scan node ids to tables, then assert the lineitem scan's id
+    # is never the child subtree of a BroadcastExchange in the tree
+    blocks = re.split(r"^(?=\(\d+\) )", plan, flags=re.M)
+    li_ids = {
+        m.group(1)
+        for b in blocks
+        for m in [re.match(r"\((\d+)\) Scan parquet", b)]
+        if m and "lineitem.parquet" in b
+    }
+    assert li_ids, "lineitem scan not found"
+    tree = plan.split("\n\n")[0].splitlines()
+    for i, line in enumerate(tree):
+        m = re.search(r"BroadcastExchange \((\d+)\)", line)
+        if not m:
+            continue
+        indent = len(line) - len(line.lstrip(" :+-"))
+        for nxt in tree[i + 1 :]:
+            nindent = len(nxt) - len(nxt.lstrip(" :+-"))
+            if nindent <= indent:
+                break
+            sid = re.search(r"Scan parquet\s+\((\d+)\)", nxt)
+            if sid and sid.group(1) in li_ids:
+                raise AssertionError(
+                    f"lineitem scan ({sid.group(1)}) under BroadcastExchange:\n{line}\n{nxt}"
+                )
+
+
 def test_top_customers_join_no_cartesian(spark, sf_dir):
     kinds = join_kinds(_q(spark, sf_dir, "top_customers_per_segment"))
     assert "CartesianProduct" not in kinds
