@@ -14,10 +14,12 @@ carries a total order.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from master_airflow_spark.catalog import load_table
+from master_airflow_spark.catalog import load_table, table_path
 from master_airflow_spark.functions.exact import (
     cents,
     lavg_money,
@@ -30,6 +32,13 @@ from master_airflow_spark.registry import register
 
 # revenue term price*(1-disc) in exact scaled-long form (scale 100^2)
 _REV_C = f"{sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})"
+
+# Fact-probe broadcast gate (q5, r16): hint the pruned
+# (orders ⋈ customer-keys) build side only while the orders parquet is
+# under this bound (file metadata, no job). Past it the hint drops and
+# the bushy tree shuffles both fact legs — the 100 TB plan. Matches
+# relational._RBN_BROADCAST_ORDERS_BYTES.
+_FACT_BROADCAST_ORDERS_BYTES = 64 << 20
 
 
 def _rev_c() -> F.Column:
@@ -435,26 +444,60 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum → result-identical (re-certified at sf0.01/sf0.1). Measured at
     sf0.1, interleaved prepared-plan A/B, min-of-6: 0.559s → 0.523s
     (−6%); at x50+ the pruning applies to the c⋈o and o⋈li exchanges
-    themselves (~4/5 of fact bytes never shuffle)."""
-    c = load_table(spark, sf_dir, "customer")
+    themselves (~4/5 of fact bytes never shuffle).
+
+    Round-16 fact-probe + int-key aggregation (the q7/revenue_by_
+    nation idiom, guide §3.1/§2.3): lineitem now STREAMS against the
+    date-filtered, region-pruned (orders ⋈ customer-keys) build —
+    the old left-deep chain let Catalyst make lineitem the broadcast
+    build side at bench SF — and the n_name string no longer rides
+    the fact legs at all: the aggregate keys on the c_nationkey int
+    and the names broadcast onto the ≤25-row aggregate after the
+    exchange (re-merged by name, so duplicate-name nations still
+    aggregate identically; guarded-long partials merged by the same
+    lsum_money — bit-identical, collect-compared + oracle-verified at
+    three SFs). The o2 broadcast hint is size-gated on the orders
+    parquet bytes (no extra job); past the gate both fact legs
+    shuffle exactly as the r15 shape did. Interleaved prepared-plan
+    A/B at sf0.1, two draws: min 0.965→0.771 / 0.841→0.680 (−20%),
+    med −8%/−15%, B won 11/18 pairs."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _rev_c().alias("rev")
     )
-    li = load_table(spark, sf_dir, "lineitem")
-    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    s = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    n2 = F.broadcast(n.join(r, r.r_regionkey == n.n_regionkey))
-    c2 = c.join(n2, F.col("n_nationkey") == c.c_nationkey).select(
-        "c_custkey", "c_nationkey", "n_name"
+    nk = F.broadcast(
+        n.join(r, r.r_regionkey == n.n_regionkey).select("n_nationkey")
     )
+    c2 = c.join(nk, F.col("n_nationkey") == c.c_nationkey).select(
+        "c_custkey", "c_nationkey"
+    )
+    o2 = o.join(c2, o.o_custkey == c2.c_custkey).select("o_orderkey", "c_nationkey")
+    if os.path.getsize(table_path(sf_dir, "orders")) < _FACT_BROADCAST_ORDERS_BYTES:
+        o2 = F.broadcast(o2)
+    keyed = (
+        li.join(o2, li.l_orderkey == o2.o_orderkey)
+        .join(
+            s,
+            (s.s_suppkey == li.l_suppkey)
+            & (s.s_nationkey == F.col("c_nationkey")),
+        )
+        .groupBy("c_nationkey")
+        .agg(lsum_scaled(F.col("rev"), "rev_l"))
+    )
+    names = F.broadcast(n.select("n_nationkey", "n_name"))
     return (
-        c2.join(o, o.o_custkey == F.col("c_custkey"))
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == F.col("c_nationkey")))
+        keyed.join(names, names.n_nationkey == keyed.c_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(_revenue())
+        .agg(lsum_money(F.col("rev_l"), 2, "revenue"))
     )
 
 
