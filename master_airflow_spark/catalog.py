@@ -68,6 +68,17 @@ def parquet_part_stats(path: str) -> list[tuple[str, int, int, int]]:
         return []
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """Total on-disk parquet bytes of a table — single file OR a
+    directory of part files (summed via parquet_part_stats, the one
+    walker). Size gates MUST use this instead of os.path.getsize: on
+    a directory-layout table (any Spark-written output, e.g. the
+    scale-probe replicas) getsize returns the directory inode's size
+    (~4-16 KB), which would silently hold a "small side" broadcast
+    hint open at any data volume."""
+    return sum(s[2] for s in parquet_part_stats(table_path(sf_dir, name)))
+
+
 def ensure_session_defaults(spark: SparkSession) -> None:
     """Set the runtime-settable confs the engine's semantics depend on.
 

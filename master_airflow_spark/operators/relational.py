@@ -19,12 +19,10 @@ requires, written the way a 100 TB Spark deployment wants it:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from master_airflow_spark.catalog import load_table, table_path
+from master_airflow_spark.catalog import load_table, table_bytes
 from master_airflow_spark.functions.exact import (
     cents,
     dsum,
@@ -151,7 +149,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o2 = orders.join(c2, orders.o_custkey == c2.c_custkey).select(
         "o_orderkey", "c_nationkey"
     )
-    if os.path.getsize(table_path(sf_dir, "orders")) < _RBN_BROADCAST_ORDERS_BYTES:
+    if table_bytes(sf_dir, "orders") < _RBN_BROADCAST_ORDERS_BYTES:
         o2 = F.broadcast(o2)
     keyed = (
         lineitem.join(o2, lineitem.l_orderkey == o2.o_orderkey)

@@ -14,12 +14,10 @@ carries a total order.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from master_airflow_spark.catalog import load_table, table_path
+from master_airflow_spark.catalog import load_table, table_bytes
 from master_airflow_spark.functions.exact import (
     cents,
     lavg_money,
@@ -481,7 +479,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_nationkey"
     )
     o2 = o.join(c2, o.o_custkey == c2.c_custkey).select("o_orderkey", "c_nationkey")
-    if os.path.getsize(table_path(sf_dir, "orders")) < _FACT_BROADCAST_ORDERS_BYTES:
+    if table_bytes(sf_dir, "orders") < _FACT_BROADCAST_ORDERS_BYTES:
         o2 = F.broadcast(o2)
     keyed = (
         li.join(o2, li.l_orderkey == o2.o_orderkey)
