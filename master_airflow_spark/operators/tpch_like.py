@@ -38,6 +38,15 @@ _REV_C = f"{sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})"
 # relational._RBN_BROADCAST_ORDERS_BYTES.
 _FACT_BROADCAST_ORDERS_BYTES = 64 << 20
 
+# q18 mid-scale band (r16): broadcast-hint the HAVING-filtered order
+# aggregate — whose ~1.5% selectivity Catalyst/AQE cannot see — only
+# while orders sits between "Catalyst broadcasts the orders side
+# itself" (below) and "the aggregate's WORST-case cardinality is no
+# longer a safe broadcast relation" (above). See q18's docstring for
+# the sf0.1/x50 measurements behind both edges.
+_Q18_AGG_BROADCAST_MIN_ORDERS = 16 << 20
+_Q18_AGG_BROADCAST_MAX_ORDERS = 256 << 20
+
 
 def _rev_c() -> F.Column:
     return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
@@ -611,7 +620,35 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     with their customer. The HAVING filter runs on the exact decimal
     sum (identical on both engines), before the double cast; the
     child aggregate's key is the join key, so the customer join
-    reuses the aggregate's partitioning."""
+    reuses the aggregate's partitioning.
+
+    Round-16 mid-scale build-side flip (guide §3.1 "broadcast the side
+    that fits"): Catalyst can't see that the HAVING filter keeps ~1.5%
+    of orders (aggregate+filter defeats size estimation, and AQE's
+    runtime stats measure the agg exchange's INPUT, pre-final-agg/
+    filter), so past the orders auto-broadcast size both fact sides
+    shuffle. Inside the [16 MB, 256 MB] orders-bytes band the filtered
+    aggregate gets an explicit broadcast hint instead: orders never
+    shuffles (x50 measured: 2.01 → 1.52 s min-of-5, −25%, plan SMJ +
+    orders Exchange → BHJ with the agg as build). The band is bounded
+    both ways, measured at sf0.1 and x50:
+    - below 16 MB Catalyst broadcasts the orders side itself and the
+      hint would SERIALIZE the heavy agg into a broadcast build
+      (sf0.1 interleaved A/B: 0.662 → 0.746 s med, hint lost 8/8
+      pairs — so the bench plan keeps the current shape);
+    - above 256 MB the qualifying set's WORST case (a non-selective
+      dataset where every order qualifies) could exceed a safe
+      broadcast relation, so the exchange plan returns — at 100 TB
+      q18 runs exactly the r15 shape (agg exchange reused by the
+      join, orders SMJ/SHJ).
+    The X36 bounded-bitmap bloom was measured for this join and
+    REJECTED: rebuilding the agg for the bitmap costs more than the
+    orders exchange it saves (x50: 8.53 s vs 5.82 s baseline), a
+    persisted agg + bitmap still loses (5.26 s vs 2.01 s — persist
+    write + collect jobs dominate), and past the band a 128 KiB
+    bitmap over an order-cardinality key set has fpp ≈ 1 (prunes
+    nothing). Results identical in every regime (inner equi-joins;
+    collect-compared at sf0.1 and x50, oracle green)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
@@ -620,6 +657,12 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents("l_quantity", 1)).alias("qty_l"))
         .where(F.col("qty_l") > 250)
     )
+    if (
+        _Q18_AGG_BROADCAST_MIN_ORDERS
+        <= table_bytes(sf_dir, "orders")
+        < _Q18_AGG_BROADCAST_MAX_ORDERS
+    ):
+        agg = F.broadcast(agg)
     return (
         agg.join(o, o.o_orderkey == agg.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)

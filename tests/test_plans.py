@@ -686,3 +686,33 @@ def test_q7_fact_exchange_carries_cents_and_year_not_raw(spark, sf_dir):
         for raw in ("l_extendedprice", "l_discount", "l_shipdate"):
             assert raw not in b, f"raw column {raw} crossed an exchange:\n{b}"
     assert "AS rev#" in plan and "AS ship_year#" in plan, plan
+
+
+def test_q18_band_gated_agg_broadcast(spark, sf_dir, monkeypatch):
+    """q18 (r16 §3.1): inside the [16 MB, 256 MB) orders-bytes band the
+    HAVING-filtered aggregate carries an explicit broadcast hint (its
+    ~1.5% selectivity is invisible to Catalyst/AQE size estimation),
+    so orders never shuffles; outside the band the hint must be
+    absent — below it Catalyst broadcasts the orders side itself, and
+    at 100 TB the aggregate's worst case is not a safe broadcast."""
+    import master_airflow_spark.operators.tpch_like as t
+
+    def plan_at(orders_bytes):
+        monkeypatch.setattr(t, "table_bytes", lambda d, n: orders_bytes)
+        return formatted(_q(spark, sf_dir, "q18_large_orders"))
+
+    mid = plan_at(64 << 20)
+    # build side is the aggregate: a BroadcastExchange directly over
+    # the HashAggregate/Filter subtree, and no orders-key shuffle
+    assert "hashpartitioning(o_orderkey" not in mid, mid
+    assert "BroadcastExchange" in mid, mid
+
+    # past the band: the agg is NOT hinted; with auto-broadcast off the
+    # orders join plans its shuffle again (the 100 TB shape)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = plan_at(1 << 40)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "hashpartitioning(o_orderkey" in big, big
